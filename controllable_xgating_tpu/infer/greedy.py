@@ -1,0 +1,89 @@
+"""Greedy + multinomial caption decoding, fully on device.
+
+Rebuilds the reference's `model.sample` host loop (SURVEY.md §3.2/§3.5) as a
+single `lax.scan` — no per-step host sync. One compiled program serves both
+modes: `greedy_decode` (argmax; deterministic tie-break = lowest index, the
+parity contract for jnp-vs-Pallas golden tests) and `sample_decode`
+(multinomial with temperature, used by SCST for the sampled rollout; also
+returns per-step logprobs for the REINFORCE loss).
+
+Both emit fixed-length [B, L] token arrays; positions after EOS are PAD so
+masks are recoverable as `tokens != PAD`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from controllable_xgating_tpu.data.vocab import BOS, EOS, PAD
+from controllable_xgating_tpu.models.decoder import (
+    DecodeContext,
+    DecoderParams,
+    decode_step,
+    init_decoder_state,
+)
+
+
+def _rollout(
+    params: DecoderParams,
+    ctx: DecodeContext,
+    summary: jax.Array,
+    max_len: int,
+    rng: Optional[jax.Array],
+    temperature: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Shared scan body. Returns (tokens [B, L], logprobs [B, L])."""
+    b = summary.shape[0]
+    h, c = init_decoder_state(params, summary)
+    tok0 = jnp.full((b,), BOS, jnp.int32)
+    alive0 = jnp.ones((b,), bool)
+    step_rngs = (
+        jax.random.split(rng, max_len) if rng is not None else jnp.zeros((max_len, 2), jnp.uint32)
+    )
+
+    def step(carry, step_rng):
+        h, c, tok, alive = carry
+        logits, h, c, _ = decode_step(params, ctx, tok, h, c)
+        logits = logits.astype(jnp.float32)
+        if rng is None:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            nxt = jax.random.categorical(step_rng, logits / temperature, axis=-1)
+            nxt = nxt.astype(jnp.int32)
+        logp_all = jax.nn.log_softmax(logits, axis=-1)
+        logp = jnp.take_along_axis(logp_all, nxt[:, None], axis=-1)[:, 0]
+        nxt = jnp.where(alive, nxt, PAD)
+        logp = jnp.where(alive, logp, 0.0)
+        alive_next = alive & (nxt != EOS)
+        return (h, c, nxt, alive_next), (nxt, logp)
+
+    (_, _, _, _), (tokens, logps) = jax.lax.scan(
+        step, (h, c, tok0, alive0), step_rngs
+    )
+    return jnp.swapaxes(tokens, 0, 1), jnp.swapaxes(logps, 0, 1)
+
+
+def greedy_decode(
+    params: DecoderParams,
+    ctx: DecodeContext,
+    summary: jax.Array,
+    max_len: int,
+) -> jax.Array:
+    """Deterministic argmax rollout -> tokens [B, max_len]."""
+    tokens, _ = _rollout(params, ctx, summary, max_len, None, 1.0)
+    return tokens
+
+
+def sample_decode(
+    params: DecoderParams,
+    ctx: DecodeContext,
+    summary: jax.Array,
+    max_len: int,
+    rng: jax.Array,
+    temperature: float = 1.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Multinomial rollout -> (tokens [B, L], logprobs [B, L]) for SCST."""
+    return _rollout(params, ctx, summary, max_len, rng, temperature)

@@ -1,0 +1,202 @@
+"""Caption decoder: temporal-attention LSTM with gated visual/syntax fusion.
+
+Rebuilds the reference's caption decoder (SURVEY.md §2 "Caption decoder";
+paper §3.3): at each step, additive attention over the encoder memory gives
+a visual context; a learned sigmoid gate adaptively mixes the (projected)
+visual context with the (projected) global POS feature psi; the LSTM cell
+consumes [word embedding ; mixed guidance] and projects to vocab logits.
+
+The gate input is [h_{t-1} ; emb(w_{t-1})] — the exact reference gate wiring
+is REFERENCE_TBD (SURVEY.md §0) and centralized in `decode_step`.
+
+`decode_step` is the single code path used by teacher forcing, greedy,
+sampling and beam search, so train/infer cannot drift apart — and it is the
+unit the fused Pallas attention+cell kernel replaces.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from controllable_xgating_tpu.ops.attention import (
+    AttentionWeights,
+    additive_attention,
+    init_attention,
+    precompute_keys,
+)
+from controllable_xgating_tpu.ops.lstm import LSTMWeights, init_lstm, lstm_cell
+
+
+class DecoderParams(struct.PyTreeNode):
+    embed: jax.Array     # [V, E]
+    init_h: jax.Array    # [He, Hd]
+    init_c: jax.Array    # [He, Hd]
+    attn: AttentionWeights
+    w_ctx: jax.Array     # [He, G] visual context -> guide space
+    w_psi: jax.Array     # [P, G]  psi -> guide space
+    w_gate: jax.Array    # [Hd + E, G]
+    b_gate: jax.Array    # [G]
+    lstm: LSTMWeights    # input dim E + G, hidden Hd
+    w_out: jax.Array     # [Hd, V]
+    b_out: jax.Array     # [V]
+
+    @property
+    def vocab_size(self) -> int:
+        return self.w_out.shape[1]
+
+    @property
+    def hidden_dim(self) -> int:
+        return self.lstm.hidden_dim
+
+
+def init_decoder(
+    key: jax.Array,
+    vocab: int,
+    enc_dim: int,
+    hidden: int,
+    embed_dim: int,
+    attn_dim: int,
+    psi_dim: int,
+    guide_dim: Optional[int] = None,
+    dtype=jnp.float32,
+) -> DecoderParams:
+    guide_dim = guide_dim or hidden
+    ks = jax.random.split(key, 8)
+
+    def u(k, shape):
+        s = 1.0 / jnp.sqrt(shape[0])
+        return jax.random.uniform(k, shape, dtype, -s, s)
+
+    return DecoderParams(
+        embed=jax.random.normal(ks[0], (vocab, embed_dim), dtype) * 0.1,
+        init_h=u(ks[1], (enc_dim, hidden)),
+        init_c=u(ks[2], (enc_dim, hidden)),
+        attn=init_attention(ks[3], hidden, enc_dim, attn_dim, dtype),
+        w_ctx=u(ks[4], (enc_dim, guide_dim)),
+        w_psi=u(ks[5], (psi_dim, guide_dim)),
+        w_gate=u(ks[6], (hidden + embed_dim, guide_dim)),
+        b_gate=jnp.zeros((guide_dim,), dtype),
+        lstm=init_lstm(ks[7], embed_dim + guide_dim, hidden, dtype),
+        w_out=u(jax.random.fold_in(key, 99), (hidden, vocab)),
+        b_out=jnp.zeros((vocab,), dtype),
+    )
+
+
+class DecodeContext(NamedTuple):
+    """Per-sequence constants reused by every decode step."""
+
+    enc_out: jax.Array            # [B, T, He]
+    keys: jax.Array               # [B, T, A] precomputed attention keys
+    frame_mask: Optional[jax.Array]  # [B, T]
+    psi_g: jax.Array              # [B, G] psi already projected to guide space
+
+
+def make_decode_context(
+    params: DecoderParams,
+    enc_out: jax.Array,
+    psi: jax.Array,
+    frame_mask: Optional[jax.Array] = None,
+) -> DecodeContext:
+    psi_g = jnp.dot(psi, params.w_psi, preferred_element_type=jnp.float32).astype(
+        enc_out.dtype
+    )
+    return DecodeContext(
+        enc_out=enc_out,
+        keys=precompute_keys(params.attn, enc_out),
+        frame_mask=frame_mask,
+        psi_g=psi_g,
+    )
+
+
+def init_decoder_state(
+    params: DecoderParams, summary: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    f32 = jnp.float32
+    h = jnp.tanh(jnp.dot(summary, params.init_h, preferred_element_type=f32))
+    c = jnp.tanh(jnp.dot(summary, params.init_c, preferred_element_type=f32))
+    return h.astype(summary.dtype), c.astype(summary.dtype)
+
+
+def decode_step(
+    params: DecoderParams,
+    ctx: DecodeContext,
+    token: jax.Array,  # [B] int32 previous word
+    h: jax.Array,      # [B, Hd]
+    c: jax.Array,      # [B, Hd]
+    emb_drop: Optional[jax.Array] = None,   # [B, E] dropout keep-mask (scaled)
+    out_drop: Optional[jax.Array] = None,   # [B, Hd]
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One decode step. Returns (logits [B, V], h', c', alpha [B, T])."""
+    f32 = jnp.float32
+    e = params.embed[token]
+    if emb_drop is not None:
+        e = e * emb_drop
+    vis, alpha = additive_attention(
+        params.attn, h, ctx.enc_out, ctx.keys, ctx.frame_mask
+    )
+    vis_g = jnp.dot(vis, params.w_ctx, preferred_element_type=f32)
+    gate = jax.nn.sigmoid(
+        jnp.dot(jnp.concatenate([h, e], -1), params.w_gate, preferred_element_type=f32)
+        + params.b_gate.astype(f32)
+    )
+    guide = gate * vis_g + (1.0 - gate) * ctx.psi_g.astype(f32)
+    x = jnp.concatenate([e, guide.astype(e.dtype)], axis=-1)
+    h_new, c_new = lstm_cell(params.lstm, x, h, c)
+    h_out = h_new * out_drop if out_drop is not None else h_new
+    logits = (
+        jnp.dot(h_out, params.w_out, preferred_element_type=f32)
+        + params.b_out.astype(f32)
+    )
+    return logits, h_new, c_new, alpha
+
+
+def decoder_forward(
+    params: DecoderParams,
+    ctx: DecodeContext,
+    summary: jax.Array,   # [B, He]
+    captions: jax.Array,  # [B, L] int32, BOS ... EOS PAD*
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+) -> jax.Array:
+    """Teacher-forced logits [B, L-1, V]; logits[:, t] predicts captions[:, t+1]."""
+    b, length = captions.shape
+    h, c = init_decoder_state(params, summary)
+    inputs = jnp.swapaxes(captions[:, :-1], 0, 1)  # [L-1, B]
+
+    if dropout_rng is not None and dropout_rate > 0.0:
+        k1, k2 = jax.random.split(dropout_rng)
+        scale = 1.0 / (1.0 - dropout_rate)
+        emb_drop = (
+            jax.random.bernoulli(
+                k1, 1.0 - dropout_rate, (length - 1, b, params.embed.shape[1])
+            ).astype(params.embed.dtype)
+            * scale
+        )
+        out_drop = (
+            jax.random.bernoulli(
+                k2, 1.0 - dropout_rate, (length - 1, b, params.hidden_dim)
+            ).astype(params.embed.dtype)
+            * scale
+        )
+        xs = (inputs, emb_drop, out_drop)
+
+        def step(carry, x):
+            h, c = carry
+            tok, ed, od = x
+            logits, h, c, _ = decode_step(params, ctx, tok, h, c, ed, od)
+            return (h, c), logits
+
+    else:
+        xs = inputs
+
+        def step(carry, tok):
+            h, c = carry
+            logits, h, c, _ = decode_step(params, ctx, tok, h, c)
+            return (h, c), logits
+
+    (_, _), logits = jax.lax.scan(step, (h, c), xs)
+    return jnp.swapaxes(logits, 0, 1)  # [B, L-1, V]

@@ -1,0 +1,77 @@
+"""XGating fusion encoder: embed + cross-gate + temporal BiLSTM.
+
+Rebuilds the reference's encoder module (SURVEY.md §2 "XGating fusion
+encoder"; paper §3.1): per-timestep cross-gated fusion of the two feature
+streams followed by a (bi)LSTM over time. Outputs the attention memory
+`enc_out` [B, T, He] and a masked-mean `summary` [B, He] used to initialize
+the POS-generator and caption-decoder states.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from controllable_xgating_tpu.ops.lstm import (
+    LSTMWeights,
+    bilstm_scan,
+    init_lstm,
+    lstm_scan,
+)
+from controllable_xgating_tpu.ops.xgate import XGateWeights, init_xgate, xgate_fuse
+
+
+class EncoderParams(struct.PyTreeNode):
+    xgate: XGateWeights
+    lstm_fwd: LSTMWeights
+    lstm_bwd: Optional[LSTMWeights]
+
+    @property
+    def out_dim(self) -> int:
+        h = self.lstm_fwd.hidden_dim
+        return 2 * h if self.lstm_bwd is not None else h
+
+
+def init_encoder(
+    key: jax.Array,
+    app_dim: int,
+    motion_dim: int,
+    hidden: int,
+    bidirectional: bool = True,
+    dtype=jnp.float32,
+) -> EncoderParams:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return EncoderParams(
+        xgate=init_xgate(k1, app_dim, motion_dim, hidden, dtype),
+        lstm_fwd=init_lstm(k2, hidden, hidden, dtype),
+        lstm_bwd=init_lstm(k3, hidden, hidden, dtype) if bidirectional else None,
+    )
+
+
+def encode(
+    params: EncoderParams,
+    app: jax.Array,        # [B, T, Da]
+    motion: jax.Array,     # [B, T, Dm]
+    frame_mask: Optional[jax.Array] = None,  # [B, T] 1=valid
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (enc_out [B, T, He], summary [B, He])."""
+    fused = xgate_fuse(params.xgate, app, motion)  # [B, T, H]
+    if dropout_rng is not None and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, fused.shape)
+        fused = jnp.where(keep, fused / (1.0 - dropout_rate), 0.0).astype(fused.dtype)
+    if params.lstm_bwd is not None:
+        enc_out, _ = bilstm_scan(params.lstm_fwd, params.lstm_bwd, fused, frame_mask)
+    else:
+        enc_out, _ = lstm_scan(params.lstm_fwd, fused, frame_mask)
+
+    if frame_mask is None:
+        summary = jnp.mean(enc_out, axis=1)
+    else:
+        m = frame_mask.astype(enc_out.dtype)[:, :, None]
+        summary = (enc_out * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
+    return enc_out, summary

@@ -9,7 +9,12 @@ import time.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session environment pins JAX_PLATFORMS=axon (the real-TPU
+# tunnel) and an interpreter-startup hook (sitecustomize) re-registers the
+# axon backend and sets the jax_platforms *config*, so the env var alone is
+# not enough — override the config too. Opt out with CXG_TEST_TPU=1.
+if not os.environ.get("CXG_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,3 +22,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if not os.environ.get("CXG_TEST_TPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
