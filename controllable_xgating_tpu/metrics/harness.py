@@ -1,0 +1,69 @@
+"""Evaluation harness: decoded ids -> tokenized text -> metric dict.
+
+Rebuilds the reference's `eval_utils.py` / `language_eval` (SURVEY.md §2
+"Eval harness"; stack §3.3 tail): candidate captions are PTB-tokenized the
+same way the ground truths were during corpus prep, every scorer runs, and
+the resulting metric dict drives best-checkpoint selection (train loop
+keeps the best CIDEr, reference behavior).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+import numpy as np
+
+from controllable_xgating_tpu.data.tokenizer import PTBTokenizer
+from controllable_xgating_tpu.data.vocab import Vocab
+from controllable_xgating_tpu.metrics.bleu import BleuScorer
+from controllable_xgating_tpu.metrics.cider import CiderDScorer, CiderScorer
+from controllable_xgating_tpu.metrics.meteor import MeteorScorer
+from controllable_xgating_tpu.metrics.rouge import RougeScorer
+
+
+def decode_token_array(
+    vocab: Vocab, tokens: np.ndarray
+) -> list[str]:
+    """[B, L] int array -> list of space-joined caption strings."""
+    return [vocab.decode_str(row) for row in np.asarray(tokens)]
+
+
+def gts_from_label_array(
+    vocab: Vocab, caps: np.ndarray, ncaps: np.ndarray, keys: Sequence[str]
+) -> dict[str, list[str]]:
+    """labels.npz slices -> {key: [ref strings]} for the scorers."""
+    gts = {}
+    for key, cap_rows, n in zip(keys, np.asarray(caps), np.asarray(ncaps)):
+        gts[key] = [vocab.decode_str(row) for row in cap_rows[: int(n)]]
+    return gts
+
+
+def language_eval(
+    gts: Mapping[str, Sequence[str]],
+    res: Mapping[str, Sequence[str]],
+    retokenize: bool = False,
+) -> dict[str, float]:
+    """Run the full scorer suite. Inputs are {key: [caption strings]}.
+
+    `retokenize=True` pushes both sides through the PTB tokenizer first
+    (coco-caption behavior when fed raw sentences); decoded model output
+    built from the training vocab is already in tokenized form.
+    """
+    if retokenize:
+        tok = PTBTokenizer()
+        gts = tok.tokenize_captions({k: list(v) for k, v in gts.items()})
+        res = tok.tokenize_captions({k: list(v) for k, v in res.items()})
+
+    missing = [k for k in res if k not in gts]
+    if missing:
+        raise KeyError(f"candidates without references: {missing[:5]}")
+
+    out: dict[str, float] = {}
+    bleu, _ = BleuScorer(4).score(gts, res)
+    for i, b in enumerate(bleu, 1):
+        out[f"Bleu_{i}"] = b
+    out["METEOR"], _ = MeteorScorer().score(gts, res)
+    out["ROUGE_L"], _ = RougeScorer().score(gts, res)
+    out["CIDEr"], _ = CiderScorer().score(gts, res)
+    out["CIDErD"], _ = CiderDScorer().score(gts, res)
+    return out

