@@ -1,0 +1,81 @@
+"""Split evaluation: decode a whole split on device, score on host.
+
+Rebuilds the reference's `eval_utils.eval_split` (SURVEY.md §2 "Eval
+harness", stack §3.3): iterate eval batches, decode (greedy or beam), pull
+token ids to host once per batch (the only D2H in the loop), join to
+strings through the vocab, and run the metric suite. Drives
+best-checkpoint selection in the train loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from controllable_xgating_tpu.data.corpus import CorpusInfo
+from controllable_xgating_tpu.data.features import FeatureStore
+from controllable_xgating_tpu.data.loader import eval_batches
+from controllable_xgating_tpu.infer.greedy import greedy_decode
+from controllable_xgating_tpu.models.captioner import (
+    CaptionerParams,
+    encode_for_inference,
+)
+from controllable_xgating_tpu.metrics.harness import (
+    gts_from_label_array,
+    language_eval,
+)
+
+
+def make_greedy_caption_fn(max_pos_len: int, max_len: int):
+    """Jitted (params, app, motion) -> (tokens [B, L], pos_tags [B, Lp])."""
+
+    @jax.jit
+    def fn(params: CaptionerParams, app: jax.Array, motion: jax.Array):
+        ctx, summary, tags = encode_for_inference(
+            params, app, motion, max_pos_len=max_pos_len
+        )
+        tokens = greedy_decode(params.decoder, ctx, summary, max_len)
+        return tokens, tags
+
+    return fn
+
+
+def evaluate_split(
+    params: CaptionerParams,
+    store: FeatureStore,
+    labels: dict,
+    info: CorpusInfo,
+    split: str = "val",
+    batch_size: int = 64,
+    max_len: int = 28,
+    max_pos_len: int = 28,
+    caption_fn=None,
+) -> tuple[dict, dict]:
+    """Returns (metrics dict, {video_id: caption string}).
+
+    `caption_fn` lets callers supply a beam-search or pre-jitted decoder;
+    default is the greedy path.
+    """
+    if caption_fn is None:
+        caption_fn = make_greedy_caption_fn(max_pos_len, max_len)
+    indices = np.asarray(info.splits[split], np.int64)
+    if len(indices) == 0:
+        raise ValueError(f"split {split!r} is empty")
+
+    res: dict[str, list[str]] = {}
+    for batch in eval_batches(store, indices, batch_size):
+        tokens, _ = caption_fn(params, batch["app"], batch["motion"])
+        tokens = np.asarray(tokens)
+        for row in range(batch["num_valid"]):
+            vid = info.video_ids[int(batch["video_indices"][row])]
+            res[vid] = [info.vocab.decode_str(tokens[row])]
+
+    keys = [info.video_ids[i] for i in indices]
+    gts = gts_from_label_array(
+        info.vocab, labels["caps"][indices], labels["ncaps"][indices], keys
+    )
+    metrics = language_eval(gts, res)
+    return metrics, {k: v[0] for k, v in res.items()}

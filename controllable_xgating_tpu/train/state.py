@@ -1,0 +1,135 @@
+"""Train state + optimizer + checkpointing.
+
+Rebuilds the reference's `torch.save(state_dict)` + `infos` pickle flow
+(SURVEY.md §2 "Checkpointing", §5) on Orbax: the checkpoint carries params,
+optimizer state, step, epoch, best-metric history and RNG key; `infos`
+(vocab, config) is saved alongside as JSON. A `best` retention slot mirrors
+`model-best.pth` (kept on best val CIDEr).
+
+Stage freezing (reference's two-stage recipe) is a gradient mask: frozen
+subtrees get zero gradient before Adam, so their params and moments stay
+untouched.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from controllable_xgating_tpu.models.captioner import CaptionerParams
+from controllable_xgating_tpu.utils.config import Config
+
+STAGES = ("pos", "caption", "joint")
+
+
+class TrainState(struct.PyTreeNode):
+    params: CaptionerParams
+    opt_state: Any
+    step: jax.Array
+    rng: jax.Array
+
+    def next_rng(self) -> tuple["TrainState", jax.Array]:
+        rng, sub = jax.random.split(self.rng)
+        return self.replace(rng=rng), sub
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+    """Adam + global-norm clip + epoch-staircase lr decay (reference
+    schedule shape: decay lr by `lr_decay_rate` every
+    `lr_decay_every_epochs`)."""
+    schedule = optax.exponential_decay(
+        init_value=cfg.train.lr,
+        transition_steps=max(cfg.train.lr_decay_every_epochs * steps_per_epoch, 1),
+        decay_rate=cfg.train.lr_decay_rate,
+        staircase=True,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip),
+        optax.adam(schedule),
+    )
+
+
+def stage_grad_mask(params: CaptionerParams, stage: str) -> CaptionerParams:
+    """Pytree of 0/1 multipliers: which submodules train in this stage.
+
+    pos stage:     encoder + pos generator (reference stage 1)
+    caption stage: encoder + decoder, POS generator frozen (stage 2)
+    joint:         everything
+    """
+    if stage not in STAGES:
+        raise ValueError(f"unknown stage {stage!r}; expected one of {STAGES}")
+    ones = lambda tree: jax.tree.map(lambda _: 1.0, tree)
+    zeros = lambda tree: jax.tree.map(lambda _: 0.0, tree)
+    return CaptionerParams(
+        encoder=ones(params.encoder),
+        pos=zeros(params.pos) if stage == "caption" else ones(params.pos),
+        decoder=zeros(params.decoder) if stage == "pos" else ones(params.decoder),
+    )
+
+
+def apply_grad_mask(grads, mask):
+    return jax.tree.map(lambda g, m: g * m, grads, mask)
+
+
+def create_train_state(
+    params: CaptionerParams,
+    cfg: Config,
+    steps_per_epoch: int,
+    seed: Optional[int] = None,
+) -> TrainState:
+    tx = make_optimizer(cfg, steps_per_epoch)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.PRNGKey(cfg.train.seed if seed is None else seed),
+    )
+
+
+# ---------------------------------------------------------------- checkpoint
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+class CheckpointManager:
+    """Orbax-backed save/restore with a `best` slot (model-best.pth)."""
+
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = _ocp().StandardCheckpointer()
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.directory, name)
+
+    def save(self, name: str, state: TrainState, infos: dict) -> None:
+        path = self._path(name)
+        self._ckptr.save(path, state, force=True)
+        self._ckptr.wait_until_finished()
+        with open(path + ".infos.json", "w") as f:
+            json.dump(infos, f)
+
+    def restore(self, name: str, template: TrainState) -> tuple[TrainState, dict]:
+        path = self._path(name)
+        state = self._ckptr.restore(path, template)
+        with open(path + ".infos.json") as f:
+            infos = json.load(f)
+        return state, infos
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._path(name) + ".infos.json")
+
+    def save_best(self, state: TrainState, infos: dict) -> None:
+        self.save("best", state, infos)
+
+    def save_last(self, state: TrainState, infos: dict) -> None:
+        self.save("last", state, infos)

@@ -1,0 +1,76 @@
+import jax
+import numpy as np
+import pytest
+
+from controllable_xgating_tpu.data.corpus import load_labels
+from controllable_xgating_tpu.data.features import FeatureStore
+from controllable_xgating_tpu.data.fixtures import make_fixture_corpus
+from controllable_xgating_tpu.data.loader import TrainBatchIterator
+from controllable_xgating_tpu.infer.evaluator import evaluate_split
+from controllable_xgating_tpu.models.captioner import init_captioner
+from controllable_xgating_tpu.train.loop import train_loop
+from controllable_xgating_tpu.train.state import (
+    CheckpointManager, create_train_state, make_optimizer,
+)
+from controllable_xgating_tpu.train.xe import make_xe_train_step
+from controllable_xgating_tpu.utils.config import Config
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("corpus2"))
+    info = make_fixture_corpus(
+        out, num_videos=20, num_frames=5, app_dim=20, motion_dim=12,
+        caps_per_video=3, seqs_per_video=5, max_caption_len=12, seed=7,
+    )
+    labels = load_labels(out)
+    store = FeatureStore(out + "/features.h5", num_frames=5)
+    cfg = Config().replace_flat({
+        "model.app_dim": 20, "model.motion_dim": 12, "model.hidden_dim": 20,
+        "model.embed_dim": 12, "model.attn_dim": 12, "model.pos_embed_dim": 12,
+        "model.vocab_size": len(info.vocab),
+        "model.pos_vocab_size": len(info.pos_vocab),
+        "model.num_frames": 5, "model.max_caption_len": 12,
+        "model.max_pos_len": 12, "model.dropout": 0.0,
+        "data.batch_size": 7,  # deliberately ragged vs 14 train videos
+        "data.caps_per_video_train": 2,
+        "train.lr": 3e-3, "train.eval_every_epochs": 1,
+        "train.log_every_steps": 1000,
+        "eval.max_decode_len": 12,
+    })
+    return out, info, labels, store, cfg
+
+
+def test_evaluate_split_shapes_and_keys(env):
+    out, info, labels, store, cfg = env
+    params = init_captioner(jax.random.PRNGKey(0), cfg.model)
+    metrics, captions = evaluate_split(
+        params, store, labels, info, split="val",
+        batch_size=4, max_len=12, max_pos_len=12,
+    )
+    val_ids = {info.video_ids[i] for i in info.splits["val"]}
+    assert set(captions) == val_ids
+    for k in ("Bleu_4", "METEOR", "ROUGE_L", "CIDEr"):
+        assert k in metrics and np.isfinite(metrics[k])
+
+
+def test_train_loop_end_to_end(env, tmp_path):
+    out, info, labels, store, cfg = env
+    params = init_captioner(jax.random.PRNGKey(1), cfg.model)
+    it = TrainBatchIterator(
+        store, labels["caps"], labels["pos"], labels["ncaps"],
+        np.asarray(info.splits["train"]), cfg.data.batch_size,
+        cfg.data.caps_per_video_train, seed=1,
+    )
+    tx = make_optimizer(cfg, it.steps_per_epoch())
+    state = create_train_state(params, cfg, it.steps_per_epoch())
+    step_fn = make_xe_train_step(tx, cfg, stage="joint", donate=False)
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    state, result = train_loop(
+        state, step_fn, it, store, labels, info, cfg,
+        epochs=2, ckpt=ckpt, infos_extra={"stage": "joint"},
+    )
+    assert len(result["history"]) == 2
+    assert "eval" in result["history"][-1]
+    assert ckpt.exists("best") and ckpt.exists("last")
+    assert result["history"][1]["loss"] < result["history"][0]["loss"]

@@ -1,0 +1,144 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controllable_xgating_tpu.data.corpus import load_labels
+from controllable_xgating_tpu.data.features import FeatureStore
+from controllable_xgating_tpu.data.fixtures import make_fixture_corpus
+from controllable_xgating_tpu.data.loader import TrainBatchIterator, eval_batches
+from controllable_xgating_tpu.data.vocab import PAD
+from controllable_xgating_tpu.models.captioner import init_captioner
+from controllable_xgating_tpu.train.state import (
+    CheckpointManager, create_train_state, make_optimizer, stage_grad_mask,
+)
+from controllable_xgating_tpu.train.xe import make_xe_train_step, masked_xe_loss
+from controllable_xgating_tpu.utils.config import Config
+
+
+@pytest.fixture(scope="module")
+def fixture_env(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("corpus"))
+    info = make_fixture_corpus(
+        out, num_videos=24, num_frames=6, app_dim=24, motion_dim=16,
+        caps_per_video=4, seqs_per_video=6, max_caption_len=14, seed=3,
+    )
+    labels = load_labels(out)
+    store = FeatureStore(out + "/features.h5", num_frames=6)
+    cfg = Config()
+    cfg = cfg.replace_flat({
+        "model.app_dim": 24, "model.motion_dim": 16, "model.hidden_dim": 24,
+        "model.embed_dim": 16, "model.attn_dim": 16, "model.pos_embed_dim": 16,
+        "model.vocab_size": len(info.vocab),
+        "model.pos_vocab_size": len(info.pos_vocab),
+        "model.num_frames": 6, "model.max_caption_len": 14,
+        "model.max_pos_len": 14, "model.dropout": 0.0,
+        "data.batch_size": 8, "data.caps_per_video_train": 3,
+        "train.lr": 3e-3, "train.log_every_steps": 1000,
+        "eval.max_decode_len": 14,
+    })
+    return out, info, labels, store, cfg
+
+
+def _make_iter(info, labels, store, cfg, seed=0):
+    return TrainBatchIterator(
+        store, labels["caps"], labels["pos"], labels["ncaps"],
+        np.asarray(info.splits["train"]), cfg.data.batch_size,
+        cfg.data.caps_per_video_train, seed=seed,
+    )
+
+
+def test_masked_xe_loss_ignores_pad():
+    logits = jnp.zeros((1, 3, 5))
+    targets = jnp.array([[2, PAD, PAD]])
+    loss = masked_xe_loss(logits, targets)
+    assert loss == pytest.approx(np.log(5), rel=1e-5)
+
+
+def test_batch_iterator_shapes(fixture_env):
+    out, info, labels, store, cfg = fixture_env
+    it = iter(_make_iter(info, labels, store, cfg))
+    b = next(it)
+    assert b["app"].shape == (8, 6, 24)
+    assert b["caps"].shape == (8, 3, 14)
+    assert b["pos"].shape == (8, 3, 14)
+    # all sampled captions are real (start with BOS)
+    assert (b["caps"][:, :, 0] == 1).all()
+
+
+def test_eval_batches_padding(fixture_env):
+    out, info, labels, store, cfg = fixture_env
+    idx = np.asarray(info.splits["test"])
+    batches = list(eval_batches(store, idx, batch_size=16))
+    assert sum(b["num_valid"] for b in batches) == len(idx)
+    for b in batches:
+        assert b["app"].shape[0] == 16
+
+
+def test_xe_training_reduces_loss(fixture_env):
+    out, info, labels, store, cfg = fixture_env
+    params = init_captioner(jax.random.PRNGKey(0), cfg.model)
+    it = _make_iter(info, labels, store, cfg)
+    tx = make_optimizer(cfg, it.steps_per_epoch())
+    state = create_train_state(params, cfg, it.steps_per_epoch())
+    step_fn = make_xe_train_step(tx, cfg, stage="joint", donate=False)
+    losses = []
+    batches = iter(it)
+    for _ in range(30):
+        state, m = step_fn(state, next(batches))
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8
+    assert np.isfinite(losses).all()
+
+
+def test_stage_masks_freeze_params(fixture_env):
+    out, info, labels, store, cfg = fixture_env
+    params = init_captioner(jax.random.PRNGKey(1), cfg.model)
+    it = _make_iter(info, labels, store, cfg)
+    tx = make_optimizer(cfg, it.steps_per_epoch())
+    batches = iter(it)
+
+    # caption stage: POS generator frozen
+    state = create_train_state(params, cfg, it.steps_per_epoch())
+    step_fn = make_xe_train_step(tx, cfg, stage="caption", donate=False)
+    state2, _ = step_fn(state, next(batches))
+    np.testing.assert_array_equal(state2.params.pos.embed, params.pos.embed)
+    assert not np.allclose(state2.params.decoder.embed, params.decoder.embed)
+
+    # pos stage: decoder frozen
+    state = create_train_state(params, cfg, it.steps_per_epoch())
+    step_fn = make_xe_train_step(tx, cfg, stage="pos", donate=False)
+    state3, _ = step_fn(state, next(batches))
+    np.testing.assert_array_equal(
+        state3.params.decoder.embed, params.decoder.embed
+    )
+    assert not np.allclose(state3.params.pos.embed, params.pos.embed)
+
+
+def test_grad_mask_structure(fixture_env):
+    out, info, labels, store, cfg = fixture_env
+    params = init_captioner(jax.random.PRNGKey(2), cfg.model)
+    mask = stage_grad_mask(params, "pos")
+    leaves_dec = jax.tree.leaves(mask.decoder)
+    assert all(v == 0.0 for v in leaves_dec)
+    leaves_enc = jax.tree.leaves(mask.encoder)
+    assert all(v == 1.0 for v in leaves_enc)
+    with pytest.raises(ValueError):
+        stage_grad_mask(params, "bogus")
+
+
+def test_checkpoint_roundtrip(fixture_env, tmp_path):
+    out, info, labels, store, cfg = fixture_env
+    params = init_captioner(jax.random.PRNGKey(3), cfg.model)
+    state = create_train_state(params, cfg, 4)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save_best(state, {"epoch": 1, "vocab_size": len(info.vocab)})
+    assert mgr.exists("best")
+    template = create_train_state(
+        init_captioner(jax.random.PRNGKey(99), cfg.model), cfg, 4
+    )
+    restored, infos = mgr.restore("best", template)
+    np.testing.assert_array_equal(
+        restored.params.decoder.embed, state.params.decoder.embed
+    )
+    assert infos["epoch"] == 1
