@@ -1,0 +1,81 @@
+"""Single-video captioning CLI — config 1 of BASELINE.json (SURVEY.md
+stack §3.5, the minimum end-to-end slice): load a checkpoint, read one
+video's cached features, greedy-decode a caption. `--pos_tags` exercises
+the paper's controllability: supply a POS tag sequence (space-separated
+Penn tags) and the decoder is guided by *that* syntax instead of the POS
+generator's own prediction.
+
+  python -m controllable_xgating_tpu.cli.caption --data_dir D \
+      --checkpoint_dir checkpoints/caption --video video7
+  python -m controllable_xgating_tpu.cli.caption ... \
+      --pos_tags "DT NN VBZ VBG NN"
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import numpy as np
+
+from controllable_xgating_tpu.cli.common import (
+    base_parser,
+    die,
+    load_corpus,
+    parse_with_overrides,
+    restore_params,
+)
+from controllable_xgating_tpu.data.vocab import pad_encode
+from controllable_xgating_tpu.infer.greedy import greedy_decode
+from controllable_xgating_tpu.models.captioner import encode_for_inference
+
+
+def main(argv=None) -> None:
+    p = base_parser(__doc__)
+    p.add_argument("--video", required=True, help="video id (see info.json)")
+    p.add_argument("--ckpt_name", default="best")
+    p.add_argument("--pos_tags", default=None,
+                   help="space-separated Penn tags to control syntax")
+    args, cfg = parse_with_overrides(p, argv)
+
+    info, labels, store, cfg = load_corpus(args.data_dir, cfg)
+    if args.video not in info.video_ids:
+        die(f"unknown video id {args.video!r}")
+    vidx = info.video_ids.index(args.video)
+    params = restore_params(args.checkpoint_dir, cfg, name=args.ckpt_name)
+
+    app, motion = store.get_batch(np.array([vidx]))
+    pos_tags = None
+    if args.pos_tags:
+        tags = args.pos_tags.split()
+        unknown = [t for t in tags if t not in info.pos_vocab]
+        if unknown:
+            die(f"unknown POS tags {unknown}; vocabulary: Penn treebank")
+        pos_tags = np.array(
+            [pad_encode(info.pos_vocab, tags, cfg.model.max_pos_len)], np.int32
+        )
+
+    @jax.jit
+    def run(params, app, motion, pos_tags):
+        ctx, summary, tags_out = encode_for_inference(
+            params, app, motion, pos_tags=pos_tags,
+            max_pos_len=cfg.model.max_pos_len,
+        )
+        tokens = greedy_decode(
+            params.decoder, ctx, summary, cfg.eval.max_decode_len
+        )
+        return tokens, tags_out
+
+    tokens, tags_out = run(params, app, motion, pos_tags)
+    caption = info.vocab.decode_str(np.asarray(tokens)[0])
+    tag_str = " ".join(info.pos_vocab.decode(np.asarray(tags_out)[0]))
+    print(json.dumps({
+        "video": args.video,
+        "caption": caption,
+        "pos_sequence": tag_str,
+        "controlled": args.pos_tags is not None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

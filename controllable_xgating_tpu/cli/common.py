@@ -1,0 +1,99 @@
+"""Shared CLI plumbing: argument parsing, corpus/feature loading, state
+reconstruction from checkpoints. Mirrors the role of the reference's
+`opts.py` modules (SURVEY.md §2 "Config system") on top of the dataclass
+config tree."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Optional
+
+import jax
+import numpy as np
+
+from controllable_xgating_tpu.data.corpus import CorpusInfo, load_labels
+from controllable_xgating_tpu.data.features import FeatureStore
+from controllable_xgating_tpu.models.captioner import CaptionerParams, init_captioner
+from controllable_xgating_tpu.train.state import (
+    CheckpointManager,
+    TrainState,
+    create_train_state,
+)
+from controllable_xgating_tpu.utils.config import (
+    Config,
+    load_config,
+    parse_cli_overrides,
+)
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description=description,
+        epilog=(
+            "Any config field can be overridden with --<section>.<field> "
+            "<value>, e.g. --model.hidden_dim 1024 --train.lr 1e-4"
+        ),
+    )
+    p.add_argument("--data_dir", required=True, help="corpus dir (info.json, labels.npz, features.h5)")
+    p.add_argument("--config", default=None, help="optional config JSON")
+    p.add_argument("--checkpoint_dir", default="checkpoints")
+    return p
+
+
+def parse_with_overrides(p: argparse.ArgumentParser, argv=None):
+    """Split known args from --section.field overrides."""
+    args, rest = p.parse_known_args(argv)
+    overrides = parse_cli_overrides(rest)
+    cfg = load_config(args.config, overrides)
+    return args, cfg
+
+
+def load_corpus(data_dir: str, cfg: Config):
+    """Load info/labels/features and finalize model dims from the corpus."""
+    info = CorpusInfo.load(os.path.join(data_dir, "info.json"))
+    labels = load_labels(data_dir)
+    cfg = cfg.replace_flat(
+        {
+            "model.vocab_size": len(info.vocab),
+            "model.pos_vocab_size": len(info.pos_vocab),
+            "model.max_caption_len": info.max_caption_len,
+            "model.max_pos_len": info.max_pos_len,
+        }
+    )
+    store = FeatureStore(
+        os.path.join(data_dir, "features.h5"), cfg.model.num_frames
+    )
+    if store.app_dim != cfg.model.app_dim or store.motion_dim != cfg.model.motion_dim:
+        cfg = cfg.replace_flat(
+            {"model.app_dim": store.app_dim, "model.motion_dim": store.motion_dim}
+        )
+    return info, labels, store, cfg
+
+
+def restore_or_init(
+    ckpt_dir: str,
+    cfg: Config,
+    steps_per_epoch: int,
+    name: str = "best",
+    init_seed: int = 0,
+) -> tuple[TrainState, dict, CheckpointManager]:
+    """Restore `name` from ckpt_dir if present, else fresh-init."""
+    mgr = CheckpointManager(ckpt_dir)
+    params = init_captioner(jax.random.PRNGKey(init_seed), cfg.model)
+    template = create_train_state(params, cfg, steps_per_epoch)
+    if mgr.exists(name):
+        state, infos = mgr.restore(name, template)
+        return state, infos, mgr
+    return template, {}, mgr
+
+
+def restore_params(ckpt_dir: str, cfg: Config, name: str = "best") -> CaptionerParams:
+    state, _, _ = restore_or_init(ckpt_dir, cfg, steps_per_epoch=1, name=name)
+    return state.params
+
+
+def die(msg: str) -> None:
+    print(f"error: {msg}", file=sys.stderr)
+    raise SystemExit(1)

@@ -1,0 +1,67 @@
+"""Evaluation CLI — the reference's `eval.py` (SURVEY.md stack §3.3):
+decode a split with greedy or beam search and score with the full metric
+suite; writes captions + metrics JSON.
+
+  python -m controllable_xgating_tpu.cli.eval --data_dir D \
+      --checkpoint_dir checkpoints/caption --split test --beam_size 5
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from controllable_xgating_tpu.cli.common import (
+    base_parser,
+    load_corpus,
+    parse_with_overrides,
+    restore_params,
+)
+from controllable_xgating_tpu.infer.evaluator import evaluate_split
+from controllable_xgating_tpu.utils.logging import get_logger
+
+log = get_logger("cxg.cli.eval")
+
+
+def main(argv=None) -> None:
+    p = base_parser(__doc__)
+    p.add_argument("--split", default="test", choices=("train", "val", "test"))
+    p.add_argument("--beam_size", type=int, default=None,
+                   help="beam width; 1 or unset = greedy")
+    p.add_argument("--ckpt_name", default="best")
+    p.add_argument("--out", default=None, help="output JSON path")
+    args, cfg = parse_with_overrides(p, argv)
+
+    info, labels, store, cfg = load_corpus(args.data_dir, cfg)
+    params = restore_params(args.checkpoint_dir, cfg, name=args.ckpt_name)
+
+    beam = args.beam_size if args.beam_size is not None else cfg.eval.beam_size
+    caption_fn = None
+    if beam and beam > 1:
+        from controllable_xgating_tpu.infer.beam import make_beam_caption_fn
+
+        caption_fn = make_beam_caption_fn(
+            beam, cfg.model.max_pos_len, cfg.eval.max_decode_len,
+            length_penalty=cfg.eval.length_penalty,
+        )
+
+    metrics, captions = evaluate_split(
+        params, store, labels, info,
+        split=args.split,
+        batch_size=cfg.data.batch_size,
+        max_len=cfg.eval.max_decode_len,
+        max_pos_len=cfg.model.max_pos_len,
+        caption_fn=caption_fn,
+    )
+    result = {"split": args.split, "beam_size": beam, "metrics": metrics}
+    print(json.dumps(result, indent=2))
+    out = args.out or os.path.join(
+        args.checkpoint_dir, f"eval_{args.split}.json"
+    )
+    with open(out, "w") as f:
+        json.dump({**result, "captions": captions}, f, indent=2)
+    log.info("wrote %s", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Corpus preprocessing CLI — rebuilds the reference's prepro scripts
+(SURVEY.md §2 "Corpus prep") as one entry point.
+
+Input formats:
+  --captions captions.json   {"video_id": ["caption", ...], ...}
+  --splits splits.json       {"train": [...], "val": [...], "test": [...]}
+plus the aligned features HDF5 (written separately, see data/features.py).
+
+`--fixtures` generates the synthetic MSR-VTT-shaped corpus instead (the
+offline stand-in for the real downloads; SURVEY.md §7 step 1).
+
+Usage:
+  python -m controllable_xgating_tpu.cli.prepro --out data/msrvtt \
+      --captions caps.json --splits splits.json
+  python -m controllable_xgating_tpu.cli.prepro --out data/fixture --fixtures
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", required=True)
+    p.add_argument("--captions")
+    p.add_argument("--splits")
+    p.add_argument("--min_word_freq", type=int, default=2)
+    p.add_argument("--max_caption_len", type=int, default=28)
+    p.add_argument("--seqs_per_video", type=int, default=20)
+    p.add_argument("--fixtures", action="store_true")
+    p.add_argument("--fixture_videos", type=int, default=200)
+    p.add_argument("--fixture_frames", type=int, default=26)
+    p.add_argument("--fixture_app_dim", type=int, default=1536)
+    p.add_argument("--fixture_motion_dim", type=int, default=1024)
+    args = p.parse_args(argv)
+
+    if args.fixtures:
+        from controllable_xgating_tpu.data.fixtures import make_fixture_corpus
+
+        info = make_fixture_corpus(
+            args.out,
+            num_videos=args.fixture_videos,
+            num_frames=args.fixture_frames,
+            app_dim=args.fixture_app_dim,
+            motion_dim=args.fixture_motion_dim,
+            max_caption_len=args.max_caption_len,
+            seqs_per_video=args.seqs_per_video,
+        )
+    else:
+        from controllable_xgating_tpu.data.corpus import preprocess_corpus
+
+        if not args.captions or not args.splits:
+            p.error("--captions and --splits required (or use --fixtures)")
+        with open(args.captions) as f:
+            captions = json.load(f)
+        with open(args.splits) as f:
+            splits = json.load(f)
+        info = preprocess_corpus(
+            captions,
+            splits,
+            args.out,
+            min_word_freq=args.min_word_freq,
+            max_caption_len=args.max_caption_len,
+            seqs_per_video=args.seqs_per_video,
+        )
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "vocab_size": len(info.vocab),
+                "pos_vocab_size": len(info.pos_vocab),
+                "videos": len(info.video_ids),
+                "splits": {k: len(v) for k, v in info.splits.items()},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

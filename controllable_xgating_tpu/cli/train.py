@@ -1,0 +1,100 @@
+"""Training CLI — the reference's stage entry points in one tool
+(SURVEY.md §1 "Public interface"): POS-generator training, captioner XE,
+joint XE, and SCST fine-tuning.
+
+  # stage 1: POS generator (reference pos_src/train.py)
+  python -m controllable_xgating_tpu.cli.train --data_dir D --stage pos
+
+  # stage 2: captioner XE with frozen POS branch (caption_src/train.py)
+  python -m controllable_xgating_tpu.cli.train --data_dir D --stage caption \
+      --init_from checkpoints/pos
+
+  # SCST fine-tune from the best XE checkpoint (train.py + SCST flag)
+  python -m controllable_xgating_tpu.cli.train --data_dir D --stage scst \
+      --init_from checkpoints/caption
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from controllable_xgating_tpu.cli.common import (
+    base_parser,
+    load_corpus,
+    parse_with_overrides,
+    restore_or_init,
+)
+from controllable_xgating_tpu.data.loader import TrainBatchIterator
+from controllable_xgating_tpu.train.loop import train_loop
+from controllable_xgating_tpu.train.state import make_optimizer
+from controllable_xgating_tpu.train.xe import make_xe_train_step
+from controllable_xgating_tpu.utils.logging import JsonlLogger, get_logger
+
+log = get_logger("cxg.cli.train")
+
+
+def main(argv=None) -> None:
+    p = base_parser(__doc__)
+    p.add_argument(
+        "--stage", default="joint", choices=("pos", "caption", "joint", "scst")
+    )
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--init_from", default=None,
+                   help="checkpoint dir to initialize params from (its 'best')")
+    args, cfg = parse_with_overrides(p, argv)
+
+    info, labels, store, cfg = load_corpus(args.data_dir, cfg)
+    train_it = TrainBatchIterator(
+        store,
+        labels["caps"],
+        labels["pos"],
+        labels["ncaps"],
+        np.asarray(info.splits["train"]),
+        cfg.data.batch_size,
+        cfg.data.caps_per_video_train,
+        seed=cfg.data.shuffle_seed,
+    )
+    spe = train_it.steps_per_epoch()
+
+    ckpt_dir = os.path.join(args.checkpoint_dir, args.stage)
+    if args.init_from:
+        state, infos, _ = restore_or_init(args.init_from, cfg, spe)
+        from controllable_xgating_tpu.train.state import (
+            CheckpointManager, create_train_state,
+        )
+        # fresh optimizer for the new stage, warm params
+        state = create_train_state(state.params, cfg, spe)
+        mgr = CheckpointManager(ckpt_dir)
+    else:
+        state, infos, mgr = restore_or_init(ckpt_dir, cfg, spe, name="last")
+        if infos:
+            log.info("resuming from %s at step %d", ckpt_dir, int(state.step))
+
+    infos_extra = {"stage": args.stage, "config": cfg.to_dict()}
+    jsonl = JsonlLogger(os.path.join(ckpt_dir, "train_log.jsonl"), echo=False)
+
+    if args.stage == "scst":
+        from controllable_xgating_tpu.train.scst import make_scst_train_step, build_scst_reward_tables
+
+        tables = build_scst_reward_tables(info, labels)
+        tx = make_optimizer(cfg, spe)
+        step_fn = make_scst_train_step(tx, cfg, tables)
+        epochs = args.epochs or cfg.train.epochs
+    else:
+        tx = make_optimizer(cfg, spe)
+        step_fn = make_xe_train_step(tx, cfg, stage=args.stage)
+        epochs = args.epochs or (
+            cfg.train.pos_epochs if args.stage == "pos" else cfg.train.epochs
+        )
+
+    state, result = train_loop(
+        state, step_fn, train_it, store, labels, info, cfg,
+        epochs=epochs, ckpt=mgr, jsonl=jsonl, infos_extra=infos_extra,
+    )
+    log.info("done: best %s = %.4f", cfg.train.keep_best_metric, result["best"])
+
+
+if __name__ == "__main__":
+    main()

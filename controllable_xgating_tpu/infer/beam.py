@@ -1,0 +1,158 @@
+"""Batched beam search, fully on device.
+
+Rebuilds the reference's `sample_beam` (SURVEY.md stack §3.3) — there, a
+host Python loop stepping the decoder per beam per video (device boundary
+crossed L × #videos times). Here the whole search is one `lax.scan`:
+
+  * all B videos × K beams advance together as one [B*K] decoder batch
+    (keeps the MXU fed; no host sync anywhere);
+  * per step: logprobs [B, K, V] -> top-K over the K·V candidate pool via
+    `jax.lax.top_k`; beam states (h, c, token history, finished flags)
+    reordered with `take_along_axis` gathers;
+  * finished beams survive in the pool by emitting PAD at zero cost while
+    all their other continuations score -inf — so "keep the best finished
+    hypothesis" needs no host-side bookkeeping;
+  * beam 0 alone is live at t=0 (other beams start at -inf) so the first
+    expansion picks the K best distinct first words.
+
+Selection follows the reference era's convention: highest summed logprob,
+optional GNMT-style length normalization (cfg.eval.length_penalty alpha;
+0 = off = reference behavior).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from controllable_xgating_tpu.data.vocab import BOS, EOS, PAD
+from controllable_xgating_tpu.infer.greedy import mask_special_tokens
+from controllable_xgating_tpu.models.captioner import (
+    CaptionerParams,
+    encode_for_inference,
+)
+from controllable_xgating_tpu.models.decoder import (
+    DecodeContext,
+    DecoderParams,
+    decode_step,
+    init_decoder_state,
+)
+
+NEG_INF = -1e30
+
+
+def _tile_beam(x: jax.Array, k: int) -> jax.Array:
+    """[B, ...] -> [B*K, ...] repeating each row K times."""
+    return jnp.repeat(x, k, axis=0)
+
+
+def beam_search(
+    params: DecoderParams,
+    ctx: DecodeContext,
+    summary: jax.Array,   # [B, He]
+    beam_size: int,
+    max_len: int,
+    length_penalty: float = 0.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (tokens [B, max_len], scores [B]) for the best beam."""
+    b = summary.shape[0]
+    k = beam_size
+    v = params.vocab_size
+
+    ctx_k = DecodeContext(
+        enc_out=_tile_beam(ctx.enc_out, k),
+        keys=_tile_beam(ctx.keys, k),
+        frame_mask=None if ctx.frame_mask is None else _tile_beam(ctx.frame_mask, k),
+        psi_g=_tile_beam(ctx.psi_g, k),
+    )
+    h, c = init_decoder_state(params, _tile_beam(summary, k))  # [B*K, Hd]
+
+    tokens0 = jnp.full((b, k), BOS, jnp.int32)
+    # only beam 0 live initially so step 0 yields K distinct first words
+    cum0 = jnp.where(
+        jnp.arange(k)[None, :] == 0, 0.0, NEG_INF
+    ) * jnp.ones((b, 1))
+    finished0 = jnp.zeros((b, k), bool)
+    lengths0 = jnp.zeros((b, k), jnp.int32)
+    hist0 = jnp.full((b, k, max_len), PAD, jnp.int32)
+
+    def step(carry, t):
+        h, c, tok, cum, finished, lengths, hist = carry
+        logits, h_new, c_new, _ = decode_step(
+            params, ctx_k, tok.reshape(b * k), h, c
+        )
+        logits = mask_special_tokens(logits.astype(jnp.float32))
+        logp = jax.nn.log_softmax(logits, -1).reshape(b, k, v)
+
+        # finished beams: only PAD continuation, at zero cost
+        pad_onehot = (jnp.arange(v)[None, None, :] == PAD)
+        cont = jnp.where(pad_onehot, 0.0, NEG_INF)
+        logp = jnp.where(finished[:, :, None], cont, logp)
+
+        cand = cum[:, :, None] + logp            # [B, K, V]
+        flat = cand.reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(flat, k)   # [B, K]
+        beam_idx = top_idx // v
+        new_tok = (top_idx % v).astype(jnp.int32)
+
+        def gather_bk(x):
+            return jnp.take_along_axis(x, beam_idx, axis=1)
+
+        finished_g = gather_bk(finished)
+        lengths_g = gather_bk(lengths)
+        hist_g = jnp.take_along_axis(
+            hist, beam_idx[:, :, None], axis=1
+        )
+        # reorder decoder state: flat index into [B*K]
+        flat_src = (jnp.arange(b)[:, None] * k + beam_idx).reshape(b * k)
+        h_new = h_new[flat_src]
+        c_new = c_new[flat_src]
+
+        now_finished = finished_g | (new_tok == EOS)
+        emit = jnp.where(finished_g, PAD, new_tok)
+        hist_new = hist_g.at[:, :, t].set(emit)
+        lengths_new = jnp.where(finished_g, lengths_g, lengths_g + 1)
+        return (
+            h_new, c_new, emit, top_scores, now_finished, lengths_new, hist_new
+        ), None
+
+    (h, c, tok, cum, finished, lengths, hist), _ = jax.lax.scan(
+        step,
+        (h, c, tokens0, cum0, finished0, lengths0, hist0),
+        jnp.arange(max_len),
+    )
+
+    if length_penalty > 0.0:
+        norm = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
+        final = cum / norm
+    else:
+        final = cum
+    best = jnp.argmax(final, axis=1)  # [B]
+    best_tokens = jnp.take_along_axis(
+        hist, best[:, None, None], axis=1
+    )[:, 0, :]
+    best_scores = jnp.take_along_axis(final, best[:, None], axis=1)[:, 0]
+    return best_tokens, best_scores
+
+
+def make_beam_caption_fn(
+    beam_size: int,
+    max_pos_len: int,
+    max_len: int,
+    length_penalty: float = 0.0,
+):
+    """Jitted (params, app, motion) -> (tokens [B, L], pos_tags [B, Lp])."""
+
+    @jax.jit
+    def fn(params: CaptionerParams, app: jax.Array, motion: jax.Array):
+        ctx, summary, tags = encode_for_inference(
+            params, app, motion, max_pos_len=max_pos_len
+        )
+        tokens, _ = beam_search(
+            params.decoder, ctx, summary, beam_size, max_len, length_penalty
+        )
+        return tokens, tags
+
+    return fn

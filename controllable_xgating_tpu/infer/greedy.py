@@ -26,6 +26,15 @@ from controllable_xgating_tpu.models.decoder import (
     init_decoder_state,
 )
 
+_MASK_NEG = -1e30
+
+
+def mask_special_tokens(logits: jax.Array) -> jax.Array:
+    """Forbid PAD/BOS as outputs: they are never training targets (masked
+    out of the XE loss), so a sampler must not emit them. Shared by greedy,
+    multinomial and beam paths to keep the parity contract identical."""
+    return logits.at[..., PAD].set(_MASK_NEG).at[..., BOS].set(_MASK_NEG)
+
 
 def _rollout(
     params: DecoderParams,
@@ -47,7 +56,7 @@ def _rollout(
     def step(carry, step_rng):
         h, c, tok, alive = carry
         logits, h, c, _ = decode_step(params, ctx, tok, h, c)
-        logits = logits.astype(jnp.float32)
+        logits = mask_special_tokens(logits.astype(jnp.float32))
         if rng is None:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         else:

@@ -155,6 +155,8 @@ def pos_greedy_generate(
             jnp.dot(h, params.w_out, preferred_element_type=jnp.float32)
             + params.b_out.astype(jnp.float32)
         )
+        # PAD/BOS are never training targets; forbid them as outputs
+        logits = logits.at[:, PAD].set(-1e30).at[:, BOS].set(-1e30)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(alive, nxt, PAD)
         alive_next = alive & (nxt != EOS)

@@ -1,0 +1,106 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controllable_xgating_tpu.data.vocab import BOS, EOS, PAD
+from controllable_xgating_tpu.infer.beam import beam_search, make_beam_caption_fn
+from controllable_xgating_tpu.infer.greedy import greedy_decode
+from controllable_xgating_tpu.models.captioner import (
+    encode_for_inference, init_captioner,
+)
+from controllable_xgating_tpu.utils.config import ModelConfig
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig(
+        app_dim=10, motion_dim=8, hidden_dim=12, embed_dim=8, attn_dim=10,
+        pos_embed_dim=10, vocab_size=20, pos_vocab_size=12, num_frames=4,
+        max_caption_len=8, max_pos_len=8,
+    )
+    key = jax.random.PRNGKey(0)
+    params = init_captioner(key, cfg)
+    app = jax.random.normal(key, (4, 4, 10))
+    mot = jax.random.normal(key, (4, 4, 8))
+    ctx, summary, _ = encode_for_inference(params, app, mot, max_pos_len=6)
+    return cfg, params, app, mot, ctx, summary
+
+
+def test_beam_shapes(setup):
+    cfg, params, app, mot, ctx, summary = setup
+    toks, scores = beam_search(params.decoder, ctx, summary, 5, 8)
+    assert toks.shape == (4, 8)
+    assert scores.shape == (4,)
+    assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_beam1_matches_greedy(setup):
+    """Beam width 1 must reproduce the greedy rollout exactly (same
+    decode_step code path) — the parity anchor for beam correctness."""
+    cfg, params, app, mot, ctx, summary = setup
+    greedy = np.asarray(greedy_decode(params.decoder, ctx, summary, 8))
+    beam, _ = beam_search(params.decoder, ctx, summary, 1, 8)
+    np.testing.assert_array_equal(np.asarray(beam), greedy)
+
+
+def test_beam_scores_match_recomputation(setup):
+    """The score beam search reports for its winning hypothesis must equal
+    an independent step-by-step recomputation of that sequence's logprob —
+    catches any reordering/bookkeeping bug in the scan. (A `beam >= greedy`
+    assertion would NOT be sound: beam search can legitimately prune the
+    greedy path when other prefixes crowd the pool.)"""
+    cfg, params, app, mot, ctx, summary = setup
+    from controllable_xgating_tpu.models.decoder import (
+        decode_step, init_decoder_state,
+    )
+
+    def seq_logprob(tokens):
+        h, c = init_decoder_state(params.decoder, summary)
+        tok = jnp.full((4,), BOS, jnp.int32)
+        total = np.zeros(4)
+        alive = np.ones(4, bool)
+        from controllable_xgating_tpu.infer.greedy import mask_special_tokens
+        for t in range(tokens.shape[1]):
+            logits, h, c, _ = decode_step(params.decoder, ctx, tok, h, c)
+            logits = mask_special_tokens(logits.astype(jnp.float32))
+            logp = jax.nn.log_softmax(logits, -1)
+            nxt = tokens[:, t]
+            step_lp = np.asarray(
+                jnp.take_along_axis(logp, nxt[:, None], 1)[:, 0]
+            )
+            total += np.where(alive, step_lp, 0.0)
+            alive = alive & np.asarray(nxt != EOS) & np.asarray(nxt != PAD)
+            tok = jnp.asarray(nxt)
+        return total
+
+    b_toks, b_scores = beam_search(params.decoder, ctx, summary, 5, 8)
+    recomputed = seq_logprob(np.asarray(b_toks))
+    np.testing.assert_allclose(np.asarray(b_scores), recomputed, rtol=1e-4)
+
+
+def test_beam_pads_after_eos(setup):
+    cfg, params, app, mot, ctx, summary = setup
+    toks = np.asarray(beam_search(params.decoder, ctx, summary, 3, 8)[0])
+    for row in toks:
+        seen = False
+        for t in row:
+            if seen:
+                assert t == PAD
+            if t == EOS:
+                seen = True
+
+
+def test_beam_caption_fn_jit(setup):
+    cfg, params, app, mot, ctx, summary = setup
+    fn = make_beam_caption_fn(4, 6, 8)
+    toks, tags = fn(params, app, mot)
+    assert toks.shape == (4, 8)
+    assert tags.shape == (4, 6)
+
+
+def test_length_penalty_changes_selection_shape(setup):
+    cfg, params, app, mot, ctx, summary = setup
+    t0, s0 = beam_search(params.decoder, ctx, summary, 4, 8, length_penalty=0.0)
+    t1, s1 = beam_search(params.decoder, ctx, summary, 4, 8, length_penalty=1.0)
+    assert t0.shape == t1.shape
