@@ -1,0 +1,128 @@
+"""Self-critical sequence training (SCST, Rennie'17) — fully on device.
+
+Rebuilds the reference's SCST stack (SURVEY.md §2 "SCST trainer", stack
+§3.2: `get_self_critical_reward` + `RewardCriterion`) with zero per-step
+host sync: greedy baseline rollout, multinomial sample rollout, CIDEr-D
+rewards for both (ops/cider_device.py), advantage, and the REINFORCE loss
+-(reward_s - reward_g) * logp(sample) all inside ONE jitted step.
+
+The reference's flow here crosses the device boundary 2L+2 times per step
+(host-looped sampling, CPU CiderD on decoded strings); this step crosses it
+zero times.
+
+psi during SCST comes from the POS generator's own greedy rollout
+(inference conditions — the captioner is being optimized for how it will
+actually be used), and the POS branch is frozen (reference stage recipe).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from controllable_xgating_tpu.data.corpus import CorpusInfo
+from controllable_xgating_tpu.data.vocab import PAD
+from controllable_xgating_tpu.infer.greedy import greedy_decode, sample_decode
+from controllable_xgating_tpu.models.captioner import CaptionerParams
+from controllable_xgating_tpu.models.decoder import make_decode_context
+from controllable_xgating_tpu.models.encoder import encode
+from controllable_xgating_tpu.models.pos_generator import pos_greedy_generate
+from controllable_xgating_tpu.ops.cider_device import (
+    CiderRewardTables,
+    build_reward_tables,
+    cider_d_device,
+)
+from controllable_xgating_tpu.train.state import (
+    TrainState,
+    apply_grad_mask,
+    stage_grad_mask,
+)
+from controllable_xgating_tpu.utils.config import Config
+
+
+def build_scst_reward_tables(
+    info: CorpusInfo, labels: dict
+) -> CiderRewardTables:
+    """Corpus df over the TRAIN split (the reference precomputes the same
+    from train captions into its n-gram pickle) + all GT caption ids."""
+    return build_reward_tables(
+        np.asarray(labels["caps"]),
+        np.asarray(labels["ncaps"]),
+        list(info.splits["train"]),
+    )
+
+
+def scst_loss(
+    params: CaptionerParams,
+    batch: dict,
+    tables: CiderRewardTables,
+    rng: jax.Array,
+    max_len: int,
+    max_pos_len: int,
+) -> tuple[jax.Array, dict]:
+    app, motion = batch["app"], batch["motion"]
+    video_indices = batch["video_indices"]
+
+    enc_out, summary = encode(params.encoder, app, motion)
+    _, psi = pos_greedy_generate(params.pos, summary, max_pos_len)
+    ctx = make_decode_context(params.decoder, enc_out, psi, None)
+
+    # baseline: greedy rollout, no gradient
+    greedy_tokens = jax.lax.stop_gradient(
+        greedy_decode(params.decoder, ctx, summary, max_len)
+    )
+    # exploration: multinomial rollout; logps carry the gradient
+    sample_tokens, logps = sample_decode(
+        params.decoder, ctx, summary, max_len, rng
+    )
+    sample_tokens = jax.lax.stop_gradient(sample_tokens)
+
+    reward_s = cider_d_device(tables, sample_tokens, video_indices)
+    reward_g = cider_d_device(tables, greedy_tokens, video_indices)
+    advantage = jax.lax.stop_gradient(reward_s - reward_g)  # [B]
+
+    mask = (sample_tokens != PAD).astype(jnp.float32)
+    loss = -(advantage[:, None] * logps * mask).sum() / jnp.maximum(
+        mask.sum(), 1.0
+    )
+    aux = {
+        "reward_sample": reward_s.mean(),
+        "reward_greedy": reward_g.mean(),
+        "advantage": advantage.mean(),
+    }
+    return loss, aux
+
+
+def make_scst_train_step(
+    tx: optax.GradientTransformation,
+    cfg: Config,
+    tables: CiderRewardTables,
+    donate: bool = True,
+) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    max_len = cfg.eval.max_decode_len
+    max_pos_len = cfg.model.max_pos_len
+
+    def step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
+        state, rng = state.next_rng()
+
+        def loss_fn(params):
+            return scst_loss(params, batch, tables, rng, max_len, max_pos_len)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        # POS generator frozen during SCST (reference stage recipe)
+        grads = apply_grad_mask(grads, stage_grad_mask(state.params, "caption"))
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **aux}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
