@@ -1,0 +1,111 @@
+"""Benchmark: beam-5 captions/sec/chip (BASELINE.json headline metric).
+
+Runs the full inference pipeline — XGating encode, POS greedy rollout,
+psi, batched beam-5 decode — at MSR-VTT-realistic shapes (IRv2 1536-d +
+I3D 1024-d x 26 frames, hidden 512, vocab 10k, max len 28) on the default
+JAX device (the real TPU chip under the driver), then times the same
+program on the host CPU backend. `vs_baseline` is TPU/CPU captions-per-sec
+— SURVEY.md §6: the reference publishes no throughput numbers, so our own
+CPU path is the denominator (BASELINE.json target: >20x on one v5e).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 64
+CPU_BATCH = 8
+BEAM = 5
+MAX_LEN = 28
+FRAMES = 26
+TPU_TIMED_BATCHES = 8
+
+
+def build(cfg_overrides=None):
+    from controllable_xgating_tpu.models.captioner import init_captioner
+    from controllable_xgating_tpu.utils.config import Config
+
+    cfg = Config().replace_flat({
+        "model.vocab_size": 10000,
+        "model.pos_vocab_size": 35,
+        **(cfg_overrides or {}),
+    })
+    params = init_captioner(jax.random.PRNGKey(0), cfg.model)
+    return cfg, params
+
+
+def make_fn(cfg):
+    from controllable_xgating_tpu.infer.beam import make_beam_caption_fn
+
+    return make_beam_caption_fn(BEAM, cfg.model.max_pos_len, MAX_LEN)
+
+
+def random_batch(cfg, batch, seed=0):
+    rng = np.random.default_rng(seed)
+    app = rng.normal(size=(batch, FRAMES, cfg.model.app_dim)).astype(np.float32)
+    mot = rng.normal(size=(batch, FRAMES, cfg.model.motion_dim)).astype(np.float32)
+    return app, mot
+
+
+def time_device(fn, params, batches, device) -> float:
+    """Returns captions/sec steady-state on `device`."""
+    put = lambda tree: jax.device_put(tree, device)
+    params = put(params)
+    batches = [(put(a), put(m)) for a, m in batches]
+    # warmup/compile
+    toks, _ = fn(params, *batches[0])
+    jax.block_until_ready(toks)
+    n_caps = 0
+    t0 = time.perf_counter()
+    outs = []
+    for a, m in batches:
+        outs.append(fn(params, a, m))
+        n_caps += a.shape[0]
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    return n_caps / dt
+
+
+def main() -> None:
+    cfg, params = build()
+    fn = make_fn(cfg)
+
+    default_dev = jax.devices()[0]
+    tpu_batches = [
+        random_batch(cfg, BATCH, seed=i) for i in range(TPU_TIMED_BATCHES)
+    ]
+    tpu_cps = time_device(fn, params, tpu_batches, default_dev)
+
+    try:
+        cpu_dev = jax.devices("cpu")[0]
+        cpu_batches = [random_batch(cfg, CPU_BATCH, seed=99)]
+        cpu_cps = time_device(fn, params, cpu_batches, cpu_dev)
+    except Exception as e:  # no cpu backend registered
+        print(f"cpu baseline unavailable: {e}", file=sys.stderr)
+        cpu_cps = float("nan")
+
+    vs = tpu_cps / cpu_cps if np.isfinite(cpu_cps) and cpu_cps > 0 else None
+    print(json.dumps({
+        "metric": "beam5_captions_per_sec_per_chip",
+        "value": round(tpu_cps, 3),
+        "unit": "captions/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "cpu_captions_per_sec": round(cpu_cps, 3) if np.isfinite(cpu_cps) else None,
+        "batch": BATCH,
+        "beam": BEAM,
+        "max_len": MAX_LEN,
+        "device": str(default_dev),
+    }))
+
+
+if __name__ == "__main__":
+    main()

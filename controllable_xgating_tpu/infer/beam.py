@@ -55,6 +55,7 @@ def beam_search(
     beam_size: int,
     max_len: int,
     length_penalty: float = 0.0,
+    fused: Optional[bool] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (tokens [B, max_len], scores [B]) for the best beam."""
     b = summary.shape[0]
@@ -81,7 +82,7 @@ def beam_search(
     def step(carry, t):
         h, c, tok, cum, finished, lengths, hist = carry
         logits, h_new, c_new, _ = decode_step(
-            params, ctx_k, tok.reshape(b * k), h, c
+            params, ctx_k, tok.reshape(b * k), h, c, fused=fused
         )
         logits = mask_special_tokens(logits.astype(jnp.float32))
         logp = jax.nn.log_softmax(logits, -1).reshape(b, k, v)
@@ -145,13 +146,18 @@ def make_beam_caption_fn(
 ):
     """Jitted (params, app, motion) -> (tokens [B, L], pos_tags [B, Lp])."""
 
+    from controllable_xgating_tpu.ops.dispatch import fused_enabled
+
+    fused = fused_enabled()
+
     @jax.jit
     def fn(params: CaptionerParams, app: jax.Array, motion: jax.Array):
         ctx, summary, tags = encode_for_inference(
-            params, app, motion, max_pos_len=max_pos_len
+            params, app, motion, max_pos_len=max_pos_len, fused=fused
         )
         tokens, _ = beam_search(
-            params.decoder, ctx, summary, beam_size, max_len, length_penalty
+            params.decoder, ctx, summary, beam_size, max_len, length_penalty,
+            fused=fused,
         )
         return tokens, tags
 

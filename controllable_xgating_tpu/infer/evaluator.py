@@ -31,13 +31,16 @@ from controllable_xgating_tpu.metrics.harness import (
 
 def make_greedy_caption_fn(max_pos_len: int, max_len: int):
     """Jitted (params, app, motion) -> (tokens [B, L], pos_tags [B, Lp])."""
+    from controllable_xgating_tpu.ops.dispatch import fused_enabled
+
+    fused = fused_enabled()
 
     @jax.jit
     def fn(params: CaptionerParams, app: jax.Array, motion: jax.Array):
         ctx, summary, tags = encode_for_inference(
-            params, app, motion, max_pos_len=max_pos_len
+            params, app, motion, max_pos_len=max_pos_len, fused=fused
         )
-        tokens = greedy_decode(params.decoder, ctx, summary, max_len)
+        tokens = greedy_decode(params.decoder, ctx, summary, max_len, fused=fused)
         return tokens, tags
 
     return fn

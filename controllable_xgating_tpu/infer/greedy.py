@@ -43,6 +43,7 @@ def _rollout(
     max_len: int,
     rng: Optional[jax.Array],
     temperature: float,
+    fused: Optional[bool] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Shared scan body. Returns (tokens [B, L], logprobs [B, L])."""
     b = summary.shape[0]
@@ -55,7 +56,7 @@ def _rollout(
 
     def step(carry, step_rng):
         h, c, tok, alive = carry
-        logits, h, c, _ = decode_step(params, ctx, tok, h, c)
+        logits, h, c, _ = decode_step(params, ctx, tok, h, c, fused=fused)
         logits = mask_special_tokens(logits.astype(jnp.float32))
         if rng is None:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -80,9 +81,14 @@ def greedy_decode(
     ctx: DecodeContext,
     summary: jax.Array,
     max_len: int,
+    fused: Optional[bool] = None,
 ) -> jax.Array:
-    """Deterministic argmax rollout -> tokens [B, max_len]."""
-    tokens, _ = _rollout(params, ctx, summary, max_len, None, 1.0)
+    """Deterministic argmax rollout -> tokens [B, max_len].
+
+    `fused=None` keeps the jnp path (safe under grad for SCST baselines);
+    inference wrappers pass the dispatcher's choice explicitly.
+    """
+    tokens, _ = _rollout(params, ctx, summary, max_len, None, 1.0, fused)
     return tokens
 
 

@@ -112,14 +112,18 @@ def encode_for_inference(
     frame_mask: Optional[jax.Array] = None,
     pos_tags: Optional[jax.Array] = None,
     max_pos_len: int = 28,
+    fused: Optional[bool] = None,
 ):
     """Shared inference prolog: encode video, derive psi, build decode ctx.
 
     If `pos_tags` is given (controllability), psi comes from those tags;
     otherwise the POS generator free-runs greedily (paper inference mode).
-    Returns (ctx, summary, pos_tags_out).
+    `fused=True` uses the Pallas XGating kernel. Returns (ctx, summary,
+    pos_tags_out).
     """
-    enc_out, summary = encode(params.encoder, app, motion, frame_mask)
+    enc_out, summary = encode(
+        params.encoder, app, motion, frame_mask, fused_kernels=fused
+    )
     if pos_tags is not None:
         _, psi = pos_forward(params.pos, summary, pos_tags)
         tags_out = pos_tags

@@ -29,6 +29,7 @@ from controllable_xgating_tpu.ops.attention import (
     precompute_keys,
 )
 from controllable_xgating_tpu.ops.lstm import LSTMWeights, init_lstm, lstm_cell
+from controllable_xgating_tpu.ops.precision import mm
 
 
 class DecoderParams(struct.PyTreeNode):
@@ -101,9 +102,7 @@ def make_decode_context(
     psi: jax.Array,
     frame_mask: Optional[jax.Array] = None,
 ) -> DecodeContext:
-    psi_g = jnp.dot(psi, params.w_psi, preferred_element_type=jnp.float32).astype(
-        enc_out.dtype
-    )
+    psi_g = mm(psi, params.w_psi).astype(enc_out.dtype)
     return DecodeContext(
         enc_out=enc_out,
         keys=precompute_keys(params.attn, enc_out),
@@ -115,9 +114,8 @@ def make_decode_context(
 def init_decoder_state(
     params: DecoderParams, summary: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
-    f32 = jnp.float32
-    h = jnp.tanh(jnp.dot(summary, params.init_h, preferred_element_type=f32))
-    c = jnp.tanh(jnp.dot(summary, params.init_c, preferred_element_type=f32))
+    h = jnp.tanh(mm(summary, params.init_h))
+    c = jnp.tanh(mm(summary, params.init_c))
     return h.astype(summary.dtype), c.astype(summary.dtype)
 
 
@@ -129,28 +127,52 @@ def decode_step(
     c: jax.Array,      # [B, Hd]
     emb_drop: Optional[jax.Array] = None,   # [B, E] dropout keep-mask (scaled)
     out_drop: Optional[jax.Array] = None,   # [B, Hd]
+    fused: Optional[bool] = None,           # None=jnp; True=Pallas kernel
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """One decode step. Returns (logits [B, V], h', c', alpha [B, T])."""
+    """One decode step. Returns (logits [B, V], h', c', alpha [B, T]).
+
+    `fused=True` routes attention+gate+cell through the Pallas kernel
+    (inference only — no VJP); the logit projection always runs in XLA.
+    """
     f32 = jnp.float32
     e = params.embed[token]
     if emb_drop is not None:
         e = e * emb_drop
+    if fused:
+        from controllable_xgating_tpu.ops.pallas.attn_lstm import (
+            attn_lstm_step_pallas,
+            attn_lstm_vmem_bytes,
+        )
+        from controllable_xgating_tpu.ops.precision import compute_dtype
+
+        est = attn_lstm_vmem_bytes(
+            params.hidden_dim,
+            params.embed.shape[1],
+            ctx.enc_out.shape[-1],
+            params.attn.wq.shape[1],
+            ctx.psi_g.shape[-1],
+            compute_dtype(),
+        )
+        if est <= 14 * 1024 * 1024:  # else fall through to the jnp path
+            h_new, c_new, alpha = attn_lstm_step_pallas(
+                params, e, h, c, ctx.keys, ctx.enc_out, ctx.psi_g,
+                ctx.frame_mask,
+            )
+            h_out = h_new * out_drop if out_drop is not None else h_new
+            logits = mm(h_out, params.w_out) + params.b_out.astype(f32)
+            return logits, h_new, c_new, alpha
     vis, alpha = additive_attention(
         params.attn, h, ctx.enc_out, ctx.keys, ctx.frame_mask
     )
-    vis_g = jnp.dot(vis, params.w_ctx, preferred_element_type=f32)
+    vis_g = mm(vis, params.w_ctx)
     gate = jax.nn.sigmoid(
-        jnp.dot(jnp.concatenate([h, e], -1), params.w_gate, preferred_element_type=f32)
-        + params.b_gate.astype(f32)
+        mm(jnp.concatenate([h, e], -1), params.w_gate) + params.b_gate.astype(f32)
     )
     guide = gate * vis_g + (1.0 - gate) * ctx.psi_g.astype(f32)
     x = jnp.concatenate([e, guide.astype(e.dtype)], axis=-1)
     h_new, c_new = lstm_cell(params.lstm, x, h, c)
     h_out = h_new * out_drop if out_drop is not None else h_new
-    logits = (
-        jnp.dot(h_out, params.w_out, preferred_element_type=f32)
-        + params.b_out.astype(f32)
-    )
+    logits = mm(h_out, params.w_out) + params.b_out.astype(f32)
     return logits, h_new, c_new, alpha
 
 

@@ -58,9 +58,15 @@ def encode(
     frame_mask: Optional[jax.Array] = None,  # [B, T] 1=valid
     dropout_rng: Optional[jax.Array] = None,
     dropout_rate: float = 0.0,
+    fused_kernels: Optional[bool] = None,  # True = Pallas XGating kernel
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (enc_out [B, T, He], summary [B, He])."""
-    fused = xgate_fuse(params.xgate, app, motion)  # [B, T, H]
+    if fused_kernels:
+        from controllable_xgating_tpu.ops.pallas.xgate import xgate_fuse_pallas
+
+        fused = xgate_fuse_pallas(params.xgate, app, motion)
+    else:
+        fused = xgate_fuse(params.xgate, app, motion)  # [B, T, H]
     if dropout_rng is not None and dropout_rate > 0.0:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, fused.shape)
         fused = jnp.where(keep, fused / (1.0 - dropout_rate), 0.0).astype(fused.dtype)

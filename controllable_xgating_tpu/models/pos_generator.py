@@ -26,6 +26,7 @@ from flax import struct
 
 from controllable_xgating_tpu.data.vocab import BOS, EOS, PAD
 from controllable_xgating_tpu.ops.lstm import LSTMWeights, init_lstm, lstm_cell
+from controllable_xgating_tpu.ops.precision import mm
 
 
 class PosGeneratorParams(struct.PyTreeNode):
@@ -75,9 +76,8 @@ def init_pos_generator(
 
 
 def _init_state(params: PosGeneratorParams, summary: jax.Array):
-    f32 = jnp.float32
-    h = jnp.tanh(jnp.dot(summary, params.init_h, preferred_element_type=f32))
-    c = jnp.tanh(jnp.dot(summary, params.init_c, preferred_element_type=f32))
+    h = jnp.tanh(mm(summary, params.init_h))
+    c = jnp.tanh(mm(summary, params.init_c))
     return h.astype(summary.dtype), c.astype(summary.dtype)
 
 
@@ -87,10 +87,7 @@ def _pool_psi(
     """psi = tanh(W_psi · masked-mean over time of hidden states). [B, P]"""
     m = mask.astype(hs.dtype)[:, :, None]
     pooled = (hs * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
-    psi = jnp.tanh(
-        jnp.dot(pooled, params.w_psi, preferred_element_type=jnp.float32)
-        + params.b_psi.astype(jnp.float32)
-    )
+    psi = jnp.tanh(mm(pooled, params.w_psi) + params.b_psi.astype(jnp.float32))
     return psi.astype(hs.dtype)
 
 
@@ -116,10 +113,7 @@ def pos_forward(
     emb_t = jnp.swapaxes(emb, 0, 1)
     (_, _), hs = jax.lax.scan(step, (h, c), emb_t)
     hs = jnp.swapaxes(hs, 0, 1)  # [B, Lp-1, H]
-    logits = (
-        jnp.dot(hs, params.w_out, preferred_element_type=jnp.float32)
-        + params.b_out.astype(jnp.float32)
-    )
+    logits = mm(hs, params.w_out) + params.b_out.astype(jnp.float32)
     step_mask = (inputs != PAD).astype(hs.dtype)
     psi = _pool_psi(params, hs, step_mask)
     return logits, psi
@@ -151,10 +145,7 @@ def pos_greedy_generate(
         h, c, tok, alive = carry
         x = jnp.concatenate([params.embed[tok], summary], axis=-1)
         h, c = lstm_cell(params.lstm, x, h, c)
-        logits = (
-            jnp.dot(h, params.w_out, preferred_element_type=jnp.float32)
-            + params.b_out.astype(jnp.float32)
-        )
+        logits = mm(h, params.w_out) + params.b_out.astype(jnp.float32)
         # PAD/BOS are never training targets; forbid them as outputs
         logits = logits.at[:, PAD].set(-1e30).at[:, BOS].set(-1e30)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from controllable_xgating_tpu.ops.precision import mm
+
 NEG_INF = -1e9
 
 
@@ -42,9 +44,7 @@ def init_attention(
 
 def precompute_keys(w: AttentionWeights, enc_out: jax.Array) -> jax.Array:
     """Project encoder outputs once: [B, T, He] -> [B, T, A]."""
-    return jnp.dot(enc_out, w.wk, preferred_element_type=jnp.float32).astype(
-        enc_out.dtype
-    )
+    return mm(enc_out, w.wk).astype(enc_out.dtype)
 
 
 def additive_attention(
@@ -57,7 +57,7 @@ def additive_attention(
     """Returns (context [B, He], alpha [B, T])."""
     if keys is None:
         keys = precompute_keys(w, enc_out)
-    q = jnp.dot(query, w.wq, preferred_element_type=jnp.float32)  # [B, A]
+    q = mm(query, w.wq)  # [B, A] f32
     act = jnp.tanh(q[:, None, :] + keys.astype(jnp.float32) + w.b.astype(jnp.float32))
     scores = jnp.einsum("bta,a->bt", act, w.v.astype(jnp.float32))
     if mask is not None:

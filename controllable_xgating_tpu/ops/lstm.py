@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from controllable_xgating_tpu.ops.precision import mm
+
 
 class LSTMWeights(struct.PyTreeNode):
     wih: jax.Array  # [Din, 4H]
@@ -48,11 +50,7 @@ def lstm_cell(
 ) -> tuple[jax.Array, jax.Array]:
     """One LSTM step. Returns (h', c'). f32 accumulation on the MXU."""
     hidden = w.hidden_dim
-    gates = (
-        jnp.dot(x, w.wih, preferred_element_type=jnp.float32)
-        + jnp.dot(h, w.whh, preferred_element_type=jnp.float32)
-        + w.b.astype(jnp.float32)
-    )
+    gates = mm(x, w.wih) + mm(h, w.whh) + w.b.astype(jnp.float32)
     i = jax.nn.sigmoid(gates[:, :hidden])
     f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
     g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from controllable_xgating_tpu.ops.precision import mm
+
 
 class XGateWeights(struct.PyTreeNode):
     wa: jax.Array   # [Da, H]
@@ -63,10 +65,13 @@ def init_xgate(
 def xgate_fuse(w: XGateWeights, x_app: jax.Array, x_motion: jax.Array) -> jax.Array:
     """Fuse [.., Da] and [.., Dm] -> [.., H]. jnp reference path."""
     f32 = jnp.float32
-    ea = jnp.dot(x_app, w.wa, preferred_element_type=f32) + w.ba.astype(f32)
-    em = jnp.dot(x_motion, w.wm, preferred_element_type=f32) + w.bm.astype(f32)
-    ga = jax.nn.sigmoid(jnp.dot(em, w.uga.astype(f32)) + w.bga.astype(f32))
-    gm = jax.nn.sigmoid(jnp.dot(ea, w.ugm.astype(f32)) + w.bgm.astype(f32))
-    gated = jnp.concatenate([ea * ga, em * gm], axis=-1)
-    fused = jnp.tanh(jnp.dot(gated, w.wf.astype(f32)) + w.bf.astype(f32))
+    ea = mm(x_app, w.wa) + w.ba.astype(f32)
+    em = mm(x_motion, w.wm) + w.bm.astype(f32)
+    ga = jax.nn.sigmoid(mm(em, w.uga) + w.bga.astype(f32))
+    gm = jax.nn.sigmoid(mm(ea, w.ugm) + w.bgm.astype(f32))
+    # split-wf form (no concat): [ea*ga ; em*gm] @ wf == ea*ga @ wf_top + ...
+    h = w.wf.shape[0] // 2
+    fused = jnp.tanh(
+        mm(ea * ga, w.wf[:h]) + mm(em * gm, w.wf[h:]) + w.bf.astype(f32)
+    )
     return fused.astype(x_app.dtype)

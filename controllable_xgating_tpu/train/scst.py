@@ -102,6 +102,7 @@ def make_scst_train_step(
     cfg: Config,
     tables: CiderRewardTables,
     donate: bool = True,
+    jit_compile: bool = True,
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
     max_len = cfg.eval.max_decode_len
     max_pos_len = cfg.model.max_pos_len
@@ -125,4 +126,6 @@ def make_scst_train_step(
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **aux}
         return new_state, metrics
 
+    if not jit_compile:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())

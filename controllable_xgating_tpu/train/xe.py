@@ -86,8 +86,12 @@ def make_xe_train_step(
     cfg: Config,
     stage: str = "joint",
     donate: bool = True,
+    jit_compile: bool = True,
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
-    """Build the jitted XE step for a stage ('pos'|'caption'|'joint')."""
+    """Build the XE step for a stage ('pos'|'caption'|'joint').
+
+    `jit_compile=False` returns the raw function for callers that re-jit
+    with explicit shardings (parallel/mesh.py)."""
     cap_w = 0.0 if stage == "pos" else 1.0
     pos_w = 0.0 if stage == "caption" else 1.0
     dropout_rate = cfg.model.dropout
@@ -116,4 +120,6 @@ def make_xe_train_step(
         }
         return new_state, metrics
 
+    if not jit_compile:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,116 @@
+"""Pallas-vs-jnp golden parity (interpret mode on the CPU test platform;
+the same kernels compile for real TPU — BASELINE.json's token-for-token
+greedy parity gate, self-consistency form per SURVEY.md §0)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controllable_xgating_tpu.models.decoder import (
+    decode_step, init_decoder, init_decoder_state, make_decode_context,
+)
+from controllable_xgating_tpu.ops.pallas.attn_lstm import attn_lstm_step_pallas
+from controllable_xgating_tpu.ops.pallas.xgate import xgate_fuse_pallas
+from controllable_xgating_tpu.ops.precision import mm, precision
+from controllable_xgating_tpu.ops.xgate import init_xgate, xgate_fuse
+
+
+def test_xgate_pallas_matches_jnp_f32():
+    key = jax.random.PRNGKey(0)
+    w = init_xgate(key, 24, 16, 32)
+    app = jax.random.normal(key, (3, 7, 24))
+    mot = jax.random.normal(jax.random.fold_in(key, 1), (3, 7, 16))
+    ref = xgate_fuse(w, app, mot)
+    out = xgate_fuse_pallas(w, app, mot, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_xgate_pallas_matches_jnp_bf16():
+    key = jax.random.PRNGKey(1)
+    w = init_xgate(key, 16, 16, 32)
+    app = jax.random.normal(key, (2, 5, 16))
+    mot = jax.random.normal(jax.random.fold_in(key, 2), (2, 5, 16))
+    with precision("bfloat16"):
+        ref = xgate_fuse(w, app, mot)
+        out = xgate_fuse_pallas(w, app, mot, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_xgate_pallas_row_padding():
+    """Row counts not divisible by the tile must round-trip unchanged."""
+    key = jax.random.PRNGKey(2)
+    w = init_xgate(key, 8, 8, 16)
+    app = jax.random.normal(key, (5, 8))  # 5 rows << TILE_R
+    mot = jax.random.normal(jax.random.fold_in(key, 1), (5, 8))
+    ref = xgate_fuse(w, app, mot)
+    out = xgate_fuse_pallas(w, app, mot, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def dec_setup():
+    key = jax.random.PRNGKey(3)
+    params = init_decoder(
+        key, vocab=40, enc_dim=24, hidden=16, embed_dim=12, attn_dim=20,
+        psi_dim=10,
+    )
+    b, t = 5, 7
+    enc_out = jax.random.normal(key, (b, t, 24))
+    psi = jax.random.normal(jax.random.fold_in(key, 1), (b, 10))
+    summary = jax.random.normal(jax.random.fold_in(key, 2), (b, 24))
+    ctx = make_decode_context(params, enc_out, psi)
+    h, c = init_decoder_state(params, summary)
+    token = jnp.array([4, 7, 9, 11, 3], jnp.int32)
+    return params, ctx, h, c, token
+
+
+def _fused(params, ctx, token, h, c, mask=None):
+    emb = params.embed[token]
+    h2, c2, alpha = attn_lstm_step_pallas(
+        params, emb, h, c, ctx.keys, ctx.enc_out, ctx.psi_g, mask,
+        interpret=True,
+    )
+    logits = mm(h2, params.w_out) + params.b_out.astype(jnp.float32)
+    return logits, h2, c2, alpha
+
+
+def test_attn_lstm_pallas_matches_decode_step_f32(dec_setup):
+    params, ctx, h, c, token = dec_setup
+    l_ref, h_ref, c_ref, a_ref = decode_step(params, ctx, token, h, c)
+    l_out, h_out, c_out, a_out = _fused(params, ctx, token, h, c)
+    np.testing.assert_allclose(np.asarray(a_out), np.asarray(a_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_out), np.asarray(h_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_out), np.asarray(c_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(l_out), np.asarray(l_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_attn_lstm_pallas_masked(dec_setup):
+    params, ctx, h, c, token = dec_setup
+    mask = jnp.array([[1, 1, 1, 0, 0, 0, 0]] * 5, jnp.float32)
+    from controllable_xgating_tpu.models.decoder import DecodeContext
+    ctx_m = DecodeContext(ctx.enc_out, ctx.keys, mask, ctx.psi_g)
+    l_ref, h_ref, c_ref, a_ref = decode_step(params, ctx_m, token, h, c)
+    l_out, h_out, c_out, a_out = _fused(params, ctx, token, h, c, mask)
+    np.testing.assert_allclose(np.asarray(a_out)[:, 3:], 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_out), np.asarray(a_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_out), np.asarray(h_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_attn_lstm_greedy_token_parity(dec_setup):
+    """Multi-step rollout: argmax tokens from the fused kernel must equal
+    the jnp path token-for-token (f32)."""
+    params, ctx, h, c, token = dec_setup
+    toks_ref, toks_out = [], []
+    h1 = h2 = h
+    c1 = c2 = c
+    t1 = t2 = token
+    for _ in range(6):
+        l1, h1, c1, _ = decode_step(params, ctx, t1, h1, c1)
+        t1 = jnp.argmax(l1, -1).astype(jnp.int32)
+        toks_ref.append(np.asarray(t1))
+        l2, h2, c2, _ = _fused(params, ctx, t2, h2, c2)
+        t2 = jnp.argmax(l2, -1).astype(jnp.int32)
+        toks_out.append(np.asarray(t2))
+    np.testing.assert_array_equal(np.stack(toks_ref), np.stack(toks_out))

@@ -1,0 +1,123 @@
+"""8-virtual-device DP tests (SURVEY.md §4 "multi-chip without a cluster").
+
+conftest forces an 8-device CPU platform; the same pjit code runs
+unmodified on real v5e chips (BASELINE.json config 5).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controllable_xgating_tpu.data.corpus import load_labels
+from controllable_xgating_tpu.data.features import FeatureStore
+from controllable_xgating_tpu.data.fixtures import make_fixture_corpus
+from controllable_xgating_tpu.data.loader import TrainBatchIterator
+from controllable_xgating_tpu.models.captioner import init_captioner
+from controllable_xgating_tpu.parallel.mesh import (
+    make_mesh, make_parallel_train_step, shard_batch,
+)
+from controllable_xgating_tpu.train.state import create_train_state, make_optimizer
+from controllable_xgating_tpu.train.xe import make_xe_train_step
+from controllable_xgating_tpu.utils.config import Config
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    out = str(tmp_path_factory.mktemp("par"))
+    info = make_fixture_corpus(
+        out, num_videos=24, num_frames=5, app_dim=16, motion_dim=12,
+        caps_per_video=3, seqs_per_video=5, max_caption_len=12, seed=5,
+    )
+    labels = load_labels(out)
+    store = FeatureStore(out + "/features.h5", num_frames=5)
+    cfg = Config().replace_flat({
+        "model.app_dim": 16, "model.motion_dim": 12, "model.hidden_dim": 16,
+        "model.embed_dim": 12, "model.attn_dim": 12, "model.pos_embed_dim": 12,
+        "model.vocab_size": len(info.vocab),
+        "model.pos_vocab_size": len(info.pos_vocab),
+        "model.num_frames": 5, "model.max_caption_len": 12,
+        "model.max_pos_len": 12, "model.dropout": 0.0,
+        "data.batch_size": 16,  # 2 per device on the 8-mesh
+        "data.caps_per_video_train": 2,
+        "train.lr": 1e-3, "eval.max_decode_len": 12,
+    })
+    return info, labels, store, cfg
+
+
+def test_mesh_creation():
+    mesh = make_mesh(8)
+    assert mesh.devices.shape == (8,)
+    assert mesh.axis_names == ("data",)
+    with pytest.raises(ValueError):
+        make_mesh(1000)
+
+
+def test_shard_batch_layout(env):
+    info, labels, store, cfg = env
+    mesh = make_mesh(8)
+    it = TrainBatchIterator(
+        store, labels["caps"], labels["pos"], labels["ncaps"],
+        np.asarray(info.splits["train"]), 16, 2, seed=0,
+    )
+    batch = shard_batch(next(iter(it)), mesh)
+    for k in ("app", "motion", "caps", "pos"):
+        shards = batch[k].addressable_shards
+        assert len(shards) == 8
+        assert shards[0].data.shape[0] == 2  # 16 / 8
+
+
+def test_parallel_step_matches_single_device(env):
+    """DP across 8 devices must produce the same update as 1 device — the
+    correctness gate for the sharding annotations."""
+    info, labels, store, cfg = env
+    params = init_captioner(jax.random.PRNGKey(0), cfg.model)
+    it = TrainBatchIterator(
+        store, labels["caps"], labels["pos"], labels["ncaps"],
+        np.asarray(info.splits["train"]), 16, 2, seed=0,
+    )
+    batch = next(iter(it))
+    tx = make_optimizer(cfg, it.steps_per_epoch())
+
+    # single-device reference
+    state1 = create_train_state(params, cfg, it.steps_per_epoch())
+    step1 = make_xe_train_step(tx, cfg, stage="joint", donate=False)
+    out1, m1 = step1(state1, batch)
+
+    # 8-device DP
+    mesh = make_mesh(8)
+    raw = make_xe_train_step(tx, cfg, stage="joint", jit_compile=False)
+    pstep = make_parallel_train_step(raw, mesh, donate=False)
+    state8 = create_train_state(params, cfg, it.steps_per_epoch())
+    out8, m8 = pstep(state8, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m8["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1.params.decoder.w_out),
+        np.asarray(out8.params.decoder.w_out),
+        rtol=2e-4, atol=1e-6,
+    )
+
+
+def test_parallel_multi_step_stability(env):
+    info, labels, store, cfg = env
+    params = init_captioner(jax.random.PRNGKey(1), cfg.model)
+    it = TrainBatchIterator(
+        store, labels["caps"], labels["pos"], labels["ncaps"],
+        np.asarray(info.splits["train"]), 16, 2, seed=2,
+    )
+    mesh = make_mesh(8)
+    tx = make_optimizer(cfg, it.steps_per_epoch())
+    raw = make_xe_train_step(tx, cfg, stage="joint", jit_compile=False)
+    pstep = make_parallel_train_step(raw, mesh, donate=False)
+    state = create_train_state(params, cfg, it.steps_per_epoch())
+    batches = iter(it)
+    losses = []
+    for _ in range(6):
+        state, m = pstep(state, shard_batch(next(batches), mesh))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
