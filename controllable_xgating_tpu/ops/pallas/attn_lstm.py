@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from controllable_xgating_tpu.ops.precision import compute_dtype
 
-TILE_B = 32
+TILE_B = 16  # weights dominate VMEM; small row tiles keep full-dim bf16 resident
 NEG_INF = -1e9
 
 
@@ -60,19 +60,15 @@ def _kernel(
     act = jnp.tanh(
         q[:, None, :] + keys_ref[:].astype(f32) + battn_ref[:].astype(f32)
     )                                                              # [Bt, T, A]
-    # f32 score reduction, matching the jnp path's f32 einsum
-    scores = jnp.dot(
-        act.reshape(bt * t, a),
-        v_ref[:].reshape(a, 1).astype(f32),
-        preferred_element_type=f32,
-    ).reshape(bt, t)
+    # f32 score reduction (broadcast-multiply + A-reduce; Mosaic rejects
+    # the [A]->[A,1] reshape a matvec would need), matches jnp's f32 einsum
+    scores = (act * v_ref[:][None, :, :].astype(f32)).sum(-1)  # [Bt, T]
     scores = jnp.where(mask_ref[:] > 0, scores, NEG_INF)
     alpha = jax.nn.softmax(scores, axis=-1)                        # [Bt, T]
-    ctx = jax.lax.dot_general(
-        alpha.astype(f32), enc_ref[:].astype(f32),
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=f32,
-    )                                                              # [Bt, He]
+    # batched matvec as broadcast-multiply + T-reduction (Mosaic cannot
+    # lower batch-dim dot_general; T<=~32 keeps this a cheap VPU reduce)
+    ctx = (alpha[:, :, None].astype(f32) * enc_ref[:].astype(f32)).sum(1)
+    # [Bt, He]
 
     # ---- gated visual/syntax fusion ----
     vis_g = jnp.dot(ctx.astype(cdt), wctx_ref[:], preferred_element_type=f32)
