@@ -43,10 +43,10 @@ def build(cfg_overrides=None):
     return cfg, params
 
 
-def make_fn(cfg):
+def make_fn(cfg, fused=None):
     from controllable_xgating_tpu.infer.beam import make_beam_caption_fn
 
-    return make_beam_caption_fn(BEAM, cfg.model.max_pos_len, MAX_LEN)
+    return make_beam_caption_fn(BEAM, cfg.model.max_pos_len, MAX_LEN, fused=fused)
 
 
 def random_batch(cfg, batch, seed=0):
@@ -57,25 +57,35 @@ def random_batch(cfg, batch, seed=0):
 
 
 def time_device(fn, params, batches, device) -> float:
-    """Returns captions/sec steady-state on `device`."""
+    """Returns captions/sec steady-state on `device`.
+
+    Materializes every output on host (np.asarray) — through the axon
+    relay `block_until_ready` alone does not reliably fence execution.
+    """
     put = lambda tree: jax.device_put(tree, device)
     params = put(params)
     batches = [(put(a), put(m)) for a, m in batches]
     # warmup/compile
     toks, _ = fn(params, *batches[0])
-    jax.block_until_ready(toks)
+    np.asarray(toks)
     n_caps = 0
     t0 = time.perf_counter()
     outs = []
     for a, m in batches:
         outs.append(fn(params, a, m))
         n_caps += a.shape[0]
-    jax.block_until_ready(outs)
+    for toks, _tags in outs:
+        np.asarray(toks)
     dt = time.perf_counter() - t0
     return n_caps / dt
 
 
 def main() -> None:
+    from controllable_xgating_tpu.ops.precision import set_compute_dtype
+
+    # bf16 matmul operands / f32 accumulation: the MXU-native policy.
+    # Fused Pallas kernels engage automatically on TPU (ops/dispatch.py).
+    set_compute_dtype("bfloat16")
     cfg, params = build()
     fn = make_fn(cfg)
 
@@ -87,8 +97,9 @@ def main() -> None:
 
     try:
         cpu_dev = jax.devices("cpu")[0]
+        cpu_fn = make_fn(cfg, fused=False)  # Pallas kernels are TPU-only
         cpu_batches = [random_batch(cfg, CPU_BATCH, seed=99)]
-        cpu_cps = time_device(fn, params, cpu_batches, cpu_dev)
+        cpu_cps = time_device(cpu_fn, params, cpu_batches, cpu_dev)
     except Exception as e:  # no cpu backend registered
         print(f"cpu baseline unavailable: {e}", file=sys.stderr)
         cpu_cps = float("nan")

@@ -143,12 +143,13 @@ def make_beam_caption_fn(
     max_pos_len: int,
     max_len: int,
     length_penalty: float = 0.0,
+    fused: Optional[bool] = None,
 ):
     """Jitted (params, app, motion) -> (tokens [B, L], pos_tags [B, Lp])."""
 
     from controllable_xgating_tpu.ops.dispatch import fused_enabled
 
-    fused = fused_enabled()
+    fused = fused_enabled(fused)
 
     @jax.jit
     def fn(params: CaptionerParams, app: jax.Array, motion: jax.Array):

@@ -29,11 +29,11 @@ from controllable_xgating_tpu.metrics.harness import (
 )
 
 
-def make_greedy_caption_fn(max_pos_len: int, max_len: int):
+def make_greedy_caption_fn(max_pos_len: int, max_len: int, fused=None):
     """Jitted (params, app, motion) -> (tokens [B, L], pos_tags [B, Lp])."""
     from controllable_xgating_tpu.ops.dispatch import fused_enabled
 
-    fused = fused_enabled()
+    fused = fused_enabled(fused)
 
     @jax.jit
     def fn(params: CaptionerParams, app: jax.Array, motion: jax.Array):
