@@ -86,7 +86,28 @@ def build_reward_tables(
     df_video_indices: Sequence[int],
 ) -> CiderRewardTables:
     """Precompute df over the given videos (train split for SCST — the
-    reference ships the equivalent as its corpus n-gram pickle)."""
+    reference ships the equivalent as its corpus n-gram pickle).
+
+    Uses the native C++ builder (native/cxg_native.cpp) when available —
+    the pure-Python loop below is its golden reference and fallback."""
+    from controllable_xgating_tpu.utils import native
+
+    fast = native.build_df(caps, ncaps, list(df_video_indices))
+    if fast is not None:
+        h1s, h2s, dfs = fast
+        if len(h1s) == 0:
+            h1s = np.zeros((1,), np.uint32)
+            h2s = np.zeros((1,), np.uint32)
+            dfs = np.zeros((1,), np.float32)
+        return CiderRewardTables(
+            table_h1=jnp.asarray(h1s),
+            table_h2=jnp.asarray(h2s),
+            table_df=jnp.asarray(dfs),
+            log_n=jnp.float32(math.log(max(len(df_video_indices), 1))),
+            ref_caps=jnp.asarray(caps, jnp.int32),
+            ref_counts=jnp.asarray(ncaps, jnp.int32),
+        )
+
     df: dict[tuple[int, int], float] = {}
     for v in df_video_indices:
         seen: set[tuple[int, int]] = set()

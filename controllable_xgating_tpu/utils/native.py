@@ -1,0 +1,127 @@
+"""ctypes bindings for the native host runtime (native/cxg_native.cpp).
+
+Loads `native/libcxg_native.so`, building it with `make` on first use if
+the toolchain is present; every entry point has a pure-Python fallback so
+the framework works without a compiler. Equality between the two paths is
+golden-tested (tests/test_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence
+
+import numpy as np
+
+from controllable_xgating_tpu.utils.logging import get_logger
+
+log = get_logger("cxg.native")
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_SO_PATH = os.path.join(_NATIVE_DIR, "libcxg_native.so")
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_i64 = ctypes.c_int64
+_f32 = ctypes.c_float
+_p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_p_u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+_p_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception as e:  # no toolchain / build failure -> fallback
+            log.info("native build unavailable (%s); using Python fallback", e)
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError as e:
+        log.info("native load failed (%s); using Python fallback", e)
+        return None
+    lib.cxg_build_df.restype = _i64
+    lib.cxg_build_df.argtypes = [
+        _p_i32, _p_i32, _i64, _i64, _i64, _p_i64, _i64,
+        _p_u32, _p_u32, _p_f32, _i64,
+    ]
+    lib.cxg_cider_d.restype = None
+    lib.cxg_cider_d.argtypes = [
+        _p_i32, _i64, _i64, _p_i32,
+        _p_i32, _p_i32, _i64, _i64, _i64,
+        _p_u32, _p_u32, _p_f32, _i64, _f32, _p_f32,
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build_df(
+    caps: np.ndarray, ncaps: np.ndarray, df_video_indices: Sequence[int]
+) -> Optional[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Sorted (h1, h2, df) arrays, or None if the native lib is absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    caps = np.ascontiguousarray(caps, np.int32)
+    ncaps = np.ascontiguousarray(ncaps, np.int32)
+    idx = np.ascontiguousarray(df_video_indices, np.int64)
+    n, s, l = caps.shape
+    cap = max(int(ncaps.sum()) * l * 4 + 16, 1024)
+    h1 = np.empty(cap, np.uint32)
+    h2 = np.empty(cap, np.uint32)
+    df = np.empty(cap, np.float32)
+    count = lib.cxg_build_df(caps, ncaps, n, s, l, idx, len(idx), h1, h2, df, cap)
+    if count < 0:
+        raise RuntimeError(f"cxg_build_df failed: {count}")
+    return h1[:count].copy(), h2[:count].copy(), df[:count].copy()
+
+
+def cider_d(
+    cand: np.ndarray,
+    video_indices: np.ndarray,
+    caps: np.ndarray,
+    ncaps: np.ndarray,
+    h1: np.ndarray,
+    h2: np.ndarray,
+    df: np.ndarray,
+    log_n: float,
+) -> Optional[np.ndarray]:
+    """Batch CIDEr-D on token ids, or None if the native lib is absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    cand = np.ascontiguousarray(cand, np.int32)
+    caps = np.ascontiguousarray(caps, np.int32)
+    ncaps = np.ascontiguousarray(ncaps, np.int32)
+    vidx = np.ascontiguousarray(video_indices, np.int32)
+    h1 = np.ascontiguousarray(h1, np.uint32)
+    h2 = np.ascontiguousarray(h2, np.uint32)
+    df = np.ascontiguousarray(df, np.float32)
+    b, lc = cand.shape
+    n, s, l = caps.shape
+    out = np.empty(b, np.float32)
+    lib.cxg_cider_d(
+        cand, b, lc, vidx, caps, ncaps, n, s, l,
+        h1, h2, df, len(h1), float(log_n), out,
+    )
+    return out
