@@ -39,7 +39,26 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--data_dir", required=True, help="corpus dir (info.json, labels.npz, features.h5)")
     p.add_argument("--config", default=None, help="optional config JSON")
     p.add_argument("--checkpoint_dir", default="checkpoints")
+    p.add_argument("--profile", default=None, metavar="LOGDIR",
+                   help="write a jax.profiler TensorBoard trace to LOGDIR")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (op-level NaN localization)")
+    p.add_argument("--compute_dtype", default=None,
+                   choices=("float32", "bfloat16"),
+                   help="matmul operand dtype (accumulation is always f32)")
     return p
+
+
+def apply_runtime_flags(args) -> None:
+    """Apply --debug_nans / --compute_dtype before building jitted fns."""
+    if getattr(args, "debug_nans", False):
+        from controllable_xgating_tpu.utils.debug import enable_nan_checks
+
+        enable_nan_checks(True)
+    if getattr(args, "compute_dtype", None):
+        from controllable_xgating_tpu.ops.precision import set_compute_dtype
+
+        set_compute_dtype(args.compute_dtype)
 
 
 def parse_with_overrides(p: argparse.ArgumentParser, argv=None):

@@ -12,6 +12,7 @@ import json
 import os
 
 from controllable_xgating_tpu.cli.common import (
+    apply_runtime_flags,
     base_parser,
     load_corpus,
     parse_with_overrides,
@@ -31,6 +32,7 @@ def main(argv=None) -> None:
     p.add_argument("--ckpt_name", default="best")
     p.add_argument("--out", default=None, help="output JSON path")
     args, cfg = parse_with_overrides(p, argv)
+    apply_runtime_flags(args)
 
     info, labels, store, cfg = load_corpus(args.data_dir, cfg)
     params = restore_params(args.checkpoint_dir, cfg, name=args.ckpt_name)
@@ -45,14 +47,17 @@ def main(argv=None) -> None:
             length_penalty=cfg.eval.length_penalty,
         )
 
-    metrics, captions = evaluate_split(
-        params, store, labels, info,
-        split=args.split,
-        batch_size=cfg.data.batch_size,
-        max_len=cfg.eval.max_decode_len,
-        max_pos_len=cfg.model.max_pos_len,
-        caption_fn=caption_fn,
-    )
+    from controllable_xgating_tpu.utils.profiling import profile_trace
+
+    with profile_trace(args.profile):
+        metrics, captions = evaluate_split(
+            params, store, labels, info,
+            split=args.split,
+            batch_size=cfg.data.batch_size,
+            max_len=cfg.eval.max_decode_len,
+            max_pos_len=cfg.model.max_pos_len,
+            caption_fn=caption_fn,
+        )
     result = {"split": args.split, "beam_size": beam, "metrics": metrics}
     print(json.dumps(result, indent=2))
     out = args.out or os.path.join(

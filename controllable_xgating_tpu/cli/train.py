@@ -21,6 +21,7 @@ import os
 import numpy as np
 
 from controllable_xgating_tpu.cli.common import (
+    apply_runtime_flags,
     base_parser,
     load_corpus,
     parse_with_overrides,
@@ -44,6 +45,7 @@ def main(argv=None) -> None:
     p.add_argument("--init_from", default=None,
                    help="checkpoint dir to initialize params from (its 'best')")
     args, cfg = parse_with_overrides(p, argv)
+    apply_runtime_flags(args)
 
     info, labels, store, cfg = load_corpus(args.data_dir, cfg)
     train_it = TrainBatchIterator(
@@ -89,10 +91,13 @@ def main(argv=None) -> None:
             cfg.train.pos_epochs if args.stage == "pos" else cfg.train.epochs
         )
 
-    state, result = train_loop(
-        state, step_fn, train_it, store, labels, info, cfg,
-        epochs=epochs, ckpt=mgr, jsonl=jsonl, infos_extra=infos_extra,
-    )
+    from controllable_xgating_tpu.utils.profiling import profile_trace
+
+    with profile_trace(args.profile):
+        state, result = train_loop(
+            state, step_fn, train_it, store, labels, info, cfg,
+            epochs=epochs, ckpt=mgr, jsonl=jsonl, infos_extra=infos_extra,
+        )
     log.info("done: best %s = %.4f", cfg.train.keep_best_metric, result["best"])
 
 

@@ -73,8 +73,6 @@ class TrainConfig:
     # POS-generator stage
     pos_lr: float = 4e-4
     pos_epochs: int = 20
-    # scheduled sampling (reference-era trick) — disabled by default
-    scheduled_sampling_start: int = -1
 
 
 @dataclass

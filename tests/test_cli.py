@@ -76,6 +76,22 @@ def test_train_caption_eval_roundtrip(corpus_dir, tmp_path, capsys):
     assert "CIDEr" in res["metrics"]
 
 
+def test_scst_stage_cli(corpus_dir, tmp_path):
+    """XE warmup then SCST fine-tune through the CLI (configs 3+4)."""
+    ck = str(tmp_path / "scst_ck")
+    cli_train.main([
+        "--data_dir", corpus_dir, "--checkpoint_dir", ck,
+        "--stage", "joint", "--epochs", "1", *SMALL,
+    ])
+    cli_train.main([
+        "--data_dir", corpus_dir, "--checkpoint_dir", ck,
+        "--stage", "scst", "--epochs", "1",
+        "--init_from", ck + "/joint", "--train.lr", "1e-5", *SMALL,
+    ])
+    import os
+    assert os.path.exists(ck + "/scst/last.infos.json")
+
+
 def test_two_stage_recipe(corpus_dir, tmp_path):
     """Stage 1 (pos) then stage 2 (caption, POS frozen, warm-started)."""
     ck = str(tmp_path / "stages")
