@@ -80,6 +80,54 @@ def time_device(fn, params, batches, device) -> float:
     return n_caps / dt
 
 
+def time_xe_train(cfg, params, device, steps=6) -> float:
+    """XE train-step caption-sequences/sec (secondary BASELINE metric)."""
+    from controllable_xgating_tpu.train.state import create_train_state, make_optimizer
+    from controllable_xgating_tpu.train.xe import make_xe_train_step
+    from controllable_xgating_tpu.utils.config import Config
+
+    full = Config().replace_flat({
+        "model.vocab_size": cfg.model.vocab_size,
+        "model.pos_vocab_size": cfg.model.pos_vocab_size,
+        "model.dropout": 0.5,
+    })
+    k = 5
+    state = create_train_state(params, full, steps_per_epoch=100)
+    tx = make_optimizer(full, steps_per_epoch=100)
+    step_fn = make_xe_train_step(tx, full, stage="joint", donate=False)
+    batch = _bench_train_batch(full, BATCH, k)
+    batch = jax.device_put(batch, device)
+    state = jax.device_put(state, device)
+    state, m = step_fn(state, batch)  # compile
+    np.asarray(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step_fn(state, batch)
+    np.asarray(m["loss"])
+    dt = time.perf_counter() - t0
+    return steps * BATCH * k / dt
+
+
+def _bench_train_batch(cfg, batch, k, seed=7):
+    rng = np.random.default_rng(seed)
+    m = cfg.model
+    length = m.max_caption_len
+    caps = np.zeros((batch, k, length), np.int32)
+    caps[:, :, 0] = 1
+    caps[:, :, 1:-1] = rng.integers(4, m.vocab_size, (batch, k, length - 2))
+    caps[:, :, -1] = 2
+    pos = np.zeros((batch, k, length), np.int32)
+    pos[:, :, 0] = 1
+    pos[:, :, 1:-1] = rng.integers(4, m.pos_vocab_size, (batch, k, length - 2))
+    pos[:, :, -1] = 2
+    return {
+        "app": rng.normal(size=(batch, FRAMES, m.app_dim)).astype(np.float32),
+        "motion": rng.normal(size=(batch, FRAMES, m.motion_dim)).astype(np.float32),
+        "caps": caps,
+        "pos": pos,
+    }
+
+
 def main() -> None:
     from controllable_xgating_tpu.ops.precision import set_compute_dtype
 
@@ -104,6 +152,12 @@ def main() -> None:
         print(f"cpu baseline unavailable: {e}", file=sys.stderr)
         cpu_cps = float("nan")
 
+    try:
+        xe_sps = time_xe_train(cfg, params, default_dev)
+    except Exception as e:
+        print(f"xe train bench failed: {e}", file=sys.stderr)
+        xe_sps = None
+
     vs = tpu_cps / cpu_cps if np.isfinite(cpu_cps) and cpu_cps > 0 else None
     print(json.dumps({
         "metric": "beam5_captions_per_sec_per_chip",
@@ -111,6 +165,7 @@ def main() -> None:
         "unit": "captions/s",
         "vs_baseline": round(vs, 2) if vs else None,
         "cpu_captions_per_sec": round(cpu_cps, 3) if np.isfinite(cpu_cps) else None,
+        "xe_train_samples_per_sec": round(xe_sps, 1) if xe_sps else None,
         "batch": BATCH,
         "beam": BEAM,
         "max_len": MAX_LEN,
