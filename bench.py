@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 64
+BATCH = 256
 CPU_BATCH = 8
 BEAM = 5
 MAX_LEN = 28

@@ -63,7 +63,7 @@ def beam_search(
     v = params.vocab_size
 
     ctx_k = DecodeContext(
-        enc_out=_tile_beam(ctx.enc_out, k),
+        enc_proj=_tile_beam(ctx.enc_proj, k),
         keys=_tile_beam(ctx.keys, k),
         frame_mask=None if ctx.frame_mask is None else _tile_beam(ctx.frame_mask, k),
         psi_g=_tile_beam(ctx.psi_g, k),

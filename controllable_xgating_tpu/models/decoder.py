@@ -88,9 +88,17 @@ def init_decoder(
 
 
 class DecodeContext(NamedTuple):
-    """Per-sequence constants reused by every decode step."""
+    """Per-sequence constants reused by every decode step.
 
-    enc_out: jax.Array            # [B, T, He]
+    `enc_proj` is the encoder memory already pushed through `w_ctx`
+    ([B, T, He] @ [He, G] -> [B, T, G]): the decode step only ever uses the
+    attention context as `ctx @ w_ctx`, and attention is linear in its
+    values, so projecting once per sequence is algebraically identical and
+    removes both a per-step matmul and half the per-step HBM traffic
+    (G < He for the bidirectional encoder).
+    """
+
+    enc_proj: jax.Array           # [B, T, G] pre-projected attention values
     keys: jax.Array               # [B, T, A] precomputed attention keys
     frame_mask: Optional[jax.Array]  # [B, T]
     psi_g: jax.Array              # [B, G] psi already projected to guide space
@@ -104,7 +112,7 @@ def make_decode_context(
 ) -> DecodeContext:
     psi_g = mm(psi, params.w_psi).astype(enc_out.dtype)
     return DecodeContext(
-        enc_out=enc_out,
+        enc_proj=mm(enc_out, params.w_ctx).astype(enc_out.dtype),
         keys=precompute_keys(params.attn, enc_out),
         frame_mask=frame_mask,
         psi_g=psi_g,
@@ -148,23 +156,23 @@ def decode_step(
         est = attn_lstm_vmem_bytes(
             params.hidden_dim,
             params.embed.shape[1],
-            ctx.enc_out.shape[-1],
+            ctx.enc_proj.shape[-1],
             params.attn.wq.shape[1],
             ctx.psi_g.shape[-1],
             compute_dtype(),
         )
         if est <= 14 * 1024 * 1024:  # else fall through to the jnp path
             h_new, c_new, alpha = attn_lstm_step_pallas(
-                params, e, h, c, ctx.keys, ctx.enc_out, ctx.psi_g,
+                params, e, h, c, ctx.keys, ctx.enc_proj, ctx.psi_g,
                 ctx.frame_mask,
             )
             h_out = h_new * out_drop if out_drop is not None else h_new
             logits = mm(h_out, params.w_out) + params.b_out.astype(f32)
             return logits, h_new, c_new, alpha
-    vis, alpha = additive_attention(
-        params.attn, h, ctx.enc_out, ctx.keys, ctx.frame_mask
+    vis_g, alpha = additive_attention(
+        params.attn, h, ctx.enc_proj, ctx.keys, ctx.frame_mask
     )
-    vis_g = mm(vis, params.w_ctx)
+    vis_g = vis_g.astype(f32)
     gate = jax.nn.sigmoid(
         mm(jnp.concatenate([h, e], -1), params.w_gate) + params.b_gate.astype(f32)
     )

@@ -6,9 +6,9 @@ kernel". One kernel invocation per decode step computes, entirely in VMEM:
 
     score  = tanh(h @ Wq + keys + b) . v          (additive attention)
     alpha  = masked softmax_T(score)
-    ctx    = alpha @ enc_out
+    vis_g  = alpha @ enc_proj      (values pre-projected through W_ctx)
     gate   = sigmoid(h @ Wg_h + e @ Wg_e + b_g)   (visual/syntax fusion)
-    guide  = gate * (ctx @ W_ctx) + (1-gate) * psi_g
+    guide  = gate * vis_g + (1-gate) * psi_g
     i,f,g,o = e @ Wih_e + guide @ Wih_g + h @ Whh + b
     c'     = f*c + i*g ;  h' = o * tanh(c')
 
@@ -36,14 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from controllable_xgating_tpu.ops.precision import compute_dtype
 
-TILE_B = 16  # weights dominate VMEM; small row tiles keep full-dim bf16 resident
+TILE_B = 32  # weights dominate VMEM; fits full-dim bf16 after the enc_proj refactor
 NEG_INF = -1e9
 
 
 def _kernel(
-    h_ref, c_ref, e_ref, keys_ref, enc_ref, psi_ref, mask_ref,
+    h_ref, c_ref, e_ref, keys_ref, encp_ref, psi_ref, mask_ref,
     wq_ref, battn_ref, v_ref,
-    wctx_ref, wg_h_ref, wg_e_ref, bg_ref,
+    wg_h_ref, wg_e_ref, bg_ref,
     wih_e_ref, wih_g_ref, whh_ref, bl_ref,
     h_out_ref, c_out_ref, alpha_ref,
 ):
@@ -65,13 +65,14 @@ def _kernel(
     scores = (act * v_ref[:][None, :, :].astype(f32)).sum(-1)  # [Bt, T]
     scores = jnp.where(mask_ref[:] > 0, scores, NEG_INF)
     alpha = jax.nn.softmax(scores, axis=-1)                        # [Bt, T]
-    # batched matvec as broadcast-multiply + T-reduction (Mosaic cannot
-    # lower batch-dim dot_general; T<=~32 keeps this a cheap VPU reduce)
-    ctx = (alpha[:, :, None].astype(f32) * enc_ref[:].astype(f32)).sum(1)
-    # [Bt, He]
+    # context directly in guide space: values arrive pre-projected through
+    # w_ctx (see models/decoder.py DecodeContext). Batched matvec as
+    # broadcast-multiply + T-reduction (Mosaic cannot lower batch-dim
+    # dot_general; T<=~32 keeps this a cheap VPU reduce).
+    vis_g = (alpha[:, :, None].astype(f32) * encp_ref[:].astype(f32)).sum(1)
+    # [Bt, G]
 
     # ---- gated visual/syntax fusion ----
-    vis_g = jnp.dot(ctx.astype(cdt), wctx_ref[:], preferred_element_type=f32)
     gate = jax.nn.sigmoid(
         jnp.dot(h, wg_h_ref[:], preferred_element_type=f32)
         + jnp.dot(e, wg_e_ref[:], preferred_element_type=f32)
@@ -99,31 +100,34 @@ def _kernel(
     alpha_ref[:] = alpha.astype(alpha_ref.dtype)
 
 
-def attn_lstm_vmem_bytes(hd: int, e: int, he: int, a: int, g: int, dtype) -> int:
-    """Rough resident-weight+activation bytes for the fused kernel."""
+def attn_lstm_vmem_bytes(hd: int, e: int, gp: int, a: int, g: int, dtype) -> int:
+    """Rough resident-weight+activation bytes for the fused kernel.
+
+    `gp` = last dim of the pre-projected attention values (== guide dim G).
+    """
     ws = jnp.dtype(dtype).itemsize
-    weights = (hd * a + he * g + hd * g + e * g + e * 4 * hd + g * 4 * hd
+    weights = (hd * a + hd * g + e * g + e * 4 * hd + g * 4 * hd
                + hd * 4 * hd)
-    acts_f32 = TILE_B * (26 * a + 26 * he + 8 * hd + 4 * g) * 4
+    acts_f32 = TILE_B * (26 * a + 26 * gp + 8 * hd + 4 * g) * 4
     return weights * ws + acts_f32
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fused_step(
     weights: dict,
-    h, c, e, keys, enc, psi_g, mask,
+    h, c, e, keys, encp, psi_g, mask,
     interpret: bool = False,
 ):
     b, hd = h.shape
     t, a = keys.shape[1], keys.shape[2]
-    he = enc.shape[2]
+    gp = encp.shape[2]
     g = psi_g.shape[1]
     e_dim = e.shape[1]
     pad = (-b) % TILE_B
     if pad:
         padrow = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-        h, c, e, keys, enc, psi_g, mask = map(
-            padrow, (h, c, e, keys, enc, psi_g, mask)
+        h, c, e, keys, encp, psi_g, mask = map(
+            padrow, (h, c, e, keys, encp, psi_g, mask)
         )
     bp = b + pad
     grid = (bp // TILE_B,)
@@ -145,19 +149,19 @@ def _fused_step(
         ),
         grid=grid,
         in_specs=[
-            row2(hd), row2(hd), row2(e_dim), row3(t, a), row3(t, he),
+            row2(hd), row2(hd), row2(e_dim), row3(t, a), row3(t, gp),
             row2(g), row2(t),
             full((hd, a)), full((1, a)), full((1, a)),
-            full((he, g)), full((hd, g)), full((e_dim, g)), full((1, g)),
+            full((hd, g)), full((e_dim, g)), full((1, g)),
             full((e_dim, 4 * hd)), full((g, 4 * hd)), full((hd, 4 * hd)),
             full((1, 4 * hd)),
         ],
         out_specs=(row2(hd), row2(hd), row2(t)),
         interpret=interpret,
     )(
-        h, c, e, keys, enc, psi_g, mask,
+        h, c, e, keys, encp, psi_g, mask,
         weights["wq"], weights["battn"], weights["v"],
-        weights["wctx"], weights["wg_h"], weights["wg_e"], weights["bg"],
+        weights["wg_h"], weights["wg_e"], weights["bg"],
         weights["wih_e"], weights["wih_g"], weights["whh"], weights["bl"],
     )
     return h_out[:b], c_out[:b], alpha[:b]
@@ -169,7 +173,7 @@ def attn_lstm_step_pallas(
     h: jax.Array,
     c: jax.Array,
     keys: jax.Array,        # [B, T, A]
-    enc_out: jax.Array,     # [B, T, He]
+    enc_proj: jax.Array,    # [B, T, G] values pre-projected through w_ctx
     psi_g: jax.Array,       # [B, G]
     frame_mask=None,        # [B, T] or None
     interpret: bool = False,
@@ -184,7 +188,6 @@ def attn_lstm_step_pallas(
         "wq": cast(p.attn.wq),
         "battn": p.attn.b[None, :].astype(jnp.float32),
         "v": cast(p.attn.v)[None, :],
-        "wctx": cast(p.w_ctx),
         "wg_h": cast(p.w_gate[:hd]),
         "wg_e": cast(p.w_gate[hd:]),
         "bg": p.b_gate[None, :].astype(jnp.float32),
@@ -198,7 +201,7 @@ def attn_lstm_step_pallas(
     return _fused_step(
         weights,
         cast(h), c.astype(jnp.float32), cast(token_emb),
-        cast(keys), cast(enc_out), cast(psi_g),
+        cast(keys), cast(enc_proj), cast(psi_g),
         frame_mask.astype(jnp.float32),
         interpret=interpret,
     )

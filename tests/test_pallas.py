@@ -69,7 +69,7 @@ def dec_setup():
 def _fused(params, ctx, token, h, c, mask=None):
     emb = params.embed[token]
     h2, c2, alpha = attn_lstm_step_pallas(
-        params, emb, h, c, ctx.keys, ctx.enc_out, ctx.psi_g, mask,
+        params, emb, h, c, ctx.keys, ctx.enc_proj, ctx.psi_g, mask,
         interpret=True,
     )
     logits = mm(h2, params.w_out) + params.b_out.astype(jnp.float32)
@@ -90,7 +90,7 @@ def test_attn_lstm_pallas_masked(dec_setup):
     params, ctx, h, c, token = dec_setup
     mask = jnp.array([[1, 1, 1, 0, 0, 0, 0]] * 5, jnp.float32)
     from controllable_xgating_tpu.models.decoder import DecodeContext
-    ctx_m = DecodeContext(ctx.enc_out, ctx.keys, mask, ctx.psi_g)
+    ctx_m = DecodeContext(ctx.enc_proj, ctx.keys, mask, ctx.psi_g)
     l_ref, h_ref, c_ref, a_ref = decode_step(params, ctx_m, token, h, c)
     l_out, h_out, c_out, a_out = _fused(params, ctx, token, h, c, mask)
     np.testing.assert_allclose(np.asarray(a_out)[:, 3:], 0.0, atol=1e-6)
