@@ -110,10 +110,17 @@ def make_decode_context(
     psi: jax.Array,
     frame_mask: Optional[jax.Array] = None,
 ) -> DecodeContext:
-    psi_g = mm(psi, params.w_psi).astype(enc_out.dtype)
+    # Store the per-step-constant tensors in the compute dtype: they are
+    # re-read from HBM on EVERY decode step, so under the bf16 policy this
+    # halves the dominant per-step traffic (and makes the fused kernel's
+    # input cast a no-op).
+    from controllable_xgating_tpu.ops.precision import compute_dtype
+
+    cdt = compute_dtype()
+    psi_g = mm(psi, params.w_psi).astype(cdt)
     return DecodeContext(
-        enc_proj=mm(enc_out, params.w_ctx).astype(enc_out.dtype),
-        keys=precompute_keys(params.attn, enc_out),
+        enc_proj=mm(enc_out, params.w_ctx).astype(cdt),
+        keys=precompute_keys(params.attn, enc_out).astype(cdt),
         frame_mask=frame_mask,
         psi_g=psi_g,
     )
