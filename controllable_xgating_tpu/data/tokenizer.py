@@ -97,7 +97,19 @@ class PTBTokenizer:
         return text.split()
 
     def tokenize(self, text: str) -> list[str]:
-        """coco-caption behavior: tokenize, lowercase, drop punctuation."""
+        """coco-caption behavior: tokenize, lowercase, drop punctuation.
+
+        Dispatches to the native C++ tokenizer (native/cxg_text.cpp) when
+        built; this Python path is its golden reference and fallback.
+        """
+        from controllable_xgating_tpu.utils import native
+
+        fast = native.ptb_tokenize(text)
+        if fast is not None:
+            return fast
+        return self.tokenize_python(text)
+
+    def tokenize_python(self, text: str) -> list[str]:
         return [
             tok.lower()
             for tok in self.tokenize_raw(text)

@@ -116,15 +116,27 @@ def meteor_single(hyp_str: str, refs: Sequence[str]) -> float:
 
 
 class MeteorScorer:
+    """Uses the native C++ aligner (native/cxg_text.cpp) when available;
+    `meteor_single` is the pure-Python golden reference and fallback."""
+
+    def __init__(self, use_native: bool = True):
+        self.use_native = use_native
+
     def score(
         self,
         gts: Mapping[str, Sequence[str]],
         res: Mapping[str, Sequence[str]],
     ) -> tuple[float, list[float]]:
+        from controllable_xgating_tpu.utils import native
+
+        use_native = self.use_native and native.available()
         per_key = []
         for key in res:
             if len(res[key]) != 1:
                 raise ValueError("exactly one candidate per key expected")
-            per_key.append(meteor_single(res[key][0], gts[key]))
+            if use_native:
+                per_key.append(native.meteor(res[key][0], list(gts[key])))
+            else:
+                per_key.append(meteor_single(res[key][0], gts[key]))
         corpus = sum(per_key) / len(per_key) if per_key else 0.0
         return corpus, per_key

@@ -47,10 +47,18 @@ class RougeScorer:
         gts: Mapping[str, Sequence[str]],
         res: Mapping[str, Sequence[str]],
     ) -> tuple[float, list[float]]:
+        from controllable_xgating_tpu.utils import native
+
+        use_native = native.available()
         per_key = []
         for key in res:
             if len(res[key]) != 1:
                 raise ValueError("exactly one candidate per key expected")
-            per_key.append(self.score_single(gts[key], res[key][0]))
+            if use_native:
+                per_key.append(
+                    native.rouge_l(res[key][0], list(gts[key]), self.beta)
+                )
+            else:
+                per_key.append(self.score_single(gts[key], res[key][0]))
         corpus = sum(per_key) / len(per_key) if per_key else 0.0
         return corpus, per_key

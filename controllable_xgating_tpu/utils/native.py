@@ -67,6 +67,14 @@ def _load() -> Optional[ctypes.CDLL]:
         _p_i32, _p_i32, _i64, _i64, _i64,
         _p_u32, _p_u32, _p_f32, _i64, _f32, _p_f32,
     ]
+    lib.cxg_ptb_tokenize.restype = _i64
+    lib.cxg_ptb_tokenize.argtypes = [ctypes.c_char_p, ctypes.c_char_p, _i64]
+    lib.cxg_porter_stem.restype = _i64
+    lib.cxg_porter_stem.argtypes = [ctypes.c_char_p, ctypes.c_char_p, _i64]
+    lib.cxg_meteor.restype = ctypes.c_double
+    lib.cxg_meteor.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.cxg_rouge_l.restype = ctypes.c_double
+    lib.cxg_rouge_l.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double]
     _LIB = lib
     return _LIB
 
@@ -125,3 +133,49 @@ def cider_d(
         h1, h2, df, len(h1), float(log_n), out,
     )
     return out
+
+
+_REF_SEP = b"\x1e"
+
+
+def ptb_tokenize(text: str) -> Optional[list[str]]:
+    lib = _load()
+    if lib is None:
+        return None
+    buf = ctypes.create_string_buffer(4 * len(text.encode()) + 64)
+    n = lib.cxg_ptb_tokenize(text.encode(), buf, len(buf))
+    if n < 0:
+        raise RuntimeError("cxg_ptb_tokenize overflow")
+    s = buf.value.decode()
+    return s.split(" ") if s else []
+
+
+def porter_stem(word: str) -> Optional[str]:
+    lib = _load()
+    if lib is None:
+        return None
+    buf = ctypes.create_string_buffer(2 * len(word.encode()) + 16)
+    n = lib.cxg_porter_stem(word.encode(), buf, len(buf))
+    if n < 0:
+        raise RuntimeError("cxg_porter_stem overflow")
+    return buf.value.decode()
+
+
+def meteor(hyp: str, refs: Sequence[str]) -> Optional[float]:
+    lib = _load()
+    if lib is None:
+        return None
+    return float(
+        lib.cxg_meteor(hyp.encode(), _REF_SEP.join(r.encode() for r in refs))
+    )
+
+
+def rouge_l(hyp: str, refs: Sequence[str], beta: float = 1.2) -> Optional[float]:
+    lib = _load()
+    if lib is None:
+        return None
+    return float(
+        lib.cxg_rouge_l(
+            hyp.encode(), _REF_SEP.join(r.encode() for r in refs), beta
+        )
+    )

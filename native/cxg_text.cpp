@@ -1,0 +1,429 @@
+// Native text pipeline: PTB tokenizer, Porter stemmer, METEOR, ROUGE-L.
+//
+// These replace the reference's two Java natives (Stanford PTBTokenizer
+// jar, meteor-1.5.jar — SURVEY.md §2) plus the O(L^2) ROUGE-L DP, the
+// slowest host-side metric loops. Semantics are defined by the pure-Python
+// implementations in controllable_xgating_tpu/{data/tokenizer.py,
+// metrics/{stemmer,meteor,rouge}.py}; equality is golden-tested
+// (tests/test_native_text.py) and the Python paths remain as fallbacks.
+//
+// String ABI: captions are UTF-8, pre-tokenized ones are space-joined;
+// multiple references are '\x1e'-separated.
+
+#include <algorithm>
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <regex>
+#include <string>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+// ------------------------------------------------------------- PTB rules
+// Mirrors data/tokenizer.py exactly: same substitutions, same order.
+struct Rule {
+  std::regex re;
+  const char* repl;
+};
+
+const std::vector<Rule>& starting_quotes() {
+  static const std::vector<Rule> r = {
+      {std::regex(R"(^\")"), "`` "},
+      {std::regex(R"((``))"), " $1 "},
+      {std::regex(R"(([ \(\[{<])(\"|\'{2}))"), "$1 `` "},
+  };
+  return r;
+}
+
+const std::vector<Rule>& punctuation() {
+  static const std::vector<Rule> r = {
+      {std::regex(R"(([:,])([^\d]))"), " $1 $2"},
+      {std::regex(R"(([:,])$)"), " $1 "},
+      {std::regex(R"(\.\.\.)"), " ... "},
+      {std::regex(R"([;@#$%&])"), " $& "},
+      {std::regex(R"(([^\.])(\.)([\]\)}>\"\']*)\s*$)"), "$1 $2$3 "},
+      {std::regex(R"([?!])"), " $& "},
+      {std::regex(R"(([^'])' )"), "$1 ' "},
+  };
+  return r;
+}
+
+const std::vector<Rule>& parens_brackets() {
+  static const std::vector<Rule> r = {
+      {std::regex(R"([\]\[\(\)\{\}<>])"), " $& "},
+      {std::regex(R"(--)"), " -- "},
+  };
+  return r;
+}
+
+const std::vector<Rule>& ending_quotes() {
+  static const std::vector<Rule> r = {
+      {std::regex(R"(\")"), " '' "},
+      {std::regex(R"((\S)(\'\'))"), "$1 $2 "},
+      {std::regex(R"(([^' ])('[sS]|'[mM]|'[dD]|') )"), "$1 $2 "},
+      {std::regex(R"(([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) )"), "$1 $2 "},
+  };
+  return r;
+}
+
+const std::vector<std::regex>& contractions2() {
+  static const std::vector<std::regex> r = {
+      std::regex(R"(\b(can)(not)\b)", std::regex::icase),
+      std::regex(R"(\b(d)('ye)\b)", std::regex::icase),
+      std::regex(R"(\b(gim)(me)\b)", std::regex::icase),
+      std::regex(R"(\b(gon)(na)\b)", std::regex::icase),
+      std::regex(R"(\b(got)(ta)\b)", std::regex::icase),
+      std::regex(R"(\b(lem)(me)\b)", std::regex::icase),
+      std::regex(R"(\b(more)('n)\b)", std::regex::icase),
+      std::regex(R"(\b(wan)(na)(?=\s))", std::regex::icase),
+  };
+  return r;
+}
+
+const std::vector<std::regex>& contractions3() {
+  static const std::vector<std::regex> r = {
+      std::regex(R"( ('t)(is)\b)", std::regex::icase),
+      std::regex(R"( ('t)(was)\b)", std::regex::icase),
+  };
+  return r;
+}
+
+const std::unordered_set<std::string>& punct_tokens() {
+  static const std::unordered_set<std::string> p = {
+      "''", "'", "``", "`", "(", ")", "{", "}", "[", "]",
+      ".",  "?", "!",  ",", ":", "-", "--", "...", ";",
+  };
+  return p;
+}
+
+std::string ptb_transform(std::string text) {
+  for (const auto& r : starting_quotes())
+    text = std::regex_replace(text, r.re, r.repl);
+  for (const auto& r : punctuation())
+    text = std::regex_replace(text, r.re, r.repl);
+  for (const auto& r : parens_brackets())
+    text = std::regex_replace(text, r.re, r.repl);
+  text = " " + text + " ";
+  for (const auto& r : ending_quotes())
+    text = std::regex_replace(text, r.re, r.repl);
+  for (const auto& re : contractions2())
+    text = std::regex_replace(text, re, " $1 $2 ");
+  for (const auto& re : contractions3())
+    text = std::regex_replace(text, re, " $1 $2 ");
+  return text;
+}
+
+std::vector<std::string> split_ws(const std::string& s) {
+  std::vector<std::string> out;
+  size_t i = 0;
+  while (i < s.size()) {
+    while (i < s.size() && std::isspace(static_cast<unsigned char>(s[i]))) ++i;
+    size_t j = i;
+    while (j < s.size() && !std::isspace(static_cast<unsigned char>(s[j]))) ++j;
+    if (j > i) out.push_back(s.substr(i, j - i));
+    i = j;
+  }
+  return out;
+}
+
+std::string lower(std::string w) {
+  for (char& c : w) c = std::tolower(static_cast<unsigned char>(c));
+  return w;
+}
+
+std::vector<std::string> ptb_tokenize(const std::string& text) {
+  std::vector<std::string> out;
+  for (auto& tok : split_ws(ptb_transform(text))) {
+    if (punct_tokens().count(tok)) continue;
+    out.push_back(lower(tok));
+  }
+  return out;
+}
+
+// --------------------------------------------------------- Porter stemmer
+// Port of metrics/stemmer.py (classic Porter 1980); must match it exactly.
+bool is_cons(const std::string& w, size_t i) {
+  char c = w[i];
+  if (c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u') return false;
+  if (c == 'y') return i == 0 ? true : !is_cons(w, i - 1);
+  return true;
+}
+
+int measure(const std::string& stem) {
+  int m = 0;
+  bool prev_vowel = false;
+  for (size_t i = 0; i < stem.size(); ++i) {
+    bool cons = is_cons(stem, i);
+    if (prev_vowel && cons) ++m;
+    prev_vowel = !cons;
+  }
+  return m;
+}
+
+bool has_vowel(const std::string& s) {
+  for (size_t i = 0; i < s.size(); ++i)
+    if (!is_cons(s, i)) return true;
+  return false;
+}
+
+bool ends_double_cons(const std::string& w) {
+  size_t n = w.size();
+  return n >= 2 && w[n - 1] == w[n - 2] && is_cons(w, n - 1);
+}
+
+bool ends_cvc(const std::string& w) {
+  size_t n = w.size();
+  if (n < 3) return false;
+  if (!(is_cons(w, n - 3) && !is_cons(w, n - 2) && is_cons(w, n - 1)))
+    return false;
+  char c = w[n - 1];
+  return c != 'w' && c != 'x' && c != 'y';
+}
+
+bool ends_with(const std::string& w, const char* suf) {
+  size_t sl = std::strlen(suf);
+  return w.size() >= sl && w.compare(w.size() - sl, sl, suf) == 0;
+}
+
+std::string porter_stem(const std::string& word) {
+  if (word.size() <= 2) return word;
+  std::string w = lower(word);
+
+  // Step 1a
+  if (ends_with(w, "sses")) w.resize(w.size() - 2);
+  else if (ends_with(w, "ies")) w.resize(w.size() - 2);
+  else if (ends_with(w, "ss")) {}
+  else if (ends_with(w, "s")) w.resize(w.size() - 1);
+
+  // Step 1b
+  if (ends_with(w, "eed")) {
+    if (measure(w.substr(0, w.size() - 3)) > 0) w.resize(w.size() - 1);
+  } else if ((ends_with(w, "ed") && has_vowel(w.substr(0, w.size() - 2))) ||
+             (ends_with(w, "ing") && has_vowel(w.substr(0, w.size() - 3)))) {
+    w.resize(w.size() - (ends_with(w, "ed") ? 2 : 3));
+    if (ends_with(w, "at") || ends_with(w, "bl") || ends_with(w, "iz"))
+      w += "e";
+    else if (ends_double_cons(w) && w.back() != 'l' && w.back() != 's' &&
+             w.back() != 'z')
+      w.resize(w.size() - 1);
+    else if (measure(w) == 1 && ends_cvc(w))
+      w += "e";
+  }
+
+  // Step 1c
+  if (ends_with(w, "y") && has_vowel(w.substr(0, w.size() - 1)))
+    w[w.size() - 1] = 'i';
+
+  // Step 2
+  static const std::pair<const char*, const char*> step2[] = {
+      {"ational", "ate"}, {"tional", "tion"}, {"enci", "ence"},
+      {"anci", "ance"},   {"izer", "ize"},    {"abli", "able"},
+      {"alli", "al"},     {"entli", "ent"},   {"eli", "e"},
+      {"ousli", "ous"},   {"ization", "ize"}, {"ation", "ate"},
+      {"ator", "ate"},    {"alism", "al"},    {"iveness", "ive"},
+      {"fulness", "ful"}, {"ousness", "ous"}, {"aliti", "al"},
+      {"iviti", "ive"},   {"biliti", "ble"},
+  };
+  for (auto& [suf, repl] : step2) {
+    if (ends_with(w, suf)) {
+      std::string stem = w.substr(0, w.size() - std::strlen(suf));
+      if (measure(stem) > 0) w = stem + repl;
+      break;
+    }
+  }
+
+  // Step 3
+  static const std::pair<const char*, const char*> step3[] = {
+      {"icate", "ic"}, {"ative", ""},  {"alize", "al"}, {"iciti", "ic"},
+      {"ical", "ic"},  {"ful", ""},    {"ness", ""},
+  };
+  for (auto& [suf, repl] : step3) {
+    if (ends_with(w, suf)) {
+      std::string stem = w.substr(0, w.size() - std::strlen(suf));
+      if (measure(stem) > 0) w = stem + repl;
+      break;
+    }
+  }
+
+  // Step 4
+  static const char* step4[] = {
+      "al",  "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+      "ment", "ent", "ou",   "ism", "ate", "iti", "ous", "ive", "ize",
+  };
+  bool matched4 = false;
+  for (const char* suf : step4) {
+    if (ends_with(w, suf)) {
+      matched4 = true;
+      std::string stem = w.substr(0, w.size() - std::strlen(suf));
+      if (measure(stem) > 1) w = stem;
+      break;
+    }
+  }
+  if (!matched4 && ends_with(w, "ion") && w.size() > 3) {
+    char c = w[w.size() - 4];
+    if ((c == 's' || c == 't') && measure(w.substr(0, w.size() - 3)) > 1)
+      w.resize(w.size() - 3);
+  }
+
+  // Step 5a
+  if (ends_with(w, "e")) {
+    std::string stem = w.substr(0, w.size() - 1);
+    int m = measure(stem);
+    if (m > 1 || (m == 1 && !ends_cvc(stem))) w = stem;
+  }
+  // Step 5b
+  if (measure(w) > 1 && ends_double_cons(w) && w.back() == 'l')
+    w.resize(w.size() - 1);
+  return w;
+}
+
+// ----------------------------------------------------------------- METEOR
+// Port of metrics/meteor.py (exact + stem stages, greedy alignment,
+// content/function weighting, gamma * frag^3 chunk penalty).
+constexpr double ALPHA = 0.85, GAMMA = 0.6, DELTA = 0.75;
+
+const std::unordered_set<std::string>& function_words() {
+  static const std::unordered_set<std::string> f = {
+      "a", "an", "the", "of", "in", "on", "at", "to", "and", "or", "is",
+      "are", "was", "were", "be", "been", "am", "do", "does", "did", "has",
+      "have", "had", "by", "with", "for", "it", "its", "as", "that", "this",
+      "there", "from", "but", "not", "no", "so", "if", "then", "than",
+  };
+  return f;
+}
+
+double weight(const std::string& w) {
+  return function_words().count(w) ? 1.0 - DELTA : DELTA;
+}
+
+double meteor_pair(const std::vector<std::string>& hyp,
+                   const std::vector<std::string>& ref) {
+  if (hyp.empty() || ref.empty()) return 0.0;
+  const size_t H = hyp.size(), R = ref.size();
+  std::vector<int> match(H, -1);
+  std::vector<char> used(R, 0);
+  // stage 1: exact
+  for (size_t i = 0; i < H; ++i) {
+    for (size_t j = 0; j < R; ++j)
+      if (!used[j] && hyp[i] == ref[j]) { match[i] = j; used[j] = 1; break; }
+  }
+  // stage 2: stem
+  std::vector<std::string> hs(H), rs(R);
+  for (size_t i = 0; i < H; ++i) hs[i] = porter_stem(hyp[i]);
+  for (size_t j = 0; j < R; ++j) rs[j] = porter_stem(ref[j]);
+  for (size_t i = 0; i < H; ++i) {
+    if (match[i] >= 0) continue;
+    for (size_t j = 0; j < R; ++j)
+      if (!used[j] && hs[i] == rs[j]) { match[i] = j; used[j] = 1; break; }
+  }
+  // collect sorted pairs (by hyp index — match[] is already in order)
+  std::vector<std::pair<int, int>> pairs;
+  for (size_t i = 0; i < H; ++i)
+    if (match[i] >= 0) pairs.emplace_back(static_cast<int>(i), match[i]);
+  if (pairs.empty()) return 0.0;
+
+  double m_hyp = 0, m_ref = 0, w_hyp = 0, w_ref = 0;
+  for (auto& [i, j] : pairs) {
+    m_hyp += weight(hyp[i]);
+    m_ref += weight(ref[j]);
+  }
+  for (auto& w : hyp) w_hyp += weight(w);
+  for (auto& w : ref) w_ref += weight(w);
+  double p = w_hyp > 0 ? m_hyp / w_hyp : 0.0;
+  double r = w_ref > 0 ? m_ref / w_ref : 0.0;
+  if (p == 0.0 || r == 0.0) return 0.0;
+  double fmean = p * r / (ALPHA * p + (1 - ALPHA) * r);
+  int chunks = 1;
+  for (size_t k = 1; k < pairs.size(); ++k)
+    if (pairs[k].first != pairs[k - 1].first + 1 ||
+        pairs[k].second != pairs[k - 1].second + 1)
+      ++chunks;
+  double penalty;
+  if (pairs.size() > 1) {
+    double frag = static_cast<double>(chunks) / pairs.size();
+    penalty = GAMMA * frag * frag * frag;
+  } else {
+    penalty = chunks > 1 ? GAMMA : 0.0;
+  }
+  return (1.0 - penalty) * fmean;
+}
+
+// ---------------------------------------------------------------- ROUGE-L
+int lcs_len(const std::vector<std::string>& a,
+            const std::vector<std::string>& b) {
+  if (a.empty() || b.empty()) return 0;
+  std::vector<int> prev(b.size() + 1, 0), cur(b.size() + 1, 0);
+  for (size_t i = 0; i < a.size(); ++i) {
+    cur[0] = 0;
+    for (size_t j = 1; j <= b.size(); ++j)
+      cur[j] = a[i] == b[j - 1] ? prev[j - 1] + 1 : std::max(prev[j], cur[j - 1]);
+    std::swap(prev, cur);
+  }
+  return prev[b.size()];
+}
+
+std::vector<std::vector<std::string>> split_refs(const char* refs) {
+  std::vector<std::vector<std::string>> out;
+  const char* p = refs;
+  while (*p) {
+    const char* q = p;
+    while (*q && *q != '\x1e') ++q;
+    out.push_back(split_ws(std::string(p, q)));
+    p = *q ? q + 1 : q;
+  }
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// PTB-tokenize `text` (coco behavior: lowercase + drop punct tokens);
+// writes space-joined tokens; returns byte length or -1 on overflow.
+int64_t cxg_ptb_tokenize(const char* text, char* out, int64_t cap) {
+  auto toks = ptb_tokenize(text);
+  std::string joined;
+  for (size_t i = 0; i < toks.size(); ++i) {
+    if (i) joined += ' ';
+    joined += toks[i];
+  }
+  if (static_cast<int64_t>(joined.size()) + 1 > cap) return -1;
+  std::memcpy(out, joined.c_str(), joined.size() + 1);
+  return static_cast<int64_t>(joined.size());
+}
+
+// Porter-stem one word into out; returns length or -1 on overflow.
+int64_t cxg_porter_stem(const char* word, char* out, int64_t cap) {
+  std::string s = porter_stem(word);
+  if (static_cast<int64_t>(s.size()) + 1 > cap) return -1;
+  std::memcpy(out, s.c_str(), s.size() + 1);
+  return static_cast<int64_t>(s.size());
+}
+
+// METEOR of one pre-tokenized hypothesis vs '\x1e'-separated references
+// (best ref wins, jar behavior).
+double cxg_meteor(const char* hyp, const char* refs) {
+  auto h = split_ws(hyp);
+  double best = 0.0;
+  for (auto& r : split_refs(refs)) best = std::max(best, meteor_pair(h, r));
+  return best;
+}
+
+// ROUGE-L F(beta) of one hypothesis vs references (max prec/rec over refs).
+double cxg_rouge_l(const char* hyp, const char* refs, double beta) {
+  auto h = split_ws(hyp);
+  double pmax = 0.0, rmax = 0.0;
+  for (auto& r : split_refs(refs)) {
+    int lcs = lcs_len(h, r);
+    if (!h.empty()) pmax = std::max(pmax, static_cast<double>(lcs) / h.size());
+    if (!r.empty()) rmax = std::max(rmax, static_cast<double>(lcs) / r.size());
+  }
+  if (pmax == 0.0 || rmax == 0.0) return 0.0;
+  double b2 = beta * beta;
+  return (1 + b2) * pmax * rmax / (rmax + b2 * pmax);
+}
+
+}  // extern "C"
