@@ -44,6 +44,8 @@ def main(argv=None) -> None:
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--init_from", default=None,
                    help="checkpoint dir to initialize params from (its 'best')")
+    p.add_argument("--tensorboard", default=None, metavar="LOGDIR",
+                   help="also mirror scalars to a TensorBoard event file")
     args, cfg = parse_with_overrides(p, argv)
     apply_runtime_flags(args)
 
@@ -75,7 +77,11 @@ def main(argv=None) -> None:
             log.info("resuming from %s at step %d", ckpt_dir, int(state.step))
 
     infos_extra = {"stage": args.stage, "config": cfg.to_dict()}
-    jsonl = JsonlLogger(os.path.join(ckpt_dir, "train_log.jsonl"), echo=False)
+    jsonl = JsonlLogger(
+        os.path.join(ckpt_dir, "train_log.jsonl"),
+        echo=False,
+        tensorboard_dir=args.tensorboard,
+    )
 
     if args.stage == "scst":
         from controllable_xgating_tpu.train.scst import make_scst_train_step, build_scst_reward_tables

@@ -42,6 +42,18 @@ def test_nan_check_flag_roundtrip():
     assert np.isnan(np.asarray(out)).all()
 
 
+@pytest.mark.skipif(
+    not os.environ.get("CXG_TEST_TB"),
+    reason="TF import is ~25s on this host; set CXG_TEST_TB=1 to run",
+)
+def test_jsonl_logger_tensorboard_mirror(tmp_path):
+    tb_dir = str(tmp_path / "tb")
+    with JsonlLogger(str(tmp_path / "l.jsonl"), echo=False,
+                     tensorboard_dir=tb_dir) as lg:
+        lg.log(1, loss=0.5)
+    assert any(f.startswith("events.out") for f in os.listdir(tb_dir))
+
+
 def test_jsonl_logger(tmp_path):
     path = str(tmp_path / "log.jsonl")
     with JsonlLogger(path, echo=False) as lg:
