@@ -98,6 +98,52 @@ def test_attn_lstm_pallas_masked(dec_setup):
     np.testing.assert_allclose(np.asarray(h_out), np.asarray(h_ref), rtol=1e-5, atol=1e-6)
 
 
+def test_logits_topk_kernel_matches_xla():
+    from controllable_xgating_tpu.data.vocab import BOS, PAD
+    from controllable_xgating_tpu.ops.pallas.logits_topk import logits_topk_pallas
+
+    key = jax.random.PRNGKey(9)
+    r, hd, v, k = 6, 12, 40, 5
+    h = jax.random.normal(key, (r, hd))
+    w = jax.random.normal(jax.random.fold_in(key, 1), (hd, v))
+    b = jax.random.normal(jax.random.fold_in(key, 2), (v,))
+    logits = (h @ w + b).at[:, PAD].set(-1e30).at[:, BOS].set(-1e30)
+    rv, ri = jax.lax.top_k(logits, k)
+    rl = jax.nn.logsumexp(logits, axis=1)
+    vals, idx, lse = logits_topk_pallas(h, w, b, k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(rv), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(rl), rtol=1e-5, atol=1e-5)
+
+
+def test_beam_fused_matches_unfused():
+    """Full beam search through the fused kernels (interpret mode) must
+    produce the same tokens and scores as the jnp path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from controllable_xgating_tpu.infer.beam import beam_search
+    from controllable_xgating_tpu.models.captioner import (
+        encode_for_inference, init_captioner,
+    )
+    from controllable_xgating_tpu.utils.config import ModelConfig
+
+    cfg = ModelConfig(
+        app_dim=10, motion_dim=8, hidden_dim=12, embed_dim=8, attn_dim=10,
+        pos_embed_dim=10, vocab_size=30, pos_vocab_size=12, num_frames=4,
+        max_caption_len=8, max_pos_len=8,
+    )
+    key = jax.random.PRNGKey(4)
+    params = init_captioner(key, cfg)
+    app = jax.random.normal(key, (3, 4, 10))
+    mot = jax.random.normal(key, (3, 4, 8))
+    ctx, summary, _ = encode_for_inference(params, app, mot, max_pos_len=6)
+    t_ref, s_ref = beam_search(params.decoder, ctx, summary, 4, 8, fused=False)
+    with pltpu.force_tpu_interpret_mode():
+        t_out, s_out = beam_search(params.decoder, ctx, summary, 4, 8, fused=True)
+    np.testing.assert_array_equal(np.asarray(t_out), np.asarray(t_ref))
+    np.testing.assert_allclose(np.asarray(s_out), np.asarray(s_ref), rtol=1e-5)
+
+
 def test_attn_lstm_greedy_token_parity(dec_setup):
     """Multi-step rollout: argmax tokens from the fused kernel must equal
     the jnp path token-for-token (f32)."""
