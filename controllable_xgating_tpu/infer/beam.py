@@ -81,56 +81,28 @@ def beam_search(
 
     def step(carry, t):
         h, c, tok, cum, finished, lengths, hist = carry
-        if fused:
-            # fused path: state update + streaming logits/top-k kernels —
-            # the [B*K, V] logit matrix never reaches HBM
-            from controllable_xgating_tpu.ops.pallas.attn_lstm import (
-                attn_lstm_step_pallas,
-            )
-            from controllable_xgating_tpu.ops.pallas.logits_topk import (
-                logits_topk_pallas,
-            )
+        # NOTE on the candidate expansion: a streaming Pallas logits->top-k
+        # kernel exists (ops/pallas/logits_topk.py, parity-tested) but its
+        # iterative per-tile extraction is VPU-bound and measured ~4x
+        # SLOWER than XLA's fused logits/log_softmax/top_k chain at
+        # reference dims, so beam uses the XLA tail even when `fused`
+        # (which still routes the attention+cell update through Pallas).
+        logits, h_new, c_new, _ = decode_step(
+            params, ctx_k, tok.reshape(b * k), h, c, fused=fused
+        )
+        logits = mask_special_tokens(logits.astype(jnp.float32))
+        logp = jax.nn.log_softmax(logits, -1).reshape(b, k, v)
 
-            e = params.embed[tok.reshape(b * k)]
-            h_new, c_new, _ = attn_lstm_step_pallas(
-                params, e, h, c, ctx_k.keys, ctx_k.enc_proj, ctx_k.psi_g,
-                ctx_k.frame_mask,
-            )
-            vals, vidx, lse = logits_topk_pallas(
-                h_new, params.w_out, params.b_out, k
-            )
-            logp5 = (vals - lse[:, None]).reshape(b, k, k)   # true logprobs
-            tok5 = vidx.reshape(b, k, k)
-            # finished beams: single PAD candidate at zero cost in slot 0
-            slot0 = jnp.arange(k)[None, None, :] == 0
-            logp5 = jnp.where(
-                finished[:, :, None], jnp.where(slot0, 0.0, NEG_INF), logp5
-            )
-            tok5 = jnp.where(finished[:, :, None], PAD, tok5)
-            cand = cum[:, :, None] + logp5                   # [B, K, k]
-            flat = cand.reshape(b, k * k)
-            top_scores, top_idx = jax.lax.top_k(flat, k)     # [B, K]
-            beam_idx = top_idx // k
-            new_tok = jnp.take_along_axis(
-                tok5.reshape(b, k * k), top_idx, axis=1
-            ).astype(jnp.int32)
-        else:
-            logits, h_new, c_new, _ = decode_step(
-                params, ctx_k, tok.reshape(b * k), h, c
-            )
-            logits = mask_special_tokens(logits.astype(jnp.float32))
-            logp = jax.nn.log_softmax(logits, -1).reshape(b, k, v)
+        # finished beams: only PAD continuation, at zero cost
+        pad_onehot = (jnp.arange(v)[None, None, :] == PAD)
+        cont = jnp.where(pad_onehot, 0.0, NEG_INF)
+        logp = jnp.where(finished[:, :, None], cont, logp)
 
-            # finished beams: only PAD continuation, at zero cost
-            pad_onehot = (jnp.arange(v)[None, None, :] == PAD)
-            cont = jnp.where(pad_onehot, 0.0, NEG_INF)
-            logp = jnp.where(finished[:, :, None], cont, logp)
-
-            cand = cum[:, :, None] + logp            # [B, K, V]
-            flat = cand.reshape(b, k * v)
-            top_scores, top_idx = jax.lax.top_k(flat, k)   # [B, K]
-            beam_idx = top_idx // v
-            new_tok = (top_idx % v).astype(jnp.int32)
+        cand = cum[:, :, None] + logp            # [B, K, V]
+        flat = cand.reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(flat, k)   # [B, K]
+        beam_idx = top_idx // v
+        new_tok = (top_idx % v).astype(jnp.int32)
 
         def gather_bk(x):
             return jnp.take_along_axis(x, beam_idx, axis=1)

@@ -60,11 +60,13 @@ def _rollout(
         logits = mask_special_tokens(logits.astype(jnp.float32))
         if rng is None:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # greedy ignores logprobs — skip the log_softmax traffic
+            logp = jnp.zeros((logits.shape[0],), jnp.float32)
         else:
             nxt = jax.random.categorical(step_rng, logits / temperature, axis=-1)
             nxt = nxt.astype(jnp.int32)
-        logp_all = jax.nn.log_softmax(logits, axis=-1)
-        logp = jnp.take_along_axis(logp_all, nxt[:, None], axis=-1)[:, 0]
+            logp_all = jax.nn.log_softmax(logits, axis=-1)
+            logp = jnp.take_along_axis(logp_all, nxt[:, None], axis=-1)[:, 0]
         nxt = jnp.where(alive, nxt, PAD)
         logp = jnp.where(alive, logp, 0.0)
         alive_next = alive & (nxt != EOS)
