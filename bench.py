@@ -158,6 +158,15 @@ def main() -> None:
         print(f"xe train bench failed: {e}", file=sys.stderr)
         xe_sps = None
 
+    try:
+        from controllable_xgating_tpu.infer.evaluator import make_greedy_caption_fn
+
+        gfn = make_greedy_caption_fn(cfg.model.max_pos_len, MAX_LEN)
+        greedy_cps = time_device(gfn, params, tpu_batches, default_dev)
+    except Exception as e:
+        print(f"greedy bench failed: {e}", file=sys.stderr)
+        greedy_cps = None
+
     vs = tpu_cps / cpu_cps if np.isfinite(cpu_cps) and cpu_cps > 0 else None
     print(json.dumps({
         "metric": "beam5_captions_per_sec_per_chip",
@@ -166,6 +175,7 @@ def main() -> None:
         "vs_baseline": round(vs, 2) if vs else None,
         "cpu_captions_per_sec": round(cpu_cps, 3) if np.isfinite(cpu_cps) else None,
         "xe_train_samples_per_sec": round(xe_sps, 1) if xe_sps else None,
+        "greedy_captions_per_sec": round(greedy_cps, 1) if greedy_cps else None,
         "batch": BATCH,
         "beam": BEAM,
         "max_len": MAX_LEN,

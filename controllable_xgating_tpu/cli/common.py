@@ -46,11 +46,19 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default=None,
                    choices=("float32", "bfloat16"),
                    help="matmul operand dtype (accumulation is always f32)")
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"),
+                   help="force the JAX platform (config 1 runs captioning "
+                        "on CPU; default = environment's device)")
     return p
 
 
 def apply_runtime_flags(args) -> None:
-    """Apply --debug_nans / --compute_dtype before building jitted fns."""
+    """Apply --platform / --debug_nans / --compute_dtype before any jit."""
+    if getattr(args, "platform", None):
+        platform = args.platform
+        if platform == "tpu" and os.environ.get("PALLAS_AXON_POOL_IPS"):
+            platform = "axon"  # this image exposes the TPU via the axon relay
+        jax.config.update("jax_platforms", platform)
     if getattr(args, "debug_nans", False):
         from controllable_xgating_tpu.utils.debug import enable_nan_checks
 

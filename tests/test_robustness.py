@@ -1,0 +1,121 @@
+"""Robustness: checkpoint resume through the CLI, masked-frame decoding,
+sharded prefetch, UNK flows."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controllable_xgating_tpu.cli import prepro as cli_prepro
+from controllable_xgating_tpu.cli import train as cli_train
+
+SMALL = [
+    "--model.hidden_dim", "16", "--model.embed_dim", "10",
+    "--model.attn_dim", "10", "--model.pos_embed_dim", "10",
+    "--model.num_frames", "4", "--model.dropout", "0.0",
+    "--data.batch_size", "5", "--data.caps_per_video_train", "2",
+    "--train.lr", "1e-3", "--train.log_every_steps", "1000",
+    "--eval.max_decode_len", "10",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("rb_corpus"))
+    cli_prepro.main([
+        "--out", d, "--fixtures", "--fixture_videos", "12",
+        "--fixture_frames", "4", "--fixture_app_dim", "12",
+        "--fixture_motion_dim", "8", "--max_caption_len", "10",
+        "--seqs_per_video", "4",
+    ])
+    return d
+
+
+def test_cli_resume_continues_from_last(corpus_dir, tmp_path):
+    ck = str(tmp_path / "resume_ck")
+    cli_train.main([
+        "--data_dir", corpus_dir, "--checkpoint_dir", ck,
+        "--stage", "joint", "--epochs", "1", *SMALL,
+    ])
+    infos1 = json.load(open(ck + "/joint/last.infos.json"))
+    # second invocation without --init_from resumes from 'last'
+    cli_train.main([
+        "--data_dir", corpus_dir, "--checkpoint_dir", ck,
+        "--stage", "joint", "--epochs", "1", *SMALL,
+    ])
+    infos2 = json.load(open(ck + "/joint/last.infos.json"))
+    assert infos2["step"] > infos1["step"]
+
+
+def test_masked_frames_decode():
+    """Videos shorter than num_frames: masked beam/greedy must ignore the
+    padded frames entirely."""
+    from controllable_xgating_tpu.infer.beam import beam_search
+    from controllable_xgating_tpu.infer.greedy import greedy_decode
+    from controllable_xgating_tpu.models.captioner import init_captioner
+    from controllable_xgating_tpu.models.decoder import make_decode_context
+    from controllable_xgating_tpu.models.encoder import encode
+    from controllable_xgating_tpu.models.pos_generator import pos_greedy_generate
+    from controllable_xgating_tpu.utils.config import ModelConfig
+
+    cfg = ModelConfig(
+        app_dim=10, motion_dim=8, hidden_dim=12, embed_dim=8, attn_dim=10,
+        pos_embed_dim=10, vocab_size=25, pos_vocab_size=10, num_frames=6,
+        max_caption_len=8, max_pos_len=8,
+    )
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(1)
+    app = jax.random.normal(key, (2, 6, 10))
+    mot = jax.random.normal(key, (2, 6, 8))
+    mask = jnp.array([[1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 1]], jnp.float32)
+
+    def run(app, mot, mask):
+        enc_out, summary = encode(params.encoder, app, mot, mask)
+        _, psi = pos_greedy_generate(params.pos, summary, 6)
+        ctx = make_decode_context(params.decoder, enc_out, psi, mask)
+        g = greedy_decode(params.decoder, ctx, summary, 8)
+        b, _ = beam_search(params.decoder, ctx, summary, 3, 8)
+        return g, b
+
+    g1, b1 = run(app, mot, mask)
+    # corrupt ONLY the masked-out frames of row 0: outputs must not change
+    app2 = app.at[0, 3:].set(99.0)
+    mot2 = mot.at[0, 3:].set(-99.0)
+    g2, b2 = run(app2, mot2, mask)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+
+def test_prefetch_with_mesh_sharding(corpus_dir):
+    from controllable_xgating_tpu.data.corpus import CorpusInfo, load_labels
+    from controllable_xgating_tpu.data.features import (
+        FeatureStore, PrefetchIterator,
+    )
+    from controllable_xgating_tpu.data.loader import TrainBatchIterator
+    from controllable_xgating_tpu.parallel.mesh import make_mesh, shard_batch
+
+    info = CorpusInfo.load(corpus_dir + "/info.json")
+    labels = load_labels(corpus_dir)
+    store = FeatureStore(corpus_dir + "/features.h5", num_frames=4)
+    it = TrainBatchIterator(
+        store, labels["caps"], labels["pos"], labels["ncaps"],
+        np.asarray(info.splits["train"]), 8, 2, seed=0,
+    )
+    mesh = make_mesh(8)
+    pf = PrefetchIterator(iter(it), put_fn=lambda b: shard_batch(b, mesh))
+    batch = next(iter(pf))
+    assert len(batch["app"].addressable_shards) == 8
+
+
+def test_unknown_words_map_to_unk(corpus_dir):
+    from controllable_xgating_tpu.data.corpus import CorpusInfo
+    from controllable_xgating_tpu.data.vocab import UNK, pad_encode
+
+    info = CorpusInfo.load(corpus_dir + "/info.json")
+    ids = pad_encode(info.vocab, ["qwertyuiop", "man"], 6)
+    assert ids[1] == UNK
+    # decode keeps the literal <unk> token (reference behavior)
+    assert "<unk>" in info.vocab.decode_str(ids)
