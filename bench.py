@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 256
+BATCH = 256          # beam sweet spot: B*K = 1280 decoder rows
+GREEDY_BATCH = 1024  # greedy is latency-bound per step; scales with batch
 CPU_BATCH = 8
 BEAM = 5
 MAX_LEN = 28
@@ -162,7 +163,10 @@ def main() -> None:
         from controllable_xgating_tpu.infer.evaluator import make_greedy_caption_fn
 
         gfn = make_greedy_caption_fn(cfg.model.max_pos_len, MAX_LEN)
-        greedy_cps = time_device(gfn, params, tpu_batches, default_dev)
+        greedy_batches = [
+            random_batch(cfg, GREEDY_BATCH, seed=100 + i) for i in range(4)
+        ]
+        greedy_cps = time_device(gfn, params, greedy_batches, default_dev)
     except Exception as e:
         print(f"greedy bench failed: {e}", file=sys.stderr)
         greedy_cps = None
