@@ -91,6 +91,7 @@ def time_xe_train(cfg, params, device, steps=6) -> float:
         "model.vocab_size": cfg.model.vocab_size,
         "model.pos_vocab_size": cfg.model.pos_vocab_size,
         "model.dropout": 0.5,
+        "train.remat": True,  # measured faster AND enables 2x batch
     })
     k = 5
     state = create_train_state(params, full, steps_per_epoch=100)

@@ -198,8 +198,15 @@ def decoder_forward(
     captions: jax.Array,  # [B, L] int32, BOS ... EOS PAD*
     dropout_rng: Optional[jax.Array] = None,
     dropout_rate: float = 0.0,
+    remat: bool = False,
 ) -> jax.Array:
-    """Teacher-forced logits [B, L-1, V]; logits[:, t] predicts captions[:, t+1]."""
+    """Teacher-forced logits [B, L-1, V]; logits[:, t] predicts captions[:, t+1].
+
+    `remat=True` checkpoints each scan step: backward recomputes the
+    attention/gate intermediates instead of storing [B, T, A]-sized
+    residuals for all L steps — the standard FLOPs-for-HBM trade for large
+    batches (config 5 scaling).
+    """
     b, length = captions.shape
     h, c = init_decoder_state(params, summary)
     inputs = jnp.swapaxes(captions[:, :-1], 0, 1)  # [L-1, B]
@@ -235,5 +242,7 @@ def decoder_forward(
             logits, h, c, _ = decode_step(params, ctx, tok, h, c)
             return (h, c), logits
 
+    if remat:
+        step = jax.checkpoint(step)
     (_, _), logits = jax.lax.scan(step, (h, c), xs)
     return jnp.swapaxes(logits, 0, 1)  # [B, L-1, V]

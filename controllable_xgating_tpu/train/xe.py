@@ -50,6 +50,7 @@ def xe_losses(
     batch: dict,
     dropout_rng: Optional[jax.Array],
     dropout_rate: float,
+    remat: bool = False,
 ) -> tuple[jax.Array, dict]:
     """Caption + POS XE on a train batch with caps [B, K, L]."""
     app, motion = batch["app"], batch["motion"]
@@ -75,7 +76,8 @@ def xe_losses(
 
     ctx = make_decode_context(params.decoder, enc_out_k, psi, None)
     cap_logits = decoder_forward(
-        params.decoder, ctx, summary_k, caps_flat, rngs[1], dropout_rate
+        params.decoder, ctx, summary_k, caps_flat, rngs[1], dropout_rate,
+        remat=remat,
     )
     cap_loss = masked_xe_loss(cap_logits, caps_flat[:, 1:])
     return cap_loss, pos_loss
@@ -95,9 +97,10 @@ def make_xe_train_step(
     cap_w = 0.0 if stage == "pos" else 1.0
     pos_w = 0.0 if stage == "caption" else 1.0
     dropout_rate = cfg.model.dropout
+    remat = cfg.train.remat
 
     def loss_fn(params, batch, rng):
-        cap_loss, pos_loss = xe_losses(params, batch, rng, dropout_rate)
+        cap_loss, pos_loss = xe_losses(params, batch, rng, dropout_rate, remat)
         total = cap_w * cap_loss + pos_w * pos_loss
         return total, {"cap_loss": cap_loss, "pos_loss": pos_loss}
 

@@ -73,6 +73,9 @@ class TrainConfig:
     # POS-generator stage
     pos_lr: float = 4e-4
     pos_epochs: int = 20
+    # checkpoint each decoder step in the XE backward (FLOPs-for-HBM trade,
+    # enables much larger global batches on config 5)
+    remat: bool = False
 
 
 @dataclass
