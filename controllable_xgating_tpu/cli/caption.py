@@ -32,28 +32,36 @@ from controllable_xgating_tpu.models.captioner import encode_for_inference
 
 def main(argv=None) -> None:
     p = base_parser(__doc__)
-    p.add_argument("--video", required=True, help="video id (see info.json)")
+    p.add_argument("--video", required=True,
+                   help="video id, comma-separated ids, or 'all' (batch mode)")
     p.add_argument("--ckpt_name", default="best")
     p.add_argument("--pos_tags", default=None,
                    help="space-separated Penn tags to control syntax")
     args, cfg = parse_with_overrides(p, argv)
+    from controllable_xgating_tpu.cli.common import apply_runtime_flags
+
+    apply_runtime_flags(args)
 
     info, labels, store, cfg = load_corpus(args.data_dir, cfg)
-    if args.video not in info.video_ids:
-        die(f"unknown video id {args.video!r}")
-    vidx = info.video_ids.index(args.video)
+    if args.video == "all":
+        vids = list(info.video_ids)
+    else:
+        vids = args.video.split(",")
+        unknown = [v for v in vids if v not in info.video_ids]
+        if unknown:
+            die(f"unknown video id(s) {unknown}")
+    vidx_list = [info.video_ids.index(v) for v in vids]
     params = restore_params(args.checkpoint_dir, cfg, name=args.ckpt_name)
 
-    app, motion = store.get_batch(np.array([vidx]))
+    app, motion = store.get_batch(np.array(vidx_list))
     pos_tags = None
     if args.pos_tags:
         tags = args.pos_tags.split()
         unknown = [t for t in tags if t not in info.pos_vocab]
         if unknown:
             die(f"unknown POS tags {unknown}; vocabulary: Penn treebank")
-        pos_tags = np.array(
-            [pad_encode(info.pos_vocab, tags, cfg.model.max_pos_len)], np.int32
-        )
+        row = pad_encode(info.pos_vocab, tags, cfg.model.max_pos_len)
+        pos_tags = np.array([row] * len(vids), np.int32)
 
     @jax.jit
     def run(params, app, motion, pos_tags):
@@ -67,14 +75,15 @@ def main(argv=None) -> None:
         return tokens, tags_out
 
     tokens, tags_out = run(params, app, motion, pos_tags)
-    caption = info.vocab.decode_str(np.asarray(tokens)[0])
-    tag_str = " ".join(info.pos_vocab.decode(np.asarray(tags_out)[0]))
-    print(json.dumps({
-        "video": args.video,
-        "caption": caption,
-        "pos_sequence": tag_str,
-        "controlled": args.pos_tags is not None,
-    }))
+    tokens = np.asarray(tokens)
+    tags_out = np.asarray(tags_out)
+    for row, vid in enumerate(vids):
+        print(json.dumps({
+            "video": vid,
+            "caption": info.vocab.decode_str(tokens[row]),
+            "pos_sequence": " ".join(info.pos_vocab.decode(tags_out[row])),
+            "controlled": args.pos_tags is not None,
+        }))
 
 
 if __name__ == "__main__":

@@ -66,6 +66,16 @@ def test_train_caption_eval_roundtrip(corpus_dir, tmp_path, capsys):
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["controlled"]
 
+    # batch captioning (comma list)
+    cli_caption.main([
+        "--data_dir", corpus_dir, "--checkpoint_dir", ck + "/joint",
+        "--video", "video0,video1,video2", *SMALL,
+    ])
+    lines = capsys.readouterr().out.strip().splitlines()[-3:]
+    assert [json.loads(l)["video"] for l in lines] == [
+        "video0", "video1", "video2",
+    ]
+
     # beam-3 eval over the test split (config 2)
     cli_eval.main([
         "--data_dir", corpus_dir, "--checkpoint_dir", ck + "/joint",
