@@ -9,10 +9,8 @@ best-checkpoint selection in the train loop.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from controllable_xgating_tpu.data.corpus import CorpusInfo

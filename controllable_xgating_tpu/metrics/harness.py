@@ -9,7 +9,7 @@ keeps the best CIDEr, reference behavior).
 
 from __future__ import annotations
 
-from typing import Mapping, Optional, Sequence
+from typing import Mapping, Sequence
 
 import numpy as np
 

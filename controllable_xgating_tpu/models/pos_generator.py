@@ -18,8 +18,6 @@ REFERENCE_TBD (SURVEY.md §0) and centralized in `_pool_psi`.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import struct

@@ -11,7 +11,6 @@ from __future__ import annotations
 import time
 from typing import Callable, Optional
 
-import jax
 import numpy as np
 
 from controllable_xgating_tpu.data.corpus import CorpusInfo

@@ -9,7 +9,6 @@ the encoder cost is amortized exactly as the reference's seq-per-img.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
