@@ -45,6 +45,7 @@ def main(argv=None) -> None:
         caption_fn = make_beam_caption_fn(
             beam, cfg.model.max_pos_len, cfg.eval.max_decode_len,
             length_penalty=cfg.eval.length_penalty,
+            block_unk=cfg.eval.block_unk,
         )
 
     from controllable_xgating_tpu.utils.profiling import profile_trace

@@ -83,27 +83,53 @@ def main(argv=None) -> None:
         tensorboard_dir=args.tensorboard,
     )
 
+    from controllable_xgating_tpu.utils.profiling import profile_trace
+
+    tx = make_optimizer(cfg, spe)
     if args.stage == "scst":
-        from controllable_xgating_tpu.train.scst import make_scst_train_step, build_scst_reward_tables
+        from controllable_xgating_tpu.train.scst import (
+            build_scst_reward_tables,
+            make_scst_train_step,
+        )
 
         tables = build_scst_reward_tables(info, labels)
-        tx = make_optimizer(cfg, spe)
         step_fn = make_scst_train_step(tx, cfg, tables)
         epochs = args.epochs or cfg.train.epochs
     else:
-        tx = make_optimizer(cfg, spe)
         step_fn = make_xe_train_step(tx, cfg, stage=args.stage)
         epochs = args.epochs or (
             cfg.train.pos_epochs if args.stage == "pos" else cfg.train.epochs
         )
 
-    from controllable_xgating_tpu.utils.profiling import profile_trace
+    # reference behavior: one run can switch from XE to SCST at
+    # `scst_start_epoch` (SURVEY.md §2 "SCST trainer": train.py + SCST flag)
+    switch = cfg.train.scst_start_epoch
+    if args.stage in ("caption", "joint") and 0 <= switch < epochs:
+        with profile_trace(args.profile):
+            state, result_xe = train_loop(
+                state, step_fn, train_it, store, labels, info, cfg,
+                epochs=switch, ckpt=mgr, jsonl=jsonl, infos_extra=infos_extra,
+            )
+            log.info("switching to SCST at epoch %d", switch)
+            from controllable_xgating_tpu.train.scst import (
+                build_scst_reward_tables,
+                make_scst_train_step,
+            )
 
-    with profile_trace(args.profile):
-        state, result = train_loop(
-            state, step_fn, train_it, store, labels, info, cfg,
-            epochs=epochs, ckpt=mgr, jsonl=jsonl, infos_extra=infos_extra,
-        )
+            tables = build_scst_reward_tables(info, labels)
+            scst_step = make_scst_train_step(tx, cfg, tables)
+            state, result = train_loop(
+                state, scst_step, train_it, store, labels, info, cfg,
+                epochs=epochs - switch, ckpt=mgr, jsonl=jsonl,
+                infos_extra={**infos_extra, "stage": "scst"},
+            )
+        result["best"] = max(result["best"], result_xe["best"])
+    else:
+        with profile_trace(args.profile):
+            state, result = train_loop(
+                state, step_fn, train_it, store, labels, info, cfg,
+                epochs=epochs, ckpt=mgr, jsonl=jsonl, infos_extra=infos_extra,
+            )
     log.info("done: best %s = %.4f", cfg.train.keep_best_metric, result["best"])
 
 

@@ -56,6 +56,7 @@ def beam_search(
     max_len: int,
     length_penalty: float = 0.0,
     fused: Optional[bool] = None,
+    block_unk: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (tokens [B, max_len], scores [B]) for the best beam."""
     b = summary.shape[0]
@@ -90,7 +91,7 @@ def beam_search(
         logits, h_new, c_new, _ = decode_step(
             params, ctx_k, tok.reshape(b * k), h, c, fused=fused
         )
-        logits = mask_special_tokens(logits.astype(jnp.float32))
+        logits = mask_special_tokens(logits.astype(jnp.float32), block_unk)
         logp = jax.nn.log_softmax(logits, -1).reshape(b, k, v)
 
         # finished beams: only PAD continuation, at zero cost
@@ -150,6 +151,7 @@ def make_beam_caption_fn(
     max_len: int,
     length_penalty: float = 0.0,
     fused: Optional[bool] = None,
+    block_unk: bool = False,
 ):
     """Jitted (params, app, motion) -> (tokens [B, L], pos_tags [B, Lp])."""
 
@@ -164,7 +166,7 @@ def make_beam_caption_fn(
         )
         tokens, _ = beam_search(
             params.decoder, ctx, summary, beam_size, max_len, length_penalty,
-            fused=fused,
+            fused=fused, block_unk=block_unk,
         )
         return tokens, tags
 

@@ -29,11 +29,17 @@ from controllable_xgating_tpu.models.decoder import (
 _MASK_NEG = -1e30
 
 
-def mask_special_tokens(logits: jax.Array) -> jax.Array:
+def mask_special_tokens(logits: jax.Array, block_unk: bool = False) -> jax.Array:
     """Forbid PAD/BOS as outputs: they are never training targets (masked
     out of the XE loss), so a sampler must not emit them. Shared by greedy,
-    multinomial and beam paths to keep the parity contract identical."""
-    return logits.at[..., PAD].set(_MASK_NEG).at[..., BOS].set(_MASK_NEG)
+    multinomial and beam paths to keep the parity contract identical.
+    `block_unk` additionally suppresses <unk> (the coco-era eval option)."""
+    from controllable_xgating_tpu.data.vocab import UNK
+
+    out = logits.at[..., PAD].set(_MASK_NEG).at[..., BOS].set(_MASK_NEG)
+    if block_unk:
+        out = out.at[..., UNK].set(_MASK_NEG)
+    return out
 
 
 def _rollout(
@@ -44,6 +50,7 @@ def _rollout(
     rng: Optional[jax.Array],
     temperature: float,
     fused: Optional[bool] = None,
+    block_unk: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Shared scan body. Returns (tokens [B, L], logprobs [B, L])."""
     b = summary.shape[0]
@@ -57,7 +64,7 @@ def _rollout(
     def step(carry, step_rng):
         h, c, tok, alive = carry
         logits, h, c, _ = decode_step(params, ctx, tok, h, c, fused=fused)
-        logits = mask_special_tokens(logits.astype(jnp.float32))
+        logits = mask_special_tokens(logits.astype(jnp.float32), block_unk)
         if rng is None:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             # greedy ignores logprobs — skip the log_softmax traffic
@@ -84,13 +91,16 @@ def greedy_decode(
     summary: jax.Array,
     max_len: int,
     fused: Optional[bool] = None,
+    block_unk: bool = False,
 ) -> jax.Array:
     """Deterministic argmax rollout -> tokens [B, max_len].
 
     `fused=None` keeps the jnp path (safe under grad for SCST baselines);
     inference wrappers pass the dispatcher's choice explicitly.
     """
-    tokens, _ = _rollout(params, ctx, summary, max_len, None, 1.0, fused)
+    tokens, _ = _rollout(
+        params, ctx, summary, max_len, None, 1.0, fused, block_unk
+    )
     return tokens
 
 

@@ -83,6 +83,7 @@ class EvalConfig:
     beam_size: int = 5  # [baseline.json: beam-5 test decoding]
     max_decode_len: int = 28
     length_penalty: float = 0.0  # 0 = pure sum-logprob, like the reference era
+    block_unk: bool = False  # suppress <unk> in decoded output (coco-era opt)
     split: str = "test"
     metrics: tuple = ("Bleu_4", "METEOR", "ROUGE_L", "CIDEr")
 
