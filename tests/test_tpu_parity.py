@@ -1,0 +1,95 @@
+"""Opt-in real-TPU parity suite (CXG_TEST_TPU=1): CPU-vs-TPU and
+jnp-vs-Pallas token agreement at full dims. The definitive run recorded in
+docs/RESULTS.md used the trained flagship checkpoint (100% agreement);
+this automated version trains a few quick steps first so logit gaps are
+wide enough that reduction-order noise cannot flip argmax."""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("CXG_TEST_TPU"),
+    reason="needs the real TPU; run with CXG_TEST_TPU=1",
+)
+
+
+def test_cross_platform_token_parity():
+    import jax
+    import jax.numpy as jnp
+
+    from controllable_xgating_tpu.data.corpus import load_labels
+    from controllable_xgating_tpu.data.features import FeatureStore
+    from controllable_xgating_tpu.data.fixtures import make_fixture_corpus
+    from controllable_xgating_tpu.data.loader import TrainBatchIterator
+    from controllable_xgating_tpu.infer.beam import beam_search
+    from controllable_xgating_tpu.infer.greedy import greedy_decode
+    from controllable_xgating_tpu.models.captioner import (
+        encode_for_inference, init_captioner,
+    )
+    from controllable_xgating_tpu.train.state import (
+        create_train_state, make_optimizer,
+    )
+    from controllable_xgating_tpu.train.xe import make_xe_train_step
+    from controllable_xgating_tpu.utils.config import Config
+
+    out = "/tmp/cxg_tpu_parity_corpus"
+    info = make_fixture_corpus(
+        out, num_videos=40, num_frames=8, app_dim=64, motion_dim=48,
+        caps_per_video=4, seqs_per_video=6, max_caption_len=14, seed=0,
+    )
+    labels = load_labels(out)
+    store = FeatureStore(out + "/features.h5", num_frames=8)
+    cfg = Config().replace_flat({
+        "model.app_dim": 64, "model.motion_dim": 48, "model.hidden_dim": 64,
+        "model.embed_dim": 48, "model.attn_dim": 48, "model.pos_embed_dim": 48,
+        "model.vocab_size": len(info.vocab),
+        "model.pos_vocab_size": len(info.pos_vocab),
+        "model.num_frames": 8, "model.max_caption_len": 14,
+        "model.max_pos_len": 14, "model.dropout": 0.0,
+        "train.lr": 3e-3, "train.lr_decay_every_epochs": 1000,
+        "eval.max_decode_len": 14,
+    })
+    params = init_captioner(jax.random.PRNGKey(0), cfg.model)
+    it = TrainBatchIterator(
+        store, labels["caps"], labels["pos"], labels["ncaps"],
+        np.asarray(info.splits["train"]), 14, 3, seed=0,
+    )
+    tx = make_optimizer(cfg, it.steps_per_epoch())
+    state = create_train_state(params, cfg, it.steps_per_epoch())
+    step = make_xe_train_step(tx, cfg, stage="joint", donate=False)
+    batches = iter(it)
+    for _ in range(200):
+        state, _ = step(state, next(batches))
+    params = jax.device_get(state.params)
+
+    idx = np.asarray(info.splits["test"])
+    app, mot = store.get_batch(idx)
+
+    def run(dev, fused):
+        p = jax.device_put(params, dev)
+        a = jax.device_put(app, dev)
+        m = jax.device_put(mot, dev)
+
+        @jax.jit
+        def f(p, a, m):
+            ctx, summary, _ = encode_for_inference(
+                p, a, m, max_pos_len=14, fused=fused
+            )
+            g = greedy_decode(p.decoder, ctx, summary, 14, fused=fused)
+            b, _ = beam_search(p.decoder, ctx, summary, 5, 14, fused=fused)
+            return g, b
+
+        with jax.default_device(dev):
+            return [np.asarray(x) for x in f(p, a, m)]
+
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+    g_cpu, b_cpu = run(cpu, False)
+    g_tpu, b_tpu = run(tpu, False)
+    g_pl, b_pl = run(tpu, True)
+
+    assert (g_cpu == g_tpu).mean() > 0.99
+    assert (b_cpu == b_tpu).mean() > 0.99
+    np.testing.assert_array_equal(g_tpu, g_pl)
