@@ -27,7 +27,9 @@ from controllable_xgating_tpu.metrics.harness import (
 )
 
 
-def make_greedy_caption_fn(max_pos_len: int, max_len: int, fused=None):
+def make_greedy_caption_fn(
+    max_pos_len: int, max_len: int, fused=None, early_stop: bool = True
+):
     """Jitted (params, app, motion) -> (tokens [B, L], pos_tags [B, Lp])."""
     from controllable_xgating_tpu.ops.dispatch import fused_enabled
 
@@ -36,9 +38,13 @@ def make_greedy_caption_fn(max_pos_len: int, max_len: int, fused=None):
     @jax.jit
     def fn(params: CaptionerParams, app: jax.Array, motion: jax.Array):
         ctx, summary, tags = encode_for_inference(
-            params, app, motion, max_pos_len=max_pos_len, fused=fused
+            params, app, motion, max_pos_len=max_pos_len, fused=fused,
+            early_stop=early_stop,
         )
-        tokens = greedy_decode(params.decoder, ctx, summary, max_len, fused=fused)
+        tokens = greedy_decode(
+            params.decoder, ctx, summary, max_len, fused=fused,
+            early_stop=early_stop,
+        )
         return tokens, tags
 
     return fn

@@ -51,8 +51,16 @@ def _rollout(
     temperature: float,
     fused: Optional[bool] = None,
     block_unk: bool = False,
+    early_stop: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Shared scan body. Returns (tokens [B, L], logprobs [B, L])."""
+    """Shared rollout. Returns (tokens [B, L], logprobs [B, L]).
+
+    `early_stop=True` swaps the scan for a `lax.while_loop` that exits as
+    soon as every sequence has emitted EOS — trained captions finish well
+    before max_len, so real-world decoding does ~40-60% of the steps.
+    Results are identical (remaining positions stay PAD). Not valid under
+    grad (while_loop); SCST's sampling keeps the scan.
+    """
     b = summary.shape[0]
     h, c = init_decoder_state(params, summary)
     tok0 = jnp.full((b,), BOS, jnp.int32)
@@ -61,8 +69,7 @@ def _rollout(
         jax.random.split(rng, max_len) if rng is not None else jnp.zeros((max_len, 2), jnp.uint32)
     )
 
-    def step(carry, step_rng):
-        h, c, tok, alive = carry
+    def one_step(h, c, tok, alive, step_rng):
         logits, h, c, _ = decode_step(params, ctx, tok, h, c, fused=fused)
         logits = mask_special_tokens(logits.astype(jnp.float32), block_unk)
         if rng is None:
@@ -77,7 +84,32 @@ def _rollout(
         nxt = jnp.where(alive, nxt, PAD)
         logp = jnp.where(alive, logp, 0.0)
         alive_next = alive & (nxt != EOS)
-        return (h, c, nxt, alive_next), (nxt, logp)
+        return h, c, nxt, alive_next, logp
+
+    if early_stop:
+        tokens0 = jnp.full((b, max_len), PAD, jnp.int32)
+        logps0 = jnp.zeros((b, max_len), jnp.float32)
+
+        def cond(state):
+            h, c, tok, alive, t, tokens, logps = state
+            return (t < max_len) & alive.any()
+
+        def body(state):
+            h, c, tok, alive, t, tokens, logps = state
+            h, c, nxt, alive, logp = one_step(h, c, tok, alive, step_rngs[t])
+            tokens = tokens.at[:, t].set(nxt)
+            logps = logps.at[:, t].set(logp)
+            return h, c, nxt, alive, t + 1, tokens, logps
+
+        *_, tokens, logps = jax.lax.while_loop(
+            cond, body, (h, c, tok0, alive0, jnp.int32(0), tokens0, logps0)
+        )
+        return tokens, logps
+
+    def step(carry, step_rng):
+        h, c, tok, alive = carry
+        h, c, nxt, alive, logp = one_step(h, c, tok, alive, step_rng)
+        return (h, c, nxt, alive), (nxt, logp)
 
     (_, _, _, _), (tokens, logps) = jax.lax.scan(
         step, (h, c, tok0, alive0), step_rngs
@@ -92,6 +124,7 @@ def greedy_decode(
     max_len: int,
     fused: Optional[bool] = None,
     block_unk: bool = False,
+    early_stop: bool = False,
 ) -> jax.Array:
     """Deterministic argmax rollout -> tokens [B, max_len].
 
@@ -99,7 +132,7 @@ def greedy_decode(
     inference wrappers pass the dispatcher's choice explicitly.
     """
     tokens, _ = _rollout(
-        params, ctx, summary, max_len, None, 1.0, fused, block_unk
+        params, ctx, summary, max_len, None, 1.0, fused, block_unk, early_stop
     )
     return tokens
 

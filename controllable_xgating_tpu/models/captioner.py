@@ -113,13 +113,15 @@ def encode_for_inference(
     pos_tags: Optional[jax.Array] = None,
     max_pos_len: int = 28,
     fused: Optional[bool] = None,
+    early_stop: bool = False,
 ):
     """Shared inference prolog: encode video, derive psi, build decode ctx.
 
     If `pos_tags` is given (controllability), psi comes from those tags;
     otherwise the POS generator free-runs greedily (paper inference mode).
-    `fused=True` uses the Pallas XGating kernel. Returns (ctx, summary,
-    pos_tags_out).
+    `fused=True` uses the Pallas XGating kernel; `early_stop=True` lets the
+    POS rollout exit early (inference only — SCST differentiates through
+    psi). Returns (ctx, summary, pos_tags_out).
     """
     enc_out, summary = encode(
         params.encoder, app, motion, frame_mask, fused_kernels=fused
@@ -128,6 +130,8 @@ def encode_for_inference(
         _, psi = pos_forward(params.pos, summary, pos_tags)
         tags_out = pos_tags
     else:
-        tags_out, psi = pos_greedy_generate(params.pos, summary, max_pos_len)
+        tags_out, psi = pos_greedy_generate(
+            params.pos, summary, max_pos_len, early_stop=early_stop
+        )
     ctx = make_decode_context(params.decoder, enc_out, psi, frame_mask)
     return ctx, summary, tags_out

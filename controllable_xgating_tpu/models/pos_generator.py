@@ -129,18 +129,21 @@ def pos_greedy_generate(
     params: PosGeneratorParams,
     summary: jax.Array,  # [B, He]
     max_len: int,
+    early_stop: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Greedy rollout. Returns (tags [B, max_len], psi [B, P]).
 
     tags excludes BOS; generation stops contributing to psi after EOS.
+    `early_stop=True` exits once every row emitted EOS (while_loop —
+    inference only: SCST differentiates through psi, so it keeps the scan).
     """
     b = summary.shape[0]
-    h, c = _init_state(params, summary)
+    h0, c0 = _init_state(params, summary)
     tok0 = jnp.full((b,), BOS, jnp.int32)
     alive0 = jnp.ones((b,), bool)
+    hidden = params.lstm.hidden_dim
 
-    def step(carry, _):
-        h, c, tok, alive = carry
+    def one_step(h, c, tok, alive):
         x = jnp.concatenate([params.embed[tok], summary], axis=-1)
         h, c = lstm_cell(params.lstm, x, h, c)
         logits = mm(h, params.w_out) + params.b_out.astype(jnp.float32)
@@ -149,10 +152,38 @@ def pos_greedy_generate(
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(alive, nxt, PAD)
         alive_next = alive & (nxt != EOS)
+        return h, c, nxt, alive_next
+
+    if early_stop:
+        tags0 = jnp.full((b, max_len), PAD, jnp.int32)
+        hs0 = jnp.zeros((b, max_len, hidden), summary.dtype)
+        mask0 = jnp.zeros((b, max_len), bool)
+
+        def cond(state):
+            return (state[0] < max_len) & state[4].any()
+
+        def body(state):
+            t, h, c, tok, alive, tags, hs, step_mask = state
+            step_mask = step_mask.at[:, t].set(alive)
+            h, c, nxt, alive = one_step(h, c, tok, alive)
+            tags = tags.at[:, t].set(nxt)
+            hs = hs.at[:, t].set(h)
+            return t + 1, h, c, nxt, alive, tags, hs, step_mask
+
+        (_, _, _, _, _, tags, hs, step_mask) = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), h0, c0, tok0, alive0, tags0, hs0, mask0),
+        )
+        psi = _pool_psi(params, hs, step_mask)
+        return tags, psi
+
+    def step(carry, _):
+        h, c, tok, alive = carry
+        h, c, nxt, alive_next = one_step(h, c, tok, alive)
         return (h, c, nxt, alive_next), (nxt, h, alive)
 
     (_, _, _, _), (tags, hs, alive_seq) = jax.lax.scan(
-        step, (h, c, tok0, alive0), None, length=max_len
+        step, (h0, c0, tok0, alive0), None, length=max_len
     )
     tags = jnp.swapaxes(tags, 0, 1)          # [B, L]
     hs = jnp.swapaxes(hs, 0, 1)              # [B, L, H]
