@@ -47,7 +47,12 @@ def build(cfg_overrides=None):
 def make_fn(cfg, fused=None):
     from controllable_xgating_tpu.infer.beam import make_beam_caption_fn
 
-    return make_beam_caption_fn(BEAM, cfg.model.max_pos_len, MAX_LEN, fused=fused)
+    # early_stop=False: bench weights are random, so sequences never emit
+    # EOS and the while_loop's per-step cond is pure overhead; trained
+    # models (docs/RESULTS.md) do benefit from the default early stop.
+    return make_beam_caption_fn(
+        BEAM, cfg.model.max_pos_len, MAX_LEN, fused=fused, early_stop=False
+    )
 
 
 def random_batch(cfg, batch, seed=0):
@@ -163,7 +168,9 @@ def main() -> None:
     try:
         from controllable_xgating_tpu.infer.evaluator import make_greedy_caption_fn
 
-        gfn = make_greedy_caption_fn(cfg.model.max_pos_len, MAX_LEN)
+        gfn = make_greedy_caption_fn(
+            cfg.model.max_pos_len, MAX_LEN, early_stop=False
+        )
         greedy_batches = [
             random_batch(cfg, GREEDY_BATCH, seed=100 + i) for i in range(4)
         ]
