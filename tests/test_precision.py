@@ -49,6 +49,40 @@ def test_bf16_forward_close_to_f32():
     assert np.abs(np.asarray(l32) - np.asarray(l16)).max() < 0.15
 
 
+def test_mm_custom_vjp_matches_autodiff_f32():
+    """mm's hand-written backward must equal plain autodiff exactly in the
+    f32 policy (its casts are no-ops there)."""
+    key = jax.random.PRNGKey(3)
+    a = jax.random.normal(key, (4, 7, 6))
+    b = jax.random.normal(jax.random.fold_in(key, 1), (6, 5))
+
+    def loss_custom(a, b):
+        return (mm(a, b) ** 2).sum()
+
+    def loss_plain(a, b):
+        return (jnp.dot(a, b, preferred_element_type=jnp.float32) ** 2).sum()
+
+    da1, db1 = jax.grad(loss_custom, argnums=(0, 1))(a, b)
+    da2, db2 = jax.grad(loss_plain, argnums=(0, 1))(a, b)
+    np.testing.assert_allclose(np.asarray(da1), np.asarray(da2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(db1), np.asarray(db2), rtol=1e-6)
+
+
+def test_mm_custom_vjp_bf16_close():
+    key = jax.random.PRNGKey(4)
+    a = jax.random.normal(key, (8, 6))
+    b = jax.random.normal(jax.random.fold_in(key, 1), (6, 4))
+
+    def loss(a, b):
+        return (mm(a, b) ** 2).sum()
+
+    da32, db32 = jax.grad(loss, argnums=(0, 1))(a, b)
+    with precision("bfloat16"):
+        da16, db16 = jax.grad(loss, argnums=(0, 1))(a, b)
+    np.testing.assert_allclose(np.asarray(da32), np.asarray(da16), rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(db32), np.asarray(db16), rtol=0.05, atol=0.05)
+
+
 def test_bf16_greedy_tokens_mostly_agree():
     """Token-level agreement between f32 and bf16 paths on a random model
     (trained models separate logits further; this is the weaker bound)."""
