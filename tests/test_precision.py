@@ -64,8 +64,9 @@ def test_mm_custom_vjp_matches_autodiff_f32():
 
     da1, db1 = jax.grad(loss_custom, argnums=(0, 1))(a, b)
     da2, db2 = jax.grad(loss_plain, argnums=(0, 1))(a, b)
-    np.testing.assert_allclose(np.asarray(da1), np.asarray(da2), rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(db1), np.asarray(db2), rtol=1e-6)
+    # equal math, different reduction order -> f32-ulp differences only
+    np.testing.assert_allclose(np.asarray(da1), np.asarray(da2), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(db1), np.asarray(db2), rtol=1e-5, atol=1e-5)
 
 
 def test_mm_custom_vjp_bf16_close():
