@@ -85,6 +85,39 @@ def main(argv=None) -> None:
 
     from controllable_xgating_tpu.utils.profiling import profile_trace
 
+    # config 5: data-parallel over all (or parallel.num_devices) chips.
+    # The mesh path and the single-device path share the same raw step; XLA
+    # inserts the gradient all-reduce from the sharding annotations alone.
+    import jax
+
+    n_dev = cfg.parallel.num_devices or len(jax.devices())
+    mesh = None
+    device_put_fn = None
+    if n_dev > 1:
+        from controllable_xgating_tpu.parallel.mesh import (
+            make_mesh,
+            make_parallel_train_step,
+            shard_batch,
+        )
+
+        if cfg.data.batch_size % n_dev:
+            log.info(
+                "batch_size %d not divisible by %d devices; running "
+                "single-device (set data.batch_size or parallel.num_devices)",
+                cfg.data.batch_size, n_dev,
+            )
+        else:
+            mesh = make_mesh(n_dev, axis=cfg.parallel.mesh_axis)
+            device_put_fn = lambda b: shard_batch(b, mesh)
+            log.info("data-parallel over %d devices", n_dev)
+
+    def finalize(raw_step):
+        if mesh is None:
+            import jax as _jax
+
+            return _jax.jit(raw_step, donate_argnums=(0,))
+        return make_parallel_train_step(raw_step, mesh)
+
     tx = make_optimizer(cfg, spe)
     if args.stage == "scst":
         from controllable_xgating_tpu.train.scst import (
@@ -93,10 +126,14 @@ def main(argv=None) -> None:
         )
 
         tables = build_scst_reward_tables(info, labels)
-        step_fn = make_scst_train_step(tx, cfg, tables)
+        step_fn = finalize(
+            make_scst_train_step(tx, cfg, tables, jit_compile=False)
+        )
         epochs = args.epochs or cfg.train.epochs
     else:
-        step_fn = make_xe_train_step(tx, cfg, stage=args.stage)
+        step_fn = finalize(
+            make_xe_train_step(tx, cfg, stage=args.stage, jit_compile=False)
+        )
         epochs = args.epochs or (
             cfg.train.pos_epochs if args.stage == "pos" else cfg.train.epochs
         )
@@ -109,6 +146,7 @@ def main(argv=None) -> None:
             state, result_xe = train_loop(
                 state, step_fn, train_it, store, labels, info, cfg,
                 epochs=switch, ckpt=mgr, jsonl=jsonl, infos_extra=infos_extra,
+                device_put_fn=device_put_fn,
             )
             log.info("switching to SCST at epoch %d", switch)
             from controllable_xgating_tpu.train.scst import (
@@ -117,11 +155,14 @@ def main(argv=None) -> None:
             )
 
             tables = build_scst_reward_tables(info, labels)
-            scst_step = make_scst_train_step(tx, cfg, tables)
+            scst_step = finalize(
+                make_scst_train_step(tx, cfg, tables, jit_compile=False)
+            )
             state, result = train_loop(
                 state, scst_step, train_it, store, labels, info, cfg,
                 epochs=epochs - switch, ckpt=mgr, jsonl=jsonl,
                 infos_extra={**infos_extra, "stage": "scst"},
+                device_put_fn=device_put_fn,
             )
         result["best"] = max(result["best"], result_xe["best"])
     else:
@@ -129,6 +170,7 @@ def main(argv=None) -> None:
             state, result = train_loop(
                 state, step_fn, train_it, store, labels, info, cfg,
                 epochs=epochs, ckpt=mgr, jsonl=jsonl, infos_extra=infos_extra,
+                device_put_fn=device_put_fn,
             )
     log.info("done: best %s = %.4f", cfg.train.keep_best_metric, result["best"])
 
