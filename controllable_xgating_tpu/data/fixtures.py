@@ -37,25 +37,27 @@ SUBJECTS = [
     ("a singer", "the singer", "a performer"),
 ]
 
-# (verb phrase, object) pairs; object may be "" for intransitives.
+# (continuous form, simple-present 3sg form, object); object may be "".
 ACTIONS = [
-    ("is playing", "guitar"),
-    ("is playing", "football"),
-    ("is riding", "a horse"),
-    ("is riding", "a bike"),
-    ("is cooking", "food"),
-    ("is cutting", "vegetables"),
-    ("is singing", "a song"),
-    ("is dancing", ""),
-    ("is running", ""),
-    ("is swimming", ""),
-    ("is driving", "a car"),
-    ("is eating", "food"),
-    ("is talking", ""),
-    ("is drawing", "a picture"),
-    ("is washing", "a car"),
-    ("is climbing", "a wall"),
+    ("is playing", "plays", "guitar"),
+    ("is playing", "plays", "football"),
+    ("is riding", "rides", "a horse"),
+    ("is riding", "rides", "a bike"),
+    ("is cooking", "cooks", "food"),
+    ("is cutting", "cuts", "vegetables"),
+    ("is singing", "sings", "a song"),
+    ("is dancing", "dances", ""),
+    ("is running", "runs", ""),
+    ("is swimming", "swims", ""),
+    ("is driving", "drives", "a car"),
+    ("is eating", "eats", "food"),
+    ("is talking", "talks", ""),
+    ("is drawing", "draws", "a picture"),
+    ("is washing", "washes", "a car"),
+    ("is climbing", "climbs", "a wall"),
 ]
+
+ADJECTIVES = ["young", "old", "small", "happy"]
 
 PLACES = [
     "on stage",
@@ -78,18 +80,41 @@ class Scene:
 
 
 def _render_captions(scene: Scene, rng: np.random.Generator, n: int) -> list[str]:
+    """Several SYNTACTIC variants per scene — the multi-reference set spans
+    different POS patterns of the same content, which is what makes the POS
+    guidance (and its user control) learnable on this stand-in corpus:
+
+      0: "a man is playing guitar on stage"     DT NN VBZ VBG NN ...
+      1: "a man plays guitar"                   DT NN VBZ NN
+      2: "there is a man playing guitar ..."    EX VBZ DT NN VBG NN ...
+      3: "a young man is playing guitar"        DT JJ NN VBZ VBG NN
+    """
     subj_forms = SUBJECTS[scene.subject]
-    verb, obj = ACTIONS[scene.action]
+    verb_ing, verb_3sg, obj = ACTIONS[scene.action]
     place = PLACES[scene.place]
     caps = []
     for k in range(n):
         subj = subj_forms[int(rng.integers(len(subj_forms)))]
-        parts = [subj, verb]
-        if obj:
-            parts.append(obj)
-        # paraphrase variation: sometimes drop the place, sometimes keep it
-        if place and (k % 3 != 2):
-            parts.append(place)
+        variant = k % 4
+        if variant == 0:
+            parts = [subj, verb_ing] + ([obj] if obj else [])
+            if place:
+                parts.append(place)
+        elif variant == 1:
+            parts = [subj, verb_3sg] + ([obj] if obj else [])
+        elif variant == 2:
+            parts = ["there is", subj, verb_ing.split()[-1]]
+            if obj:
+                parts.append(obj)
+            if place:
+                parts.append(place)
+        else:
+            adj = ADJECTIVES[int(rng.integers(len(ADJECTIVES)))]
+            article, _, noun = subj.partition(" ")
+            subj_adj = (
+                f"{article} {adj} {noun}" if noun else f"{adj} {subj}"
+            )
+            parts = [subj_adj, verb_ing] + ([obj] if obj else [])
         caps.append(" ".join(parts) + ".")
     return caps
 

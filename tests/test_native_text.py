@@ -32,7 +32,7 @@ TRICKY = [
 def _corpus_sentences():
     out = []
     for subj in SUBJECTS:
-        for verb, obj in ACTIONS[:6]:
+        for verb, _v3, obj in ACTIONS[:6]:
             for place in PLACES[:4]:
                 parts = [subj[0], verb]
                 if obj:

@@ -1,0 +1,103 @@
+"""Quantify POS controllability (the paper's §4 controllability study).
+
+For each test video, caption twice: free-running (the POS generator picks
+the syntax) and controlled (a user-supplied Penn tag template). Both
+captions are re-tagged with the corpus tagger; the metric is per-position
+tag agreement with the template. Controllability is real iff the
+controlled agreement is much higher than the free-run agreement on the
+SAME videos (the free run is the no-control baseline).
+
+  python tools/controllability_eval.py --data_dir D --checkpoint_dir CK \
+      --template "DT NN VBZ VBG IN DT NN"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from controllable_xgating_tpu.cli.common import load_corpus, restore_params
+from controllable_xgating_tpu.data.loader import eval_batches
+from controllable_xgating_tpu.data.postag import PennTagger
+from controllable_xgating_tpu.data.vocab import pad_encode
+from controllable_xgating_tpu.infer.greedy import greedy_decode
+from controllable_xgating_tpu.models.captioner import encode_for_inference
+from controllable_xgating_tpu.utils.config import Config, parse_cli_overrides
+
+
+def tag_agreement(caption: str, template: list[str], tagger: PennTagger) -> float:
+    """Per-position agreement between the caption's tags and the template."""
+    words = caption.split()
+    if not words:
+        return 0.0
+    tags = tagger.tag(words)
+    n = min(len(tags), len(template))
+    if n == 0:
+        return 0.0
+    hits = sum(tags[i] == template[i] for i in range(n))
+    # penalize length mismatch: divide by the longer of the two
+    return hits / max(len(tags), len(template))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--template", default="DT NN VBZ VBG IN DT NN")
+    p.add_argument("--split", default="test")
+    p.add_argument("--batch_size", type=int, default=64)
+    args, rest = p.parse_known_args(argv)
+    cfg = Config().replace_flat(parse_cli_overrides(rest))
+
+    info, labels, store, cfg = load_corpus(args.data_dir, cfg)
+    params = restore_params(args.checkpoint_dir, cfg)
+    template = args.template.split()
+    tmpl_row = pad_encode(info.pos_vocab, template, cfg.model.max_pos_len)
+    tagger = PennTagger()
+
+    @jax.jit
+    def run(params, app, motion, pos_tags):
+        ctx, summary, tags = encode_for_inference(
+            params, app, motion, pos_tags=pos_tags,
+            max_pos_len=cfg.model.max_pos_len,
+        )
+        return greedy_decode(
+            params.decoder, ctx, summary, cfg.eval.max_decode_len
+        ), tags
+
+    idx = np.asarray(info.splits[args.split])
+    free_scores, ctrl_scores = [], []
+    examples = []
+    for batch in eval_batches(store, idx, args.batch_size):
+        b = batch["app"].shape[0]
+        tmpl_batch = np.array([tmpl_row] * b, np.int32)
+        free_toks, _ = run(params, batch["app"], batch["motion"], None)
+        ctrl_toks, _ = run(params, batch["app"], batch["motion"], tmpl_batch)
+        free_toks = np.asarray(free_toks)
+        ctrl_toks = np.asarray(ctrl_toks)
+        for row in range(batch["num_valid"]):
+            free_cap = info.vocab.decode_str(free_toks[row])
+            ctrl_cap = info.vocab.decode_str(ctrl_toks[row])
+            free_scores.append(tag_agreement(free_cap, template, tagger))
+            ctrl_scores.append(tag_agreement(ctrl_cap, template, tagger))
+            if len(examples) < 5:
+                examples.append({"free": free_cap, "controlled": ctrl_cap})
+
+    print(json.dumps({
+        "template": args.template,
+        "videos": len(free_scores),
+        "free_run_tag_agreement": round(float(np.mean(free_scores)), 4),
+        "controlled_tag_agreement": round(float(np.mean(ctrl_scores)), 4),
+        "examples": examples,
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()
