@@ -120,9 +120,22 @@ class CheckpointManager:
 
     def restore(self, name: str, template: TrainState) -> tuple[TrainState, dict]:
         path = self._path(name)
-        state = self._ckptr.restore(path, template)
         with open(path + ".infos.json") as f:
             infos = json.load(f)
+        # fail with a diagnosis instead of orbax's raw shape error when the
+        # checkpoint was written under a different model config (e.g. the
+        # corpus/vocab changed under a reused checkpoint_dir)
+        saved_model = (infos.get("config") or {}).get("model")
+        if saved_model:
+            tm = template.params.decoder
+            if saved_model.get("vocab_size") not in (None, tm.vocab_size):
+                raise ValueError(
+                    f"checkpoint {path!r} was trained with vocab_size="
+                    f"{saved_model['vocab_size']} but the current corpus has "
+                    f"{tm.vocab_size} — the corpus changed under this "
+                    "checkpoint_dir; point --checkpoint_dir somewhere fresh"
+                )
+        state = self._ckptr.restore(path, template)
         return state, infos
 
     def exists(self, name: str) -> bool:
