@@ -104,19 +104,35 @@ def restore_or_init(
     steps_per_epoch: int,
     name: str = "best",
     init_seed: int = 0,
+    require: bool = False,
 ) -> tuple[TrainState, dict, CheckpointManager]:
-    """Restore `name` from ckpt_dir if present, else fresh-init."""
+    """Restore `name` from ckpt_dir if present, else fresh-init.
+
+    `require=True` raises instead of fresh-initializing — used everywhere a
+    checkpoint is the *point* of the call (eval, caption, stage handoff via
+    --init_from), so a typo'd path cannot silently evaluate or fine-tune
+    random weights. Fresh init remains the implicit behavior only for a
+    train run resuming on its own checkpoint_dir.
+    """
     mgr = CheckpointManager(ckpt_dir)
     params = init_captioner(jax.random.PRNGKey(init_seed), cfg.model)
     template = create_train_state(params, cfg, steps_per_epoch)
     if mgr.exists(name):
         state, infos = mgr.restore(name, template)
         return state, infos, mgr
+    if require:
+        raise FileNotFoundError(
+            f"no checkpoint named {name!r} under {ckpt_dir!r} "
+            f"(expected {mgr._path(name)!r}); refusing to fall back to "
+            "randomly initialized parameters"
+        )
     return template, {}, mgr
 
 
 def restore_params(ckpt_dir: str, cfg: Config, name: str = "best") -> CaptionerParams:
-    state, _, _ = restore_or_init(ckpt_dir, cfg, steps_per_epoch=1, name=name)
+    state, _, _ = restore_or_init(
+        ckpt_dir, cfg, steps_per_epoch=1, name=name, require=True
+    )
     return state.params
 
 

@@ -64,7 +64,7 @@ def main(argv=None) -> None:
 
     ckpt_dir = os.path.join(args.checkpoint_dir, args.stage)
     if args.init_from:
-        state, infos, _ = restore_or_init(args.init_from, cfg, spe)
+        state, infos, _ = restore_or_init(args.init_from, cfg, spe, require=True)
         from controllable_xgating_tpu.train.state import (
             CheckpointManager, create_train_state,
         )
@@ -118,7 +118,7 @@ def main(argv=None) -> None:
             return _jax.jit(raw_step, donate_argnums=(0,))
         return make_parallel_train_step(raw_step, mesh)
 
-    tx = make_optimizer(cfg, spe)
+    tx = make_optimizer(cfg, spe, stage=args.stage)
     if args.stage == "scst":
         from controllable_xgating_tpu.train.scst import (
             build_scst_reward_tables,

@@ -98,6 +98,7 @@ class PrefetchIterator:
         self._put = put_fn or (lambda x: x)
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._worker, args=(batches,), daemon=True
         )
@@ -106,11 +107,43 @@ class PrefetchIterator:
     def _worker(self, batches: Iterator) -> None:
         try:
             for batch in batches:
-                self._q.put(self._put(batch))
+                if self._stop.is_set():
+                    return
+                item = self._put(batch)
+                # bounded put that stays responsive to close()
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
         finally:
-            self._q.put(_SENTINEL)
+            try:
+                self._q.put_nowait(_SENTINEL)
+            except queue.Full:
+                pass  # consumer gone; close() drains anyway
+
+    def close(self) -> None:
+        """Stop the worker and join it. Idempotent; abandoning an iterator
+        mid-epoch (the train loop pulls exactly steps_per_epoch × epochs
+        batches from an infinite source) must not leak a thread per stage."""
+        self._stop.set()
+        while True:  # unblock a worker stuck on a full queue
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=5.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def __iter__(self):
         return self

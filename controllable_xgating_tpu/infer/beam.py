@@ -10,8 +10,11 @@ crossed L × #videos times). Here the whole search is one `lax.scan`:
     `jax.lax.top_k`; beam states (h, c, token history, finished flags)
     reordered with `take_along_axis` gathers;
   * finished beams survive in the pool by emitting PAD at zero cost while
-    all their other continuations score -inf — so "keep the best finished
-    hypothesis" needs no host-side bookkeeping;
+    all their other continuations score -inf; additionally a per-video
+    best-finished register (score, tokens) is updated every step OUTSIDE
+    the pool, so a finished hypothesis momentarily evicted by k
+    later-decaying live beams can never be lost — "keep the best finished
+    hypothesis" is a guarantee, not a heuristic;
   * beam 0 alone is live at t=0 (other beams start at -inf) so the first
     expansion picks the K best distinct first words.
 
@@ -83,9 +86,18 @@ def beam_search(
     finished0 = jnp.zeros((b, k), bool)
     lengths0 = jnp.zeros((b, k), jnp.int32)
     hist0 = jnp.full((b, k, max_len), PAD, jnp.int32)
+    # per-video best-finished register (final-scored), pool-independent
+    reg_score0 = jnp.full((b,), NEG_INF, jnp.float32)
+    reg_tokens0 = jnp.full((b, max_len), PAD, jnp.int32)
+
+    def _final_score(cum, lengths):
+        if length_penalty > 0.0:
+            norm = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
+            return cum / norm
+        return cum
 
     def step(carry, t):
-        h, c, tok, cum, finished, lengths, hist = carry
+        h, c, tok, cum, finished, lengths, hist, reg_score, reg_tokens = carry
         # NOTE on the candidate expansion: a streaming Pallas logits->top-k
         # kernel exists (ops/pallas/logits_topk.py, parity-tested) but its
         # iterative per-tile extraction is VPU-bound and measured ~4x
@@ -126,10 +138,29 @@ def beam_search(
         emit = jnp.where(finished_g, PAD, new_tok)
         hist_new = hist_g.at[:, :, t].set(emit)
         lengths_new = jnp.where(finished_g, lengths_g, lengths_g + 1)
+
+        # update the best-finished register from beams finishing THIS step
+        just_finished = now_finished & ~finished_g
+        cand = jnp.where(
+            just_finished, _final_score(top_scores, lengths_new), NEG_INF
+        )
+        row_best = jnp.argmax(cand, axis=1)                       # [B]
+        row_score = jnp.take_along_axis(cand, row_best[:, None], 1)[:, 0]
+        row_tokens = jnp.take_along_axis(
+            hist_new, row_best[:, None, None], axis=1
+        )[:, 0, :]
+        improve = row_score > reg_score
+        reg_score = jnp.where(improve, row_score, reg_score)
+        reg_tokens = jnp.where(improve[:, None], row_tokens, reg_tokens)
         return (
-            h_new, c_new, emit, top_scores, now_finished, lengths_new, hist_new
+            h_new, c_new, emit, top_scores, now_finished, lengths_new,
+            hist_new, reg_score, reg_tokens,
         ), None
 
+    carry0 = (
+        h, c, tokens0, cum0, finished0, lengths0, hist0,
+        reg_score0, reg_tokens0,
+    )
     if early_stop:
         def cond(state):
             t = state[0]
@@ -137,34 +168,27 @@ def beam_search(
             return (t < max_len) & ~finished.all()
 
         def body(state):
-            t, h, c, tok, cum, finished, lengths, hist = state
-            (h, c, tok, cum, finished, lengths, hist), _ = step(
-                (h, c, tok, cum, finished, lengths, hist), t
-            )
-            return (t + 1, h, c, tok, cum, finished, lengths, hist)
+            t = state[0]
+            carry, _ = step(state[1:], t)
+            return (t + 1, *carry)
 
-        (_, h, c, tok, cum, finished, lengths, hist) = jax.lax.while_loop(
-            cond,
-            body,
-            (jnp.int32(0), h, c, tokens0, cum0, finished0, lengths0, hist0),
-        )
+        (_, h, c, tok, cum, finished, lengths, hist, reg_score, reg_tokens
+         ) = jax.lax.while_loop(cond, body, (jnp.int32(0), *carry0))
     else:
-        (h, c, tok, cum, finished, lengths, hist), _ = jax.lax.scan(
-            step,
-            (h, c, tokens0, cum0, finished0, lengths0, hist0),
-            jnp.arange(max_len),
-        )
+        (h, c, tok, cum, finished, lengths, hist, reg_score, reg_tokens
+         ), _ = jax.lax.scan(step, carry0, jnp.arange(max_len))
 
-    if length_penalty > 0.0:
-        norm = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
-        final = cum / norm
-    else:
-        final = cum
+    final = _final_score(cum, lengths)
     best = jnp.argmax(final, axis=1)  # [B]
     best_tokens = jnp.take_along_axis(
         hist, best[:, None, None], axis=1
     )[:, 0, :]
     best_scores = jnp.take_along_axis(final, best[:, None], axis=1)[:, 0]
+    # a finished hypothesis evicted from the pool can still win here; ties
+    # prefer the pool (identical results when no eviction ever happened)
+    use_reg = reg_score > best_scores
+    best_tokens = jnp.where(use_reg[:, None], reg_tokens, best_tokens)
+    best_scores = jnp.where(use_reg, reg_score, best_scores)
     return best_tokens, best_scores
 
 

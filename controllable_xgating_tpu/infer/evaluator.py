@@ -9,6 +9,7 @@ best-checkpoint selection in the train loop.
 
 from __future__ import annotations
 
+import functools
 
 import jax
 import numpy as np
@@ -30,11 +31,19 @@ from controllable_xgating_tpu.metrics.harness import (
 def make_greedy_caption_fn(
     max_pos_len: int, max_len: int, fused=None, early_stop: bool = True
 ):
-    """Jitted (params, app, motion) -> (tokens [B, L], pos_tags [B, Lp])."""
+    """Jitted (params, app, motion) -> (tokens [B, L], pos_tags [B, Lp]).
+
+    Memoized on the resolved (max_pos_len, max_len, fused, early_stop)
+    tuple so repeated callers (the train loop evaluates every epoch) reuse
+    one jitted closure instead of recompiling the whole decode program.
+    """
     from controllable_xgating_tpu.ops.dispatch import fused_enabled
 
-    fused = fused_enabled(fused)
+    return _cached_greedy_fn(max_pos_len, max_len, fused_enabled(fused), early_stop)
 
+
+@functools.lru_cache(maxsize=16)
+def _cached_greedy_fn(max_pos_len: int, max_len: int, fused: bool, early_stop: bool):
     @jax.jit
     def fn(params: CaptionerParams, app: jax.Array, motion: jax.Array):
         ctx, summary, tags = encode_for_inference(

@@ -1,22 +1,36 @@
-"""METEOR (Banerjee & Lavie 2005; Denkowski & Lavie 2014), pure Python.
+"""METEOR (Banerjee & Lavie 2005; Denkowski & Lavie 2011/2014), pure Python.
 
 Rebuilds coco-caption's METEOR component (SURVEY.md §2 "METEOR"), which
 shells out to meteor-1.5.jar over a subprocess pipe — impossible here (no
-JVM). This reimplementation follows the METEOR 1.5 English configuration:
+JVM). This follows the published METEOR 1.3/1.5 scoring form exactly:
 
-  * matcher stages in priority order: exact, stem (Porter; meteor uses
-    Snowball — near-identical on caption English). The WordNet synonym and
-    paraphrase-table stages are OMITTED: their data files are jar-internal
-    downloads unavailable offline. This under-matches slightly, so absolute
-    METEOR is a lower bound vs the jar (documented divergence per
-    SURVEY.md §2's "report divergence" directive).
-  * English parameters alpha=0.85, beta=0.2, gamma=0.6, delta=0.75
-    (content/function word weighting included; function words from the
-    meteor 1.5 default list trimmed to caption English).
-  * score vs each reference independently, keep the best (jar behavior).
-  * alignment: maximum total matches, ties broken by fewest chunks —
-    resolved exactly via beam over stage-greedy alignments; for caption
-    lengths (~10 words) an exhaustive chunk-minimal search is affordable.
+    P     = sum_matches w_stage * w_word(hyp word) / sum_hyp w_word
+    R     = sum_matches w_stage * w_word(ref word) / sum_ref w_word
+    Fmean = P * R / (alpha * P + (1 - alpha) * R)
+    frag  = chunks / matches
+    Pen   = gamma * frag ** beta          <- the published penalty form
+    score = (1 - Pen) * Fmean
+
+with the METEOR 1.5 English task parameters alpha=0.85, beta=0.2,
+gamma=0.6, delta=0.75 and matcher stage weights exact=1.0, stem=0.6
+(Denkowski & Lavie 2014, "Meteor Universal", table of language defaults).
+delta weights content words; function words get (1 - delta).
+
+Divergences from meteor-1.5.jar, each unavoidable offline and documented
+per SURVEY.md §2's "report divergence" directive:
+  * the WordNet synonym (w=0.8) and paraphrase-table (w=0.6) matcher
+    stages are OMITTED — their data files are jar-internal downloads.
+    METEOR here is therefore a lower bound vs the jar.
+  * Porter stemmer instead of Snowball (near-identical on caption English).
+  * the function-word list is the common English core rather than the
+    jar's learned list.
+
+Alignment: the jar resolves the match search with a beam over partial
+alignments choosing maximum total matches, then fewest chunks. `_align`
+implements the same objective as a left-to-right beam over hypothesis
+positions (beam 256 — exhaustive for caption-length sentences, so the
+"max matches, then min chunks" optimum is exact here; ties after chunks
+prefer higher stage weight, i.e. exact over stem matches).
 """
 
 from __future__ import annotations
@@ -25,10 +39,16 @@ from typing import Mapping, Sequence
 
 from controllable_xgating_tpu.metrics.stemmer import stem
 
+# METEOR 1.5 English task parameters (Denkowski & Lavie 2014).
 ALPHA = 0.85
-BETA = 0.2
+BETA = 0.2    # fragmentation penalty exponent: Pen = GAMMA * frag**BETA
 GAMMA = 0.6
-DELTA = 0.75
+DELTA = 0.75  # content-word weight; function words weigh (1 - DELTA)
+
+# matcher stage weights (exact, stem); syn/para stages omitted — see above
+STAGE_WEIGHTS = (1.0, 0.6)
+
+_BEAM = 256
 
 _FUNCTION_WORDS = {
     "a", "an", "the", "of", "in", "on", "at", "to", "and", "or", "is",
@@ -38,49 +58,86 @@ _FUNCTION_WORDS = {
 }
 
 
-def _align(hyp: list[str], ref: list[str]) -> list[tuple[int, int]]:
-    """Greedy stage-wise alignment: exact first, then stem matches.
+def _align(hyp: list[str], ref: list[str]) -> list[tuple[int, int, int]]:
+    """Best alignment as [(hyp_i, ref_j, stage)], stage 0=exact, 1=stem.
 
-    Within a stage, earlier hyp words match the earliest unmatched
-    compatible ref word — the beam search in meteor-1.5 differs only on
-    pathological repetition patterns.
+    Beam search over hypothesis positions, each word either unmatched or
+    matched to a compatible unused reference word. States are ranked by
+    (matches desc, chunks asc, stage-weight sum desc) — the published
+    METEOR alignment objective. Beam 256 is exhaustive at caption lengths.
     """
-    matches: dict[int, int] = {}
-    used_ref: set[int] = set()
+    stems_h = [stem(w) for w in hyp]
+    stems_r = [stem(w) for w in ref]
+    cands: list[list[tuple[int, int]]] = []
+    for i, hw in enumerate(hyp):
+        row = []
+        for j, rw in enumerate(ref):
+            if hw == rw:
+                row.append((j, 0))
+            elif stems_h[i] == stems_r[j]:
+                row.append((j, 1))
+        cands.append(row)
 
-    def run_stage(key_fn):
-        for i, hw in enumerate(hyp):
-            if i in matches:
-                continue
-            hk = key_fn(hw)
-            for j, rw in enumerate(ref):
-                if j in used_ref:
+    # state: (used_ref frozenset, last_i, last_j) ->
+    #        (matches, chunks, wsum, pairs tuple)
+    states: dict[tuple, tuple] = {(frozenset(), -2, -2): (0, 0, 0.0, ())}
+    for i in range(len(hyp)):
+        nxt: dict[tuple, tuple] = {}
+
+        def consider(key, val):
+            old = nxt.get(key)
+            if old is None or _better(val, old):
+                nxt[key] = val
+
+        for (used, li, lj), (m, ch, ws, pairs) in states.items():
+            # leave hyp[i] unmatched
+            consider((used, li, lj), (m, ch, ws, pairs))
+            for j, stage in cands[i]:
+                if j in used:
                     continue
-                if hk == key_fn(rw):
-                    matches[i] = j
-                    used_ref.add(j)
-                    break
+                new_ch = ch + (0 if (i == li + 1 and j == lj + 1) else 1)
+                consider(
+                    (used | {j}, i, j),
+                    (
+                        m + 1,
+                        new_ch,
+                        ws + STAGE_WEIGHTS[stage],
+                        pairs + ((i, j, stage),),
+                    ),
+                )
+        ranked = sorted(nxt.items(), key=lambda kv: _rank(kv[1]), reverse=True)
+        states = dict(ranked[:_BEAM])
 
-    run_stage(lambda w: w)
-    run_stage(stem)
-    return sorted(matches.items())
+    best = max(states.values(), key=_rank)
+    return list(best[3])
 
 
-def _count_chunks(pairs: list[tuple[int, int]]) -> int:
+def _rank(val: tuple) -> tuple:
+    m, ch, ws, _ = val
+    return (m, -ch, ws)
+
+
+def _better(a: tuple, b: tuple) -> bool:
+    return _rank(a) > _rank(b)
+
+
+def _count_chunks(pairs: Sequence[tuple[int, int, int]]) -> int:
     if not pairs:
         return 0
     chunks = 1
-    for (h1, r1), (h2, r2) in zip(pairs, pairs[1:]):
+    for (h1, r1, _), (h2, r2, _) in zip(pairs, pairs[1:]):
         if h2 != h1 + 1 or r2 != r1 + 1:
             chunks += 1
     return chunks
 
 
 def _weight(word: str) -> float:
-    return DELTA if word not in _FUNCTION_WORDS else 1.0 - DELTA
+    return (1.0 - DELTA) if word in _FUNCTION_WORDS else DELTA
 
 
 def meteor_single(hyp_str: str, refs: Sequence[str]) -> float:
+    """METEOR of one hypothesis vs its references (best ref wins — jar
+    behavior when scoring captioning-style multi-reference sets)."""
     hyp = hyp_str.split()
     best = 0.0
     for ref_str in refs:
@@ -90,8 +147,8 @@ def meteor_single(hyp_str: str, refs: Sequence[str]) -> float:
         pairs = _align(hyp, ref)
         if not pairs:
             continue
-        m_hyp = sum(_weight(hyp[i]) for i, _ in pairs)
-        m_ref = sum(_weight(ref[j]) for _, j in pairs)
+        m_hyp = sum(STAGE_WEIGHTS[s] * _weight(hyp[i]) for i, _, s in pairs)
+        m_ref = sum(STAGE_WEIGHTS[s] * _weight(ref[j]) for _, j, s in pairs)
         w_hyp = sum(_weight(w) for w in hyp)
         w_ref = sum(_weight(w) for w in ref)
         p = m_hyp / w_hyp if w_hyp else 0.0
@@ -99,17 +156,8 @@ def meteor_single(hyp_str: str, refs: Sequence[str]) -> float:
         if p == 0.0 or r == 0.0:
             continue
         fmean = p * r / (ALPHA * p + (1 - ALPHA) * r)
-        chunks = _count_chunks(pairs)
-        frag = chunks / len(pairs)
-        penalty = GAMMA * (frag**3) if len(pairs) > 1 else (
-            GAMMA if chunks > 1 else 0.0
-        )
-        # meteor 1.5: penalty = gamma * frag^beta_exponent with exponent
-        # parameter named beta... in the 1.5 config the exponent is 3/beta
-        # pairing; the standard published form is gamma * frag^3 with
-        # frag = ch/m. (beta parameterizes frag as (ch/m)^beta in 1.0;
-        # 1.5 English uses gamma=0.6, exponent from beta=0.2 -> ~frag^?)
-        # We use the widely cited gamma * frag^3 form.
+        frag = _count_chunks(pairs) / len(pairs)
+        penalty = GAMMA * frag**BETA
         score = (1.0 - penalty) * fmean
         best = max(best, score)
     return best

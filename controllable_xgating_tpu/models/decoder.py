@@ -30,6 +30,15 @@ from controllable_xgating_tpu.ops.attention import (
 )
 from controllable_xgating_tpu.ops.lstm import LSTMWeights, init_lstm, lstm_cell
 from controllable_xgating_tpu.ops.precision import mm
+from controllable_xgating_tpu.utils.logging import get_logger
+
+log = get_logger("cxg.decoder")
+
+# The fused attention+cell kernel keeps its whole working set resident in
+# VMEM; above this estimate (v5e has 16 MiB more ~2 MiB scratch headroom)
+# Mosaic would fail to place it, so dispatch falls back to the jnp path.
+ATTN_LSTM_VMEM_LIMIT = 14 * 1024 * 1024
+_vmem_fallback_warned: set = set()
 
 
 class DecoderParams(struct.PyTreeNode):
@@ -168,7 +177,7 @@ def decode_step(
             ctx.psi_g.shape[-1],
             compute_dtype(),
         )
-        if est <= 14 * 1024 * 1024:  # else fall through to the jnp path
+        if est <= ATTN_LSTM_VMEM_LIMIT:
             h_new, c_new, alpha = attn_lstm_step_pallas(
                 params, e, h, c, ctx.keys, ctx.enc_proj, ctx.psi_g,
                 ctx.frame_mask,
@@ -176,6 +185,16 @@ def decode_step(
             h_out = h_new * out_drop if out_drop is not None else h_new
             logits = mm(h_out, params.w_out) + params.b_out.astype(f32)
             return logits, h_new, c_new, alpha
+        # fall through to the jnp path — loudly, once per trace-time estimate
+        if est not in _vmem_fallback_warned:
+            _vmem_fallback_warned.add(est)
+            log.warning(
+                "fused attn+LSTM kernel requested but its VMEM estimate "
+                "(%.1f MiB) exceeds the %.0f MiB budget at these dims/dtype; "
+                "falling back to the (slower) jnp path — use the bfloat16 "
+                "compute policy or smaller dims to re-enable it",
+                est / 2**20, ATTN_LSTM_VMEM_LIMIT / 2**20,
+            )
     vis_g, alpha = additive_attention(
         params.attn, h, ctx.enc_proj, ctx.keys, ctx.frame_mask
     )

@@ -47,57 +47,94 @@ def train_loop(
     track_metric = track_metric or cfg.train.keep_best_metric
     best_score = -float("inf")
     history = []
-    batches = iter(PrefetchIterator(iter(train_iter), put_fn=device_put_fn))
+    # host-side step counter: pulling int(state.step) every step would force
+    # a D2H sync that serializes dispatch with device compute and defeats
+    # the double-buffered prefetch below
+    start_step = int(state.step)
+    prefetch = PrefetchIterator(
+        iter(train_iter), put_fn=device_put_fn, depth=cfg.data.num_prefetch
+    )
+    batches = iter(prefetch)
+    # one jitted decode program reused by every eval epoch (model selection
+    # decodes per cfg.eval.select_decode; test-time default is beam-5)
+    caption_fn = _make_select_caption_fn(cfg)
 
-    for epoch in range(epochs):
-        t0 = time.time()
-        losses = []
-        for _ in range(steps_per_epoch):
-            batch = next(batches)
-            state, metrics = step_fn(state, batch)
-            losses.append(metrics)
-            step = int(state.step)
-            if step % cfg.train.log_every_steps == 0:
-                host = {k: float(v) for k, v in metrics.items()}
-                jsonl.log(step, epoch=epoch, **host)
-        # epoch summary (block once per epoch, not per step)
-        mean_loss = float(np.mean([float(m["loss"]) for m in losses]))
-        dt = time.time() - t0
-        samples = steps_per_epoch * train_iter.batch_size
-        log.info(
-            "epoch %d loss %.4f (%.1f samples/s)", epoch, mean_loss, samples / dt
-        )
-
-        entry = {"epoch": epoch, "loss": mean_loss, "samples_per_sec": samples / dt}
-        if (epoch + 1) % cfg.train.eval_every_epochs == 0:
-            metrics, _ = evaluate_split(
-                state.params,
-                store,
-                labels,
-                info,
-                split=eval_split,
-                batch_size=cfg.data.batch_size,
-                max_len=cfg.eval.max_decode_len,
-                max_pos_len=cfg.model.max_pos_len,
+    try:
+        for epoch in range(epochs):
+            t0 = time.time()
+            losses = []
+            for i in range(steps_per_epoch):
+                batch = next(batches)
+                state, metrics = step_fn(state, batch)
+                losses.append(metrics["loss"])
+                step = start_step + epoch * steps_per_epoch + i + 1
+                if step % cfg.train.log_every_steps == 0:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    jsonl.log(step, epoch=epoch, **host)
+            global_step = start_step + (epoch + 1) * steps_per_epoch
+            # epoch summary (block once per epoch, one stacked transfer)
+            mean_loss = float(np.mean(np.asarray(losses, np.float64)))
+            dt = time.time() - t0
+            samples = steps_per_epoch * train_iter.batch_size
+            log.info(
+                "epoch %d loss %.4f (%.1f samples/s)", epoch, mean_loss, samples / dt
             )
-            entry["eval"] = metrics
-            score = metrics.get(track_metric, metrics.get("CIDEr", 0.0))
-            jsonl.log(int(state.step), epoch=epoch, **{
-                f"val_{k}": v for k, v in metrics.items()
-            })
-            log.info("epoch %d val %s=%.4f", epoch, track_metric, score)
-            infos = {
-                "epoch": epoch,
-                "step": int(state.step),
-                "best_score": max(best_score, score),
-                "metric": track_metric,
-                **(infos_extra or {}),
-            }
-            if ckpt is not None:
-                ckpt.save_last(state, infos)
-                if score > best_score:
-                    best_score = score
-                    ckpt.save_best(state, infos)
-        history.append(entry)
+
+            entry = {"epoch": epoch, "loss": mean_loss, "samples_per_sec": samples / dt}
+            if (epoch + 1) % cfg.train.eval_every_epochs == 0:
+                metrics, _ = evaluate_split(
+                    state.params,
+                    store,
+                    labels,
+                    info,
+                    split=eval_split,
+                    batch_size=cfg.data.batch_size,
+                    max_len=cfg.eval.max_decode_len,
+                    max_pos_len=cfg.model.max_pos_len,
+                    caption_fn=caption_fn,
+                )
+                entry["eval"] = metrics
+                score = metrics.get(track_metric, metrics.get("CIDEr", 0.0))
+                jsonl.log(global_step, epoch=epoch, **{
+                    f"val_{k}": v for k, v in metrics.items()
+                })
+                log.info("epoch %d val %s=%.4f", epoch, track_metric, score)
+                infos = {
+                    "epoch": epoch,
+                    "step": global_step,
+                    "best_score": max(best_score, score),
+                    "metric": track_metric,
+                    **(infos_extra or {}),
+                }
+                if ckpt is not None:
+                    ckpt.save_last(state, infos)
+                    if score > best_score:
+                        best_score = score
+                        ckpt.save_best(state, infos)
+            history.append(entry)
+    finally:
+        prefetch.close()
 
     return state, {"best": best_score, "history": history}
+
+
+def _make_select_caption_fn(cfg: Config):
+    """Decode fn for per-epoch model selection (cfg.eval.select_decode)."""
+    if cfg.eval.select_decode == "beam":
+        from controllable_xgating_tpu.infer.beam import make_beam_caption_fn
+
+        return make_beam_caption_fn(
+            cfg.eval.beam_size,
+            cfg.model.max_pos_len,
+            cfg.eval.max_decode_len,
+            length_penalty=cfg.eval.length_penalty,
+            block_unk=cfg.eval.block_unk,
+        )
+    if cfg.eval.select_decode != "greedy":
+        raise ValueError(
+            f"eval.select_decode must be 'greedy' or 'beam', "
+            f"got {cfg.eval.select_decode!r}"
+        )
+    from controllable_xgating_tpu.infer.evaluator import make_greedy_caption_fn
+
+    return make_greedy_caption_fn(cfg.model.max_pos_len, cfg.eval.max_decode_len)

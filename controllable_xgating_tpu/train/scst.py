@@ -106,12 +106,18 @@ def make_scst_train_step(
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
     max_len = cfg.eval.max_decode_len
     max_pos_len = cfg.model.max_pos_len
+    # weight on the CIDEr-D reward term (the reference's reward-mixing knob;
+    # with a single reward this scales the REINFORCE loss)
+    reward_w = cfg.train.scst_cider_weight
 
     def step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
         state, rng = state.next_rng()
 
         def loss_fn(params):
-            return scst_loss(params, batch, tables, rng, max_len, max_pos_len)
+            loss, aux = scst_loss(
+                params, batch, tables, rng, max_len, max_pos_len
+            )
+            return reward_w * loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params

@@ -39,12 +39,15 @@ class TrainState(struct.PyTreeNode):
         return self.replace(rng=rng), sub
 
 
-def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+def make_optimizer(
+    cfg: Config, steps_per_epoch: int, stage: str = "joint"
+) -> optax.GradientTransformation:
     """Adam + global-norm clip + epoch-staircase lr decay (reference
     schedule shape: decay lr by `lr_decay_rate` every
-    `lr_decay_every_epochs`)."""
+    `lr_decay_every_epochs`). The POS stage uses its own base lr
+    (`train.pos_lr`, mirroring the reference's per-stage opts modules)."""
     schedule = optax.exponential_decay(
-        init_value=cfg.train.lr,
+        init_value=cfg.train.pos_lr if stage == "pos" else cfg.train.lr,
         transition_steps=max(cfg.train.lr_decay_every_epochs * steps_per_epoch, 1),
         decay_rate=cfg.train.lr_decay_rate,
         staircase=True,

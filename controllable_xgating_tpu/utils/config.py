@@ -84,6 +84,11 @@ class EvalConfig:
     max_decode_len: int = 28
     length_penalty: float = 0.0  # 0 = pure sum-logprob, like the reference era
     block_unk: bool = False  # suppress <unk> in decoded output (coco-era opt)
+    # decode mode used for per-epoch val eval / best-checkpoint selection.
+    # REFERENCE_TBD divergence (SURVEY.md §0): the reference era selected on
+    # greedy val decoding and ran beam-5 only at test time; "beam" makes
+    # model selection match the test-time decoder at ~K x the eval cost.
+    select_decode: str = "greedy"  # greedy | beam
     split: str = "test"
     metrics: tuple = ("Bleu_4", "METEOR", "ROUGE_L", "CIDEr")
 

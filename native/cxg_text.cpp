@@ -281,9 +281,14 @@ std::string porter_stem(const std::string& word) {
 }
 
 // ----------------------------------------------------------------- METEOR
-// Port of metrics/meteor.py (exact + stem stages, greedy alignment,
-// content/function weighting, gamma * frag^3 chunk penalty).
-constexpr double ALPHA = 0.85, GAMMA = 0.6, DELTA = 0.75;
+// Mirror of metrics/meteor.py: exact + stem matcher stages with stage
+// weights (1.0, 0.6), content/function word weighting (delta), beam-search
+// alignment maximizing (matches, -chunks, stage-weight sum), and the
+// published METEOR 1.5 penalty Pen = gamma * frag^beta (Denkowski & Lavie
+// 2014 English parameters).
+constexpr double ALPHA = 0.85, BETA = 0.2, GAMMA = 0.6, DELTA = 0.75;
+constexpr double STAGE_W[2] = {1.0, 0.6};
+constexpr int METEOR_BEAM = 256;
 
 const std::unordered_set<std::string>& function_words() {
   static const std::unordered_set<std::string> f = {
@@ -299,36 +304,98 @@ double weight(const std::string& w) {
   return function_words().count(w) ? 1.0 - DELTA : DELTA;
 }
 
-double meteor_pair(const std::vector<std::string>& hyp,
-                   const std::vector<std::string>& ref) {
-  if (hyp.empty() || ref.empty()) return 0.0;
+// One (hyp_i, ref_j, stage) match in an alignment.
+struct MTriple { int i, j, stage; };
+
+// Beam state: which ref words are used, where the last match sat (for
+// chunk counting), and the running objective.
+struct MState {
+  std::vector<uint64_t> used;  // ref-word bitset
+  int last_i = -2, last_j = -2;
+  int matches = 0, chunks = 0;
+  double wsum = 0.0;
+  std::vector<MTriple> pairs;
+};
+
+bool mstate_rank_gt(const MState& a, const MState& b) {
+  if (a.matches != b.matches) return a.matches > b.matches;
+  if (a.chunks != b.chunks) return a.chunks < b.chunks;
+  return a.wsum > b.wsum;
+}
+
+// Beam-search alignment: maximize matches, then minimize chunks, then
+// prefer exact over stem matches — identical objective and tie-breaks to
+// metrics/meteor.py::_align (beam 256: exhaustive at caption lengths).
+std::vector<MTriple> meteor_align(const std::vector<std::string>& hyp,
+                                  const std::vector<std::string>& ref) {
   const size_t H = hyp.size(), R = ref.size();
-  std::vector<int> match(H, -1);
-  std::vector<char> used(R, 0);
-  // stage 1: exact
-  for (size_t i = 0; i < H; ++i) {
-    for (size_t j = 0; j < R; ++j)
-      if (!used[j] && hyp[i] == ref[j]) { match[i] = j; used[j] = 1; break; }
-  }
-  // stage 2: stem
   std::vector<std::string> hs(H), rs(R);
   for (size_t i = 0; i < H; ++i) hs[i] = porter_stem(hyp[i]);
   for (size_t j = 0; j < R; ++j) rs[j] = porter_stem(ref[j]);
+  const size_t words = (R + 63) / 64;
+
+  std::vector<MState> states(1);
+  states[0].used.assign(words, 0);
+  std::vector<MState> nxt;
   for (size_t i = 0; i < H; ++i) {
-    if (match[i] >= 0) continue;
-    for (size_t j = 0; j < R; ++j)
-      if (!used[j] && hs[i] == rs[j]) { match[i] = j; used[j] = 1; break; }
+    nxt.clear();
+    for (const auto& st : states) {
+      nxt.push_back(st);  // hyp[i] unmatched
+      for (size_t j = 0; j < R; ++j) {
+        int stage;
+        if (hyp[i] == ref[j]) stage = 0;
+        else if (hs[i] == rs[j]) stage = 1;
+        else continue;
+        if (st.used[j / 64] >> (j % 64) & 1) continue;
+        MState ns = st;
+        ns.used[j / 64] |= uint64_t(1) << (j % 64);
+        ns.chunks += (static_cast<int>(i) == st.last_i + 1 &&
+                      static_cast<int>(j) == st.last_j + 1) ? 0 : 1;
+        ns.last_i = static_cast<int>(i);
+        ns.last_j = static_cast<int>(j);
+        ns.matches += 1;
+        ns.wsum += STAGE_W[stage];
+        ns.pairs.push_back({static_cast<int>(i), static_cast<int>(j), stage});
+        nxt.push_back(std::move(ns));
+      }
+    }
+    // dedupe on (used, last_i, last_j) keeping the best-ranked state —
+    // matches the Python dict semantics exactly
+    std::sort(nxt.begin(), nxt.end(), [](const MState& a, const MState& b) {
+      if (a.used != b.used) return a.used < b.used;
+      if (a.last_i != b.last_i) return a.last_i < b.last_i;
+      if (a.last_j != b.last_j) return a.last_j < b.last_j;
+      return mstate_rank_gt(a, b);
+    });
+    states.clear();
+    for (auto& s : nxt) {
+      if (!states.empty() && states.back().used == s.used &&
+          states.back().last_i == s.last_i && states.back().last_j == s.last_j)
+        continue;
+      states.push_back(std::move(s));
+    }
+    if (static_cast<int>(states.size()) > METEOR_BEAM) {
+      std::stable_sort(states.begin(), states.end(), mstate_rank_gt);
+      states.resize(METEOR_BEAM);
+    }
   }
-  // collect sorted pairs (by hyp index — match[] is already in order)
-  std::vector<std::pair<int, int>> pairs;
-  for (size_t i = 0; i < H; ++i)
-    if (match[i] >= 0) pairs.emplace_back(static_cast<int>(i), match[i]);
+  auto best = std::max_element(states.begin(), states.end(),
+                               [](const MState& a, const MState& b) {
+                                 return mstate_rank_gt(b, a);
+                               });
+  return best->pairs;
+}
+
+double meteor_pair(const std::vector<std::string>& hyp,
+                   const std::vector<std::string>& ref) {
+  if (hyp.empty() || ref.empty()) return 0.0;
+  auto pairs = meteor_align(hyp, ref);
   if (pairs.empty()) return 0.0;
 
   double m_hyp = 0, m_ref = 0, w_hyp = 0, w_ref = 0;
-  for (auto& [i, j] : pairs) {
-    m_hyp += weight(hyp[i]);
-    m_ref += weight(ref[j]);
+  for (auto& t : pairs) {
+    m_hyp += STAGE_W[t.stage] * weight(hyp[t.i]);
+    m_ref += STAGE_W[t.stage] * weight(ref[t.j]);
   }
   for (auto& w : hyp) w_hyp += weight(w);
   for (auto& w : ref) w_ref += weight(w);
@@ -338,16 +405,10 @@ double meteor_pair(const std::vector<std::string>& hyp,
   double fmean = p * r / (ALPHA * p + (1 - ALPHA) * r);
   int chunks = 1;
   for (size_t k = 1; k < pairs.size(); ++k)
-    if (pairs[k].first != pairs[k - 1].first + 1 ||
-        pairs[k].second != pairs[k - 1].second + 1)
+    if (pairs[k].i != pairs[k - 1].i + 1 || pairs[k].j != pairs[k - 1].j + 1)
       ++chunks;
-  double penalty;
-  if (pairs.size() > 1) {
-    double frag = static_cast<double>(chunks) / pairs.size();
-    penalty = GAMMA * frag * frag * frag;
-  } else {
-    penalty = chunks > 1 ? GAMMA : 0.0;
-  }
+  double frag = static_cast<double>(chunks) / pairs.size();
+  double penalty = GAMMA * std::pow(frag, BETA);
   return (1.0 - penalty) * fmean;
 }
 

@@ -148,9 +148,33 @@ def test_stemmer_classics():
 
 
 def test_meteor_identical():
+    # Hand-computed with the published METEOR 1.5 form (en parameters):
+    # P=R=1 -> fmean=1; 3 matches in 1 chunk -> frag=1/3;
+    # Pen = gamma * frag^beta = 0.6*(1/3)^0.2; score = 1 - Pen.
     s = meteor_single("the cat sat", ["the cat sat"])
-    # P=R=1, fmean=1, chunks=1, frag=1/3, penalty=0.6*(1/3)^3
-    assert s == pytest.approx(1.0 - 0.6 / 27, rel=1e-6)
+    assert s == pytest.approx(1.0 - 0.6 * (1 / 3) ** 0.2, rel=1e-9)
+
+
+def test_meteor_single_word_golden():
+    # m=1, ch=1 -> frag=1 -> Pen=gamma=0.6; P=R=fmean=1 -> score 0.4
+    assert meteor_single("cat", ["cat"]) == pytest.approx(0.4, rel=1e-9)
+
+
+def test_meteor_stem_stage_weight_golden():
+    # one stem match (stage weight 0.6): P=R=0.6, fmean=0.36/0.6=0.6;
+    # frag=1 -> Pen=0.6; score = 0.4*0.6 = 0.24
+    assert meteor_single("running", ["runs"]) == pytest.approx(0.24, rel=1e-9)
+
+
+def test_meteor_exact_alignment_minimizes_chunks():
+    # Greedy first-fit would align hyp "dog" to ref[0] giving 3 chunks;
+    # the exact (max-matches, min-chunks) search must find the contiguous
+    # alignment cat->ref1 dog->ref2 bird->ref3 with 1 chunk.
+    # All content words, all exact matches: P=1, R=2.25/3=0.75,
+    # fmean=0.75/(0.85+0.15*0.75); frag=1/3.
+    s = meteor_single("cat dog bird", ["dog cat dog bird"])
+    expected = (1.0 - 0.6 * (1 / 3) ** 0.2) * (0.75 / (0.85 + 0.15 * 0.75))
+    assert s == pytest.approx(expected, rel=1e-9)
 
 
 def test_meteor_stem_match():

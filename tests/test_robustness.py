@@ -119,3 +119,80 @@ def test_unknown_words_map_to_unk(corpus_dir):
     assert ids[1] == UNK
     # decode keeps the literal <unk> token (reference behavior)
     assert "<unk>" in info.vocab.decode_str(ids)
+
+
+def test_prefetch_close_joins_thread():
+    """Abandoning a PrefetchIterator mid-stream must not leak its worker
+    (the train loop pulls finitely many batches from an infinite source)."""
+    import itertools
+    import threading
+
+    from controllable_xgating_tpu.data.features import PrefetchIterator
+
+    before = threading.active_count()
+    pf = PrefetchIterator(iter(itertools.count()), depth=2)
+    it = iter(pf)
+    assert next(it) == 0
+    pf.close()
+    pf.close()  # idempotent
+    assert threading.active_count() <= before
+
+
+def test_restore_params_missing_checkpoint_raises(tmp_path):
+    """A typo'd checkpoint dir must raise, not silently evaluate random
+    weights (eval/caption CLIs and --init_from route through require=True)."""
+    from controllable_xgating_tpu.cli.common import restore_params
+    from controllable_xgating_tpu.utils.config import Config
+
+    cfg = Config().replace_flat({
+        "model.vocab_size": 20, "model.pos_vocab_size": 10,
+        "model.hidden_dim": 8, "model.embed_dim": 8, "model.attn_dim": 8,
+        "model.pos_embed_dim": 8, "model.num_frames": 4,
+    })
+    with pytest.raises(FileNotFoundError, match="refusing"):
+        restore_params(str(tmp_path / "no_such_dir"), cfg)
+
+
+def test_vmem_fallback_warns_and_uses_jnp_path():
+    """fused=True at dims whose VMEM estimate exceeds the budget must fall
+    back to the jnp path with a visible warning (not silently)."""
+    import io
+    import logging
+
+    from controllable_xgating_tpu.models import decoder as dec_mod
+    from controllable_xgating_tpu.models.captioner import init_captioner
+    from controllable_xgating_tpu.models.decoder import (
+        decode_step, init_decoder_state, make_decode_context,
+    )
+    from controllable_xgating_tpu.models.encoder import encode
+    from controllable_xgating_tpu.ops.precision import set_compute_dtype
+    from controllable_xgating_tpu.utils.config import ModelConfig
+
+    # f32 policy at full reference dims: ~23 MB of resident weights
+    set_compute_dtype("float32")
+    try:
+        cfg = ModelConfig(vocab_size=50, pos_vocab_size=10)
+        params = init_captioner(jax.random.PRNGKey(0), cfg)
+        app = jnp.zeros((2, cfg.num_frames, cfg.app_dim))
+        mot = jnp.zeros((2, cfg.num_frames, cfg.motion_dim))
+        enc_out, summary = encode(params.encoder, app, mot)
+        psi = jnp.zeros((2, cfg.pos_embed_dim))
+        ctx = make_decode_context(params.decoder, enc_out, psi)
+        h, c = init_decoder_state(params.decoder, summary)
+        dec_mod._vmem_fallback_warned.clear()
+        # the cxg logger holds a direct stdout handle (propagate=False), so
+        # capture via a temporary handler instead of capsys
+        buf = io.StringIO()
+        handler = logging.StreamHandler(buf)
+        dec_mod.log.addHandler(handler)
+        try:
+            logits, *_ = decode_step(
+                params.decoder, ctx, jnp.zeros((2,), jnp.int32), h, c,
+                fused=True,
+            )
+        finally:
+            dec_mod.log.removeHandler(handler)
+        assert logits.shape == (2, 50)
+        assert "VMEM" in buf.getvalue()
+    finally:
+        set_compute_dtype("bfloat16")
