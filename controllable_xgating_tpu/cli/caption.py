@@ -54,6 +54,7 @@ def main(argv=None) -> None:
     params = restore_params(args.checkpoint_dir, cfg, name=args.ckpt_name)
 
     app, motion = store.get_batch(np.array(vidx_list))
+    frame_mask = store.frame_mask(np.array(vidx_list))
     pos_tags = None
     if args.pos_tags:
         tags = args.pos_tags.split()
@@ -64,9 +65,9 @@ def main(argv=None) -> None:
         pos_tags = np.array([row] * len(vids), np.int32)
 
     @jax.jit
-    def run(params, app, motion, pos_tags):
+    def run(params, app, motion, frame_mask, pos_tags):
         ctx, summary, tags_out = encode_for_inference(
-            params, app, motion, pos_tags=pos_tags,
+            params, app, motion, frame_mask, pos_tags=pos_tags,
             max_pos_len=cfg.model.max_pos_len,
         )
         tokens = greedy_decode(
@@ -74,7 +75,7 @@ def main(argv=None) -> None:
         )
         return tokens, tags_out
 
-    tokens, tags_out = run(params, app, motion, pos_tags)
+    tokens, tags_out = run(params, app, motion, frame_mask, pos_tags)
     tokens = np.asarray(tokens)
     tags_out = np.asarray(tags_out)
     for row, vid in enumerate(vids):

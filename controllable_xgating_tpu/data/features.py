@@ -27,14 +27,30 @@ import numpy as np
 
 
 def write_feature_file(
-    path: str, app: np.ndarray, motion: np.ndarray
+    path: str,
+    app: np.ndarray,
+    motion: np.ndarray,
+    nframes: Optional[np.ndarray] = None,
 ) -> None:
-    """Write an aligned feature file. app [N,T,Da], motion [N,T,Dm]."""
+    """Write an aligned feature file. app [N,T,Da], motion [N,T,Dm].
+
+    `nframes` [N] records each video's TRUE number of valid timesteps after
+    fitting to T (shorter videos are zero-padded — MSVD has variable clip
+    lengths); loaders turn it into frame masks so attention/summary/LSTM
+    never consume pad frames. Omitted = every frame valid (legacy files).
+    """
     if app.shape[:2] != motion.shape[:2]:
         raise ValueError("app/motion must align on (num_videos, num_frames)")
     with h5py.File(path, "w") as f:
         f.create_dataset("app", data=app.astype(np.float32))
         f.create_dataset("motion", data=motion.astype(np.float32))
+        if nframes is not None:
+            nframes = np.asarray(nframes, np.int32)
+            if nframes.shape != (app.shape[0],):
+                raise ValueError("nframes must be [num_videos]")
+            if nframes.max(initial=0) > app.shape[1] or nframes.min(initial=1) < 1:
+                raise ValueError("nframes values must be in [1, num_frames]")
+            f.create_dataset("nframes", data=nframes)
 
 
 class FeatureStore:
@@ -46,9 +62,21 @@ class FeatureStore:
         self._file: Optional[h5py.File] = None
         self._app: Optional[np.ndarray] = None
         self._motion: Optional[np.ndarray] = None
+        self.frame_counts: Optional[np.ndarray] = None
         with h5py.File(path, "r") as f:
             self.num_videos, t, self.app_dim = f["app"].shape
             self.motion_dim = f["motion"].shape[2]
+            if "nframes" in f:
+                # stored counts refer to the on-disk time axis; when
+                # _fit_frames subsamples t -> num_frames the valid frames
+                # stay a prefix (uniform subsample preserves order), so the
+                # count after fitting = how many subsample indices land
+                # inside the valid prefix
+                counts = np.asarray(f["nframes"], np.int32)
+                if t > num_frames:
+                    idx = np.linspace(0, t - 1, num_frames).round().astype(np.int64)
+                    counts = (idx[None, :] < counts[:, None]).sum(1).astype(np.int32)
+                self.frame_counts = np.maximum(counts, 1)
             if in_memory:
                 self._app = _fit_frames(f["app"][:], num_frames)
                 self._motion = _fit_frames(f["motion"][:], num_frames)
@@ -65,6 +93,16 @@ class FeatureStore:
         app = _fit_frames(self._file["app"][uniq], self.num_frames)[inv]
         mot = _fit_frames(self._file["motion"][uniq], self.num_frames)[inv]
         return app, mot
+
+    def frame_mask(self, indices: np.ndarray) -> Optional[np.ndarray]:
+        """[B, T] 1.0/0.0 validity mask, or None if the store has no
+        per-video frame counts (legacy files: every frame valid)."""
+        if self.frame_counts is None:
+            return None
+        counts = self.frame_counts[np.asarray(indices)]
+        return (
+            np.arange(self.num_frames)[None, :] < counts[:, None]
+        ).astype(np.float32)
 
     def close(self) -> None:
         if self._file is not None:

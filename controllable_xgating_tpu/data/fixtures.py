@@ -131,8 +131,14 @@ def make_fixture_corpus(
     seed: int = 0,
     train_frac: float = 0.7,
     val_frac: float = 0.15,
+    variable_frames: bool = True,
 ) -> CorpusInfo:
-    """Generate features.h5 + info.json + labels.npz under out_dir."""
+    """Generate features.h5 + info.json + labels.npz under out_dir.
+
+    `variable_frames=True` gives each video a random true length in
+    [num_frames//2, num_frames] with zero-padded tails + stored `nframes`
+    counts (MSVD-like variable clips), so frame masks are exercised by
+    default through the whole pipeline."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
@@ -155,6 +161,12 @@ def make_fixture_corpus(
 
     app = np.zeros((num_videos, num_frames, app_dim), np.float32)
     motion = np.zeros((num_videos, num_frames, motion_dim), np.float32)
+    if variable_frames and num_frames >= 2:
+        nframes = rng.integers(
+            max(num_frames // 2, 1), num_frames + 1, num_videos
+        ).astype(np.int32)
+    else:
+        nframes = np.full((num_videos,), num_frames, np.int32)
     captions: dict[str, list[str]] = {}
     video_ids = [f"video{i}" for i in range(num_videos)]
     for i, sc in enumerate(scenes):
@@ -162,16 +174,20 @@ def make_fixture_corpus(
         if PLACES[sc.place]:
             base_app = base_app + 0.5 * place_emb[sc.place]
         base_mot = act_mot_emb[sc.action]
-        # temporal jitter so frames differ but stay on-manifold
-        app[i] = base_app[None, :] + 0.1 * rng.normal(
-            size=(num_frames, app_dim)
+        # temporal jitter so frames differ but stay on-manifold; frames
+        # past the video's true length stay zero (pad)
+        n = int(nframes[i])
+        app[i, :n] = base_app[None, :] + 0.1 * rng.normal(
+            size=(n, app_dim)
         ).astype(np.float32)
-        motion[i] = base_mot[None, :] + 0.1 * rng.normal(
-            size=(num_frames, motion_dim)
+        motion[i, :n] = base_mot[None, :] + 0.1 * rng.normal(
+            size=(n, motion_dim)
         ).astype(np.float32)
         captions[video_ids[i]] = _render_captions(sc, rng, caps_per_video)
 
-    write_feature_file(os.path.join(out_dir, "features.h5"), app, motion)
+    write_feature_file(
+        os.path.join(out_dir, "features.h5"), app, motion, nframes=nframes
+    )
 
     n_train = int(num_videos * train_frac)
     n_val = int(num_videos * val_frac)

@@ -71,13 +71,17 @@ class TrainBatchIterator:
             )
             caps[row] = self.caps[v, sel]
             pos[row] = self.pos[v, sel]
-        return {
+        batch = {
             "app": app,
             "motion": motion,
             "caps": caps.astype(np.int32),
             "pos": pos.astype(np.int32),
             "video_indices": vids.astype(np.int32),
         }
+        mask = self.store.frame_mask(vids)
+        if mask is not None:
+            batch["frame_mask"] = mask
+        return batch
 
     def steps_per_epoch(self) -> int:
         return -(-len(self.video_indices) // self.batch_size)
@@ -98,9 +102,13 @@ def eval_batches(
                 [chunk, np.repeat(chunk[-1:], batch_size - valid)]
             )
         app, motion = store.get_batch(chunk)
-        yield {
+        batch = {
             "app": app,
             "motion": motion,
             "video_indices": chunk.astype(np.int32),
             "num_valid": valid,
         }
+        mask = store.frame_mask(chunk)
+        if mask is not None:
+            batch["frame_mask"] = mask
+        yield batch

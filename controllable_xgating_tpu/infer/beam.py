@@ -208,10 +208,15 @@ def make_beam_caption_fn(
     fused = fused_enabled(fused)
 
     @jax.jit
-    def fn(params: CaptionerParams, app: jax.Array, motion: jax.Array):
+    def fn(
+        params: CaptionerParams,
+        app: jax.Array,
+        motion: jax.Array,
+        frame_mask=None,
+    ):
         ctx, summary, tags = encode_for_inference(
-            params, app, motion, max_pos_len=max_pos_len, fused=fused,
-            early_stop=early_stop,
+            params, app, motion, frame_mask, max_pos_len=max_pos_len,
+            fused=fused, early_stop=early_stop,
         )
         tokens, _ = beam_search(
             params.decoder, ctx, summary, beam_size, max_len, length_penalty,

@@ -45,10 +45,15 @@ def make_greedy_caption_fn(
 @functools.lru_cache(maxsize=16)
 def _cached_greedy_fn(max_pos_len: int, max_len: int, fused: bool, early_stop: bool):
     @jax.jit
-    def fn(params: CaptionerParams, app: jax.Array, motion: jax.Array):
+    def fn(
+        params: CaptionerParams,
+        app: jax.Array,
+        motion: jax.Array,
+        frame_mask=None,
+    ):
         ctx, summary, tags = encode_for_inference(
-            params, app, motion, max_pos_len=max_pos_len, fused=fused,
-            early_stop=early_stop,
+            params, app, motion, frame_mask, max_pos_len=max_pos_len,
+            fused=fused, early_stop=early_stop,
         )
         tokens = greedy_decode(
             params.decoder, ctx, summary, max_len, fused=fused,
@@ -83,7 +88,9 @@ def evaluate_split(
 
     res: dict[str, list[str]] = {}
     for batch in eval_batches(store, indices, batch_size):
-        tokens, _ = caption_fn(params, batch["app"], batch["motion"])
+        tokens, _ = caption_fn(
+            params, batch["app"], batch["motion"], batch.get("frame_mask")
+        )
         tokens = np.asarray(tokens)
         for row in range(batch["num_valid"]):
             vid = info.video_ids[int(batch["video_indices"][row])]

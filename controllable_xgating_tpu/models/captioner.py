@@ -131,7 +131,8 @@ def encode_for_inference(
         tags_out = pos_tags
     else:
         tags_out, psi = pos_greedy_generate(
-            params.pos, summary, max_pos_len, early_stop=early_stop
+            params.pos, summary, max_pos_len, early_stop=early_stop,
+            fused=fused,
         )
     ctx = make_decode_context(params.decoder, enc_out, psi, frame_mask)
     return ctx, summary, tags_out

@@ -18,12 +18,14 @@ REFERENCE_TBD (SURVEY.md §0) and centralized in `_pool_psi`.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from flax import struct
 
 from controllable_xgating_tpu.data.vocab import BOS, EOS, PAD
-from controllable_xgating_tpu.ops.lstm import LSTMWeights, init_lstm, lstm_cell
+from controllable_xgating_tpu.ops.lstm import LSTMWeights, init_lstm, lstm_cell_pre
 from controllable_xgating_tpu.ops.precision import mm
 
 
@@ -79,6 +81,19 @@ def _init_state(params: PosGeneratorParams, summary: jax.Array):
     return h.astype(summary.dtype), c.astype(summary.dtype)
 
 
+def _summary_gates(params: PosGeneratorParams, summary: jax.Array) -> jax.Array:
+    """summary @ wih_s [B, 4H] — the per-sequence-constant slice of the
+    cell's input projection, hoisted out of every scan below (the input is
+    [tag_emb ; summary] each step; the summary half never changes)."""
+    e_dim = params.embed.shape[1]
+    return mm(summary, params.lstm.wih[e_dim:])
+
+
+def _emb_gates(params: PosGeneratorParams, emb: jax.Array) -> jax.Array:
+    e_dim = params.embed.shape[1]
+    return mm(emb, params.lstm.wih[:e_dim])
+
+
 def _pool_psi(
     params: PosGeneratorParams, hs: jax.Array, mask: jax.Array
 ) -> jax.Array:
@@ -101,15 +116,17 @@ def pos_forward(
     inputs = pos_tags[:, :-1]
     emb = params.embed[inputs]  # [B, Lp-1, Ep]
     h, c = _init_state(params, summary)
+    s_gates = _summary_gates(params, summary)
+    # the embedding half of the input projection has no step recurrence —
+    # batch it over all steps in one big MXU matmul before the scan
+    e_gates = _emb_gates(params, emb)  # [B, Lp-1, 4H] f32
 
-    def step(carry, x_t):
+    def step(carry, eg_t):
         h, c = carry
-        x = jnp.concatenate([x_t, summary], axis=-1)
-        h, c = lstm_cell(params.lstm, x, h, c)
+        h, c = lstm_cell_pre(params.lstm, eg_t + s_gates, h, c)
         return (h, c), h
 
-    emb_t = jnp.swapaxes(emb, 0, 1)
-    (_, _), hs = jax.lax.scan(step, (h, c), emb_t)
+    (_, _), hs = jax.lax.scan(step, (h, c), jnp.swapaxes(e_gates, 0, 1))
     hs = jnp.swapaxes(hs, 0, 1)  # [B, Lp-1, H]
     logits = mm(hs, params.w_out) + params.b_out.astype(jnp.float32)
     step_mask = (inputs != PAD).astype(hs.dtype)
@@ -130,22 +147,36 @@ def pos_greedy_generate(
     summary: jax.Array,  # [B, He]
     max_len: int,
     early_stop: bool = False,
+    fused: Optional[bool] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Greedy rollout. Returns (tags [B, max_len], psi [B, P]).
 
     tags excludes BOS; generation stops contributing to psi after EOS.
     `early_stop=True` exits once every row emitted EOS (while_loop —
     inference only: SCST differentiates through psi, so it keeps the scan).
+    `fused=True` routes the cell through the Pallas kernel
+    (ops/pallas/pos_lstm.py — inference only, no VJP); the summary's input
+    projection is hoisted out of the rollout either way.
     """
     b = summary.shape[0]
     h0, c0 = _init_state(params, summary)
     tok0 = jnp.full((b,), BOS, jnp.int32)
     alive0 = jnp.ones((b,), bool)
     hidden = params.lstm.hidden_dim
+    s_gates = _summary_gates(params, summary)  # [B, 4H], constant per row
 
     def one_step(h, c, tok, alive):
-        x = jnp.concatenate([params.embed[tok], summary], axis=-1)
-        h, c = lstm_cell(params.lstm, x, h, c)
+        e = params.embed[tok]
+        if fused:
+            from controllable_xgating_tpu.ops.pallas.pos_lstm import (
+                pos_lstm_step_pallas,
+            )
+
+            h, c = pos_lstm_step_pallas(params, e, s_gates, h, c)
+            h = h.astype(summary.dtype)
+            c = c.astype(summary.dtype)
+        else:
+            h, c = lstm_cell_pre(params.lstm, _emb_gates(params, e) + s_gates, h, c)
         logits = mm(h, params.w_out) + params.b_out.astype(jnp.float32)
         # PAD/BOS are never training targets; forbid them as outputs
         logits = logits.at[:, PAD].set(-1e30).at[:, BOS].set(-1e30)

@@ -49,15 +49,28 @@ def lstm_cell(
     c: jax.Array,  # [B, H]
 ) -> tuple[jax.Array, jax.Array]:
     """One LSTM step. Returns (h', c'). f32 accumulation on the MXU."""
+    return lstm_cell_pre(w, mm(x, w.wih), h, c)
+
+
+def lstm_cell_pre(
+    w: LSTMWeights,
+    x_gates: jax.Array,  # [B, 4H] f32: the input contribution x @ wih,
+    h: jax.Array,        # possibly (partly) precomputed by the caller when
+    c: jax.Array,        # part of x is constant across scan steps
+) -> tuple[jax.Array, jax.Array]:
+    """Cell tail given a precomputed input-projection. The POS generator
+    conditions every step on the (per-sequence constant) video summary, so
+    its `summary @ wih_s` term is hoisted out of the rollout scan — same
+    trick as the decoder's pre-projected attention values (enc_proj)."""
     hidden = w.hidden_dim
-    gates = mm(x, w.wih) + mm(h, w.whh) + w.b.astype(jnp.float32)
+    gates = x_gates + mm(h, w.whh) + w.b.astype(jnp.float32)
     i = jax.nn.sigmoid(gates[:, :hidden])
     f = jax.nn.sigmoid(gates[:, hidden : 2 * hidden])
     g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
     o = jax.nn.sigmoid(gates[:, 3 * hidden :])
     c_new = f * c.astype(jnp.float32) + i * g
     h_new = o * jnp.tanh(c_new)
-    return h_new.astype(x.dtype), c_new.astype(x.dtype)
+    return h_new.astype(h.dtype), c_new.astype(h.dtype)
 
 
 def lstm_scan(

@@ -66,10 +66,11 @@ def scst_loss(
 ) -> tuple[jax.Array, dict]:
     app, motion = batch["app"], batch["motion"]
     video_indices = batch["video_indices"]
+    frame_mask = batch.get("frame_mask")
 
-    enc_out, summary = encode(params.encoder, app, motion)
+    enc_out, summary = encode(params.encoder, app, motion, frame_mask)
     _, psi = pos_greedy_generate(params.pos, summary, max_pos_len)
-    ctx = make_decode_context(params.decoder, enc_out, psi, None)
+    ctx = make_decode_context(params.decoder, enc_out, psi, frame_mask)
 
     # baseline: greedy rollout, no gradient
     greedy_tokens = jax.lax.stop_gradient(

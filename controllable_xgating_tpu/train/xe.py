@@ -54,6 +54,7 @@ def xe_losses(
     """Caption + POS XE on a train batch with caps [B, K, L]."""
     app, motion = batch["app"], batch["motion"]
     caps, pos = batch["caps"], batch["pos"]
+    frame_mask = batch.get("frame_mask")
     b, k, length = caps.shape
 
     rngs = (
@@ -62,18 +63,19 @@ def xe_losses(
         else (None, None, None)
     )
     enc_out, summary = encode(
-        params.encoder, app, motion, None, rngs[0], dropout_rate
+        params.encoder, app, motion, frame_mask, rngs[0], dropout_rate
     )
 
     caps_flat = caps.reshape(b * k, length)
     pos_flat = pos.reshape(b * k, -1)
     summary_k = _repeat_k(summary, k)
     enc_out_k = _repeat_k(enc_out, k)
+    mask_k = None if frame_mask is None else _repeat_k(frame_mask, k)
 
     pos_logits, psi = pos_forward(params.pos, summary_k, pos_flat)
     pos_loss = masked_xe_loss(pos_logits, pos_flat[:, 1:])
 
-    ctx = make_decode_context(params.decoder, enc_out_k, psi, None)
+    ctx = make_decode_context(params.decoder, enc_out_k, psi, mask_k)
     cap_logits = decoder_forward(
         params.decoder, ctx, summary_k, caps_flat, rngs[1], dropout_rate,
         remat=remat,

@@ -64,6 +64,7 @@ def test_jsonl_logger(tmp_path):
     assert lines[1]["step"] == 2
 
 
+@pytest.mark.slow
 def test_xe_model_jit_eager_parity():
     """SURVEY §5: jit-vs-eager numerical diff on the full forward."""
     from controllable_xgating_tpu.models.captioner import init_captioner, xe_logits

@@ -117,6 +117,7 @@ def test_beam_caption_fn_jit(setup):
     assert tags.shape == (4, 6)
 
 
+@pytest.mark.slow
 def test_length_penalty_changes_selection_shape(setup):
     cfg, params, app, mot, ctx, summary = setup
     t0, s0 = beam_search(params.decoder, ctx, summary, 4, 8, length_penalty=0.0)

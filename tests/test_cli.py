@@ -12,6 +12,10 @@ from controllable_xgating_tpu.cli import eval as cli_eval
 from controllable_xgating_tpu.cli import prepro as cli_prepro
 from controllable_xgating_tpu.cli import train as cli_train
 
+# compile-heavy end-to-end module: excluded from the default fast run
+
+pytestmark = pytest.mark.slow
+
 SMALL = [
     "--model.hidden_dim", "20", "--model.embed_dim", "12",
     "--model.attn_dim", "12", "--model.pos_embed_dim", "12",

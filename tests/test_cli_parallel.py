@@ -6,6 +6,11 @@ import json
 from controllable_xgating_tpu.cli import prepro as cli_prepro
 from controllable_xgating_tpu.cli import train as cli_train
 
+# compile-heavy end-to-end module: excluded from the default fast run
+import pytest
+
+pytestmark = pytest.mark.slow
+
 SMALL = [
     "--model.hidden_dim", "16", "--model.embed_dim", "10",
     "--model.attn_dim", "10", "--model.pos_embed_dim", "10",

@@ -54,6 +54,7 @@ def test_evaluate_split_shapes_and_keys(env):
         assert k in metrics and np.isfinite(metrics[k])
 
 
+@pytest.mark.slow
 def test_train_loop_end_to_end(env, tmp_path):
     out, info, labels, store, cfg = env
     params = init_captioner(jax.random.PRNGKey(1), cfg.model)

@@ -18,6 +18,7 @@ SMALL = [
 ]
 
 
+@pytest.mark.slow
 def test_scst_start_epoch_switch(tmp_path):
     """The reference's single-run XE->SCST switch (scst_start_epoch)."""
     d = str(tmp_path / "corpus")
@@ -50,6 +51,7 @@ def test_block_unk_masks_unk():
     assert float(out2[0, UNK]) == 0.0
 
 
+@pytest.mark.slow
 def test_block_unk_beam_never_emits_unk():
     from controllable_xgating_tpu.data.vocab import UNK
     from controllable_xgating_tpu.infer.beam import beam_search

@@ -48,6 +48,7 @@ def test_encoder_output_shapes(setup):
     assert summary.shape == (3, 2 * cfg.hidden_dim)
 
 
+@pytest.mark.slow
 def test_unidirectional_encoder():
     key = jax.random.PRNGKey(1)
     enc = init_encoder(key, 6, 4, 8, bidirectional=False)
@@ -98,6 +99,7 @@ def test_xe_logits_shapes(setup):
     assert pos_logits.shape == (3, pos.shape[1] - 1, cfg.pos_vocab_size)
 
 
+@pytest.mark.slow
 def test_xe_logits_with_dropout_differs(setup):
     cfg, params, app, mot, caps, pos = setup
     rng = jax.random.PRNGKey(42)

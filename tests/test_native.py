@@ -54,6 +54,7 @@ def test_native_df_matches_python():
 
 
 @needs_native
+@pytest.mark.slow
 def test_native_ciderd_matches_device_path():
     import jax.numpy as jnp
 

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from controllable_xgating_tpu.ops.attention import (
     additive_attention, init_attention, precompute_keys,
@@ -22,6 +23,7 @@ def test_lstm_cell_shapes_and_state_update():
     assert not np.allclose(h2, 0)
 
 
+@pytest.mark.slow
 def test_lstm_scan_matches_manual_loop():
     key = jax.random.PRNGKey(1)
     w = init_lstm(key, 6, 5)
@@ -58,6 +60,7 @@ def test_bilstm_reverse_ignores_padding():
     np.testing.assert_allclose(hs[:, 3:], 0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_attention_masked_softmax():
     key = jax.random.PRNGKey(4)
     w = init_attention(key, 8, 6, 10)
@@ -81,6 +84,7 @@ def test_attention_precomputed_keys_match():
     np.testing.assert_allclose(a1, a2, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_xgate_shapes_and_range():
     key = jax.random.PRNGKey(6)
     w = init_xgate(key, 12, 8, 16)

@@ -116,6 +116,7 @@ def test_logits_topk_kernel_matches_xla():
     np.testing.assert_allclose(np.asarray(lse), np.asarray(rl), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_beam_fused_matches_unfused():
     """Full beam search through the fused kernels (interpret mode) must
     produce the same tokens and scores as the jnp path."""
@@ -160,3 +161,51 @@ def test_attn_lstm_greedy_token_parity(dec_setup):
         t2 = jnp.argmax(l2, -1).astype(jnp.int32)
         toks_out.append(np.asarray(t2))
     np.testing.assert_array_equal(np.stack(toks_ref), np.stack(toks_out))
+
+
+@pytest.mark.slow
+def test_pos_lstm_pallas_matches_jnp():
+    """Fused POS cell step == jnp lstm_cell_pre path (f32)."""
+    from controllable_xgating_tpu.models.pos_generator import (
+        _emb_gates, _summary_gates, init_pos_generator,
+    )
+    from controllable_xgating_tpu.ops.lstm import lstm_cell_pre
+    from controllable_xgating_tpu.ops.pallas.pos_lstm import pos_lstm_step_pallas
+
+    key = jax.random.PRNGKey(11)
+    params = init_pos_generator(
+        key, pos_vocab=12, enc_dim=20, hidden=16, embed_dim=10, psi_dim=8,
+    )
+    b = 5
+    summary = jax.random.normal(key, (b, 20))
+    h = jax.random.normal(jax.random.fold_in(key, 1), (b, 16))
+    c = jax.random.normal(jax.random.fold_in(key, 2), (b, 16))
+    tok = jnp.array([3, 5, 7, 2, 9], jnp.int32)
+    e = params.embed[tok]
+    sg = _summary_gates(params, summary)
+    h_ref, c_ref = lstm_cell_pre(params.lstm, _emb_gates(params, e) + sg, h, c)
+    h_out, c_out = pos_lstm_step_pallas(params, e, sg, h, c, interpret=True)
+    np.testing.assert_allclose(np.asarray(h_out), np.asarray(h_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_out), np.asarray(c_ref), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_pos_greedy_fused_tag_parity():
+    """pos_greedy_generate(fused=True) must emit identical tag sequences and
+    matching psi vs the jnp path — the north-star POS-generator criterion."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from controllable_xgating_tpu.models.pos_generator import (
+        init_pos_generator, pos_greedy_generate,
+    )
+
+    key = jax.random.PRNGKey(12)
+    params = init_pos_generator(
+        key, pos_vocab=14, enc_dim=24, hidden=16, embed_dim=10, psi_dim=8,
+    )
+    summary = jax.random.normal(key, (6, 24))
+    tags_ref, psi_ref = pos_greedy_generate(params, summary, 7, fused=False)
+    with pltpu.force_tpu_interpret_mode():
+        tags_out, psi_out = pos_greedy_generate(params, summary, 7, fused=True)
+    np.testing.assert_array_equal(np.asarray(tags_out), np.asarray(tags_ref))
+    np.testing.assert_allclose(np.asarray(psi_out), np.asarray(psi_ref), rtol=1e-5, atol=1e-6)

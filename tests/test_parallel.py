@@ -21,6 +21,10 @@ from controllable_xgating_tpu.train.state import create_train_state, make_optimi
 from controllable_xgating_tpu.train.xe import make_xe_train_step
 from controllable_xgating_tpu.utils.config import Config
 
+# compile-heavy end-to-end module: excluded from the default fast run
+
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def env(tmp_path_factory):

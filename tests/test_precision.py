@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from controllable_xgating_tpu.models.captioner import (
     encode_for_inference, init_captioner, xe_logits,
@@ -84,6 +85,7 @@ def test_mm_custom_vjp_bf16_close():
     np.testing.assert_allclose(np.asarray(db32), np.asarray(db16), rtol=0.05, atol=0.05)
 
 
+@pytest.mark.slow
 def test_bf16_greedy_tokens_mostly_agree():
     """Token-level agreement between f32 and bf16 paths on a random model
     (trained models separate logits further; this is the weaker bound)."""

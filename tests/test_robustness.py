@@ -34,6 +34,7 @@ def corpus_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_cli_resume_continues_from_last(corpus_dir, tmp_path):
     ck = str(tmp_path / "resume_ck")
     cli_train.main([
@@ -50,6 +51,7 @@ def test_cli_resume_continues_from_last(corpus_dir, tmp_path):
     assert infos2["step"] > infos1["step"]
 
 
+@pytest.mark.slow
 def test_masked_frames_decode():
     """Videos shorter than num_frames: masked beam/greedy must ignore the
     padded frames entirely."""
@@ -153,6 +155,7 @@ def test_restore_params_missing_checkpoint_raises(tmp_path):
         restore_params(str(tmp_path / "no_such_dir"), cfg)
 
 
+@pytest.mark.slow
 def test_vmem_fallback_warns_and_uses_jnp_path():
     """fused=True at dims whose VMEM estimate exceeds the budget must fall
     back to the jnp path with a visible warning (not silently)."""
@@ -196,3 +199,70 @@ def test_vmem_fallback_warns_and_uses_jnp_path():
         assert "VMEM" in buf.getvalue()
     finally:
         set_compute_dtype("bfloat16")
+
+
+@pytest.mark.slow
+def test_frame_masks_flow_through_pipeline(tmp_path):
+    """VERDICT item 6 'done' criterion: two videos identical up to their
+    padding (same real frames, different garbage in the pad region) must
+    produce IDENTICAL captions when masks flow, and (generically) different
+    ones when they don't; and the standard pipeline (store -> loader ->
+    caption_fn) must carry the mask by default when nframes is stored."""
+    import jax as _jax
+
+    from controllable_xgating_tpu.data.features import (
+        FeatureStore, write_feature_file,
+    )
+    from controllable_xgating_tpu.data.loader import (
+        TrainBatchIterator, eval_batches,
+    )
+    from controllable_xgating_tpu.infer.evaluator import make_greedy_caption_fn
+    from controllable_xgating_tpu.models.captioner import init_captioner
+    from controllable_xgating_tpu.utils.config import ModelConfig
+
+    t, da, dm, n_valid = 6, 12, 8, 3
+    rng = np.random.default_rng(0)
+    real_app = rng.normal(size=(n_valid, da)).astype(np.float32)
+    real_mot = rng.normal(size=(n_valid, dm)).astype(np.float32)
+    app = np.zeros((2, t, da), np.float32)
+    mot = np.zeros((2, t, dm), np.float32)
+    app[:, :n_valid] = real_app
+    mot[:, :n_valid] = real_mot
+    # video 1: garbage in the padding region
+    app[1, n_valid:] = 5.0 * rng.normal(size=(t - n_valid, da))
+    mot[1, n_valid:] = 5.0 * rng.normal(size=(t - n_valid, dm))
+
+    path = str(tmp_path / "f.h5")
+    write_feature_file(path, app, mot, nframes=np.array([n_valid, n_valid]))
+    store = FeatureStore(path, t)
+
+    cfg = ModelConfig(
+        app_dim=da, motion_dim=dm, hidden_dim=16, embed_dim=10, attn_dim=10,
+        pos_embed_dim=10, vocab_size=30, pos_vocab_size=12, num_frames=t,
+        max_caption_len=10, max_pos_len=8,
+    )
+    params = init_captioner(_jax.random.PRNGKey(0), cfg)
+    fn = make_greedy_caption_fn(8, 10)
+
+    idx = np.array([0, 1])
+    a, m = store.get_batch(idx)
+    mask = store.frame_mask(idx)
+    assert mask is not None and mask.shape == (2, t)
+    np.testing.assert_array_equal(mask[0], mask[1])
+
+    toks_masked, _ = fn(params, a, m, mask)
+    toks_masked = np.asarray(toks_masked)
+    np.testing.assert_array_equal(toks_masked[0], toks_masked[1])
+
+    toks_unmasked, _ = fn(params, a, m, None)
+    toks_unmasked = np.asarray(toks_unmasked)
+    assert not np.array_equal(toks_unmasked[0], toks_unmasked[1])
+
+    # loaders emit the mask by default when the store carries counts
+    caps = np.ones((2, 2, 10), np.int32)
+    it = TrainBatchIterator(store, caps, caps, np.array([2, 2]),
+                            np.array([0, 1]), 2, 2)
+    train_batch = next(iter(it))
+    assert "frame_mask" in train_batch
+    ev = next(eval_batches(store, idx, 2))
+    np.testing.assert_array_equal(ev["frame_mask"], mask)

@@ -22,6 +22,10 @@ from controllable_xgating_tpu.train.scst import (
 from controllable_xgating_tpu.train.state import create_train_state, make_optimizer
 from controllable_xgating_tpu.utils.config import Config
 
+# compile-heavy end-to-end module: excluded from the default fast run
+
+pytestmark = pytest.mark.slow
+
 
 def _decode(vocab_size, ids):
     """ids -> fake 'words' (w<id>) for the host scorer; bijective."""

@@ -75,6 +75,7 @@ def test_eval_batches_padding(fixture_env):
         assert b["app"].shape[0] == 16
 
 
+@pytest.mark.slow
 def test_xe_training_reduces_loss(fixture_env):
     out, info, labels, store, cfg = fixture_env
     params = init_captioner(jax.random.PRNGKey(0), cfg.model)
@@ -91,6 +92,7 @@ def test_xe_training_reduces_loss(fixture_env):
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_stage_masks_freeze_params(fixture_env):
     out, info, labels, store, cfg = fixture_env
     params = init_captioner(jax.random.PRNGKey(1), cfg.model)

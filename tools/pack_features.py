@@ -73,12 +73,25 @@ def main(argv=None) -> None:
     t = args.num_frames
     app_arr = np.stack([_fit_frames(a[None], t)[0] for a in app])
     mot_arr = np.stack([_fit_frames(m[None], t)[0] for m in motion])
-    write_feature_file(args.out, app_arr, mot_arr)
+    # true valid timesteps after fitting: a stream longer than t is
+    # subsampled (all t valid), shorter is zero-padded. A timestep is valid
+    # if EITHER stream has real data there — the shorter stream contributes
+    # zeros at its own padded steps (exactly what the unaligned reference
+    # pipeline fed), but attention/summary never see all-pad steps.
+    nframes = np.array(
+        [
+            max(min(len(a), t), min(len(m), t))
+            for a, m in zip(app, motion)
+        ],
+        np.int32,
+    )
+    write_feature_file(args.out, app_arr, mot_arr, nframes=nframes)
     print(json.dumps({
         "out": args.out,
         "videos": len(video_ids),
         "app_shape": list(app_arr.shape),
         "motion_shape": list(mot_arr.shape),
+        "variable_length": int((nframes < t).sum()),
     }))
 
 
