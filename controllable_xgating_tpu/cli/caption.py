@@ -40,7 +40,7 @@ def main(argv=None) -> None:
     args, cfg = parse_with_overrides(p, argv)
     from controllable_xgating_tpu.cli.common import apply_runtime_flags
 
-    apply_runtime_flags(args)
+    apply_runtime_flags(args, cfg)
 
     info, labels, store, cfg = load_corpus(args.data_dir, cfg)
     if args.video == "all":

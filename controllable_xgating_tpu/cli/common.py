@@ -51,8 +51,14 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
-def apply_runtime_flags(args) -> None:
-    """Apply --platform / --debug_nans / --compute_dtype before any jit."""
+def apply_runtime_flags(args, cfg: "Config" = None) -> None:
+    """Apply --platform / --debug_nans / --compute_dtype before any jit.
+
+    Without an explicit --compute_dtype, TPU-class backends default to the
+    config's model.dtype (bfloat16 — the MXU-native policy; also what keeps
+    the fused decode kernel inside its VMEM budget). CPU keeps float32:
+    bf16 is emulated there and tests pin f32 goldens.
+    """
     if getattr(args, "platform", None):
         platform = args.platform
         if platform == "tpu" and os.environ.get("PALLAS_AXON_POOL_IPS"):
@@ -62,10 +68,12 @@ def apply_runtime_flags(args) -> None:
         from controllable_xgating_tpu.utils.debug import enable_nan_checks
 
         enable_nan_checks(True)
-    if getattr(args, "compute_dtype", None):
-        from controllable_xgating_tpu.ops.precision import set_compute_dtype
+    from controllable_xgating_tpu.ops.precision import set_compute_dtype
 
+    if getattr(args, "compute_dtype", None):
         set_compute_dtype(args.compute_dtype)
+    elif cfg is not None and jax.default_backend() not in ("cpu",):
+        set_compute_dtype(cfg.model.dtype)
 
 
 def parse_with_overrides(p: argparse.ArgumentParser, argv=None):

@@ -32,7 +32,7 @@ def main(argv=None) -> None:
     p.add_argument("--ckpt_name", default="best")
     p.add_argument("--out", default=None, help="output JSON path")
     args, cfg = parse_with_overrides(p, argv)
-    apply_runtime_flags(args)
+    apply_runtime_flags(args, cfg)
 
     info, labels, store, cfg = load_corpus(args.data_dir, cfg)
     params = restore_params(args.checkpoint_dir, cfg, name=args.ckpt_name)

@@ -47,7 +47,7 @@ def main(argv=None) -> None:
     p.add_argument("--tensorboard", default=None, metavar="LOGDIR",
                    help="also mirror scalars to a TensorBoard event file")
     args, cfg = parse_with_overrides(p, argv)
-    apply_runtime_flags(args)
+    apply_runtime_flags(args, cfg)
 
     info, labels, store, cfg = load_corpus(args.data_dir, cfg)
     train_it = TrainBatchIterator(

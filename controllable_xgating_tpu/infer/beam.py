@@ -99,15 +99,22 @@ def beam_search(
     def step(carry, t):
         h, c, tok, cum, finished, lengths, hist, reg_score, reg_tokens = carry
         # NOTE on the candidate expansion: a streaming Pallas logits->top-k
-        # kernel exists (ops/pallas/logits_topk.py, parity-tested) but its
-        # iterative per-tile extraction is VPU-bound and measured ~4x
-        # SLOWER than XLA's fused logits/log_softmax/top_k chain at
+        # kernel exists (experiments/pallas_logits_topk.py, parity-tested)
+        # but its iterative per-tile extraction is VPU-bound and measured
+        # ~4x SLOWER than XLA's fused logits/log_softmax/top_k chain at
         # reference dims, so beam uses the XLA tail even when `fused`
         # (which still routes the attention+cell update through Pallas).
         logits, h_new, c_new, _ = decode_step(
             params, ctx_k, tok.reshape(b * k), h, c, fused=fused
         )
         logits = mask_special_tokens(logits.astype(jnp.float32), block_unk)
+        # NOTE: the log_softmax form below is the MEASURED-fastest tail.
+        # Two "fewer-passes" rewrites lost to it on real v5e hardware:
+        # round 1's lse-fold with a PAD-column scatter (-15%), and round
+        # 2's scatter-free lse-fold (cand = logits + (cum - logsumexp),
+        # finished handled by an iota-compare where): 7.3k vs 8.9k
+        # captions/s (-18%). XLA fuses this exact chain into its top_k
+        # custom call better than the hand-folded variants.
         logp = jax.nn.log_softmax(logits, -1).reshape(b, k, v)
 
         # finished beams: only PAD continuation, at zero cost

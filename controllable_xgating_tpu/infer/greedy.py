@@ -79,8 +79,10 @@ def _rollout(
         else:
             nxt = jax.random.categorical(step_rng, logits / temperature, axis=-1)
             nxt = nxt.astype(jnp.int32)
-            logp_all = jax.nn.log_softmax(logits, axis=-1)
-            logp = jnp.take_along_axis(logp_all, nxt[:, None], axis=-1)[:, 0]
+            # logprob under the (untempered) model distribution, without
+            # materializing a full log_softmax array: gather - logsumexp
+            lse = jax.nn.logsumexp(logits, axis=-1)
+            logp = jnp.take_along_axis(logits, nxt[:, None], axis=-1)[:, 0] - lse
         nxt = jnp.where(alive, nxt, PAD)
         logp = jnp.where(alive, logp, 0.0)
         alive_next = alive & (nxt != EOS)

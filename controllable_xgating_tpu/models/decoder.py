@@ -221,6 +221,13 @@ def decoder_forward(
 ) -> jax.Array:
     """Teacher-forced logits [B, L-1, V]; logits[:, t] predicts captions[:, t+1].
 
+    The vocab projection is hoisted OUT of the time scan: the scan emits the
+    (dropout-applied) hidden states and one [B*(L-1), Hd] @ [Hd, V] matmul
+    produces every step's logits. Per-step projection would re-stream the
+    ~10 MB w_out from HBM L times per forward (and again per backward);
+    hoisted, it is read once and the matmul is big enough to saturate the
+    MXU. Identical math — logits[t] depends only on h_out[t].
+
     `remat=True` checkpoints each scan step: backward recomputes the
     attention/gate intermediates instead of storing [B, T, A]-sized
     residuals for all L steps — the standard FLOPs-for-HBM trade for large
@@ -250,18 +257,47 @@ def decoder_forward(
         def step(carry, x):
             h, c = carry
             tok, ed, od = x
-            logits, h, c, _ = decode_step(params, ctx, tok, h, c, ed, od)
-            return (h, c), logits
+            h_out, h, c = _hidden_step(params, ctx, tok, h, c, ed, od)
+            return (h, c), h_out
 
     else:
         xs = inputs
 
         def step(carry, tok):
             h, c = carry
-            logits, h, c, _ = decode_step(params, ctx, tok, h, c)
-            return (h, c), logits
+            h_out, h, c = _hidden_step(params, ctx, tok, h, c)
+            return (h, c), h_out
 
     if remat:
         step = jax.checkpoint(step)
-    (_, _), logits = jax.lax.scan(step, (h, c), xs)
+    (_, _), hs = jax.lax.scan(step, (h, c), xs)  # [L-1, B, Hd]
+    logits = mm(hs, params.w_out) + params.b_out.astype(jnp.float32)
     return jnp.swapaxes(logits, 0, 1)  # [B, L-1, V]
+
+
+def _hidden_step(
+    params: DecoderParams,
+    ctx: DecodeContext,
+    token: jax.Array,
+    h: jax.Array,
+    c: jax.Array,
+    emb_drop: Optional[jax.Array] = None,
+    out_drop: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """decode_step without the vocab projection: (h_out, h', c')."""
+    f32 = jnp.float32
+    e = params.embed[token]
+    if emb_drop is not None:
+        e = e * emb_drop
+    vis_g, _ = additive_attention(
+        params.attn, h, ctx.enc_proj, ctx.keys, ctx.frame_mask
+    )
+    vis_g = vis_g.astype(f32)
+    gate = jax.nn.sigmoid(
+        mm(jnp.concatenate([h, e], -1), params.w_gate) + params.b_gate.astype(f32)
+    )
+    guide = gate * vis_g + (1.0 - gate) * ctx.psi_g.astype(f32)
+    x = jnp.concatenate([e, guide.astype(e.dtype)], axis=-1)
+    h_new, c_new = lstm_cell(params.lstm, x, h, c)
+    h_out = h_new * out_drop if out_drop is not None else h_new
+    return h_out, h_new, c_new

@@ -32,9 +32,14 @@ def masked_xe_loss(logits: jax.Array, targets: jax.Array) -> jax.Array:
     """Mean NLL over non-PAD target positions.
 
     logits [B, L, V] predicts targets [B, L] (already shifted by caller).
+    Computed as logsumexp - target_logit (== -log_softmax[target]) so no
+    second [B, L, V] log-prob array is materialized: at train shapes that
+    array is ~1.4 GB of HBM write+read per step.
     """
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    logits = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    tgt = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+    nll = lse - tgt
     mask = (targets != PAD).astype(jnp.float32)
     return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
