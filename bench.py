@@ -115,6 +115,45 @@ def time_xe_train(cfg, params, device, steps=6) -> float:
     return steps * BATCH * k / dt
 
 
+def time_scst_train(cfg, params, device, steps=6) -> float:
+    """SCST train-step videos/sec (config 4: two rollouts + on-device
+    CIDEr-D + REINFORCE in one jitted step)."""
+    from controllable_xgating_tpu.ops.cider_device import build_reward_tables
+    from controllable_xgating_tpu.train.scst import make_scst_train_step
+    from controllable_xgating_tpu.train.state import create_train_state, make_optimizer
+    from controllable_xgating_tpu.utils.config import Config
+
+    full = Config().replace_flat({
+        "model.vocab_size": cfg.model.vocab_size,
+        "model.pos_vocab_size": cfg.model.pos_vocab_size,
+    })
+    m = full.model
+    rng = np.random.default_rng(11)
+    ncaps = np.full((BATCH,), 20, np.int64)
+    caps = np.zeros((BATCH, 20, m.max_caption_len), np.int32)
+    caps[:, :, 0] = 1
+    caps[:, :, 1:-1] = rng.integers(4, m.vocab_size, (BATCH, 20, m.max_caption_len - 2))
+    caps[:, :, -1] = 2
+    tables = build_reward_tables(caps, ncaps, list(range(BATCH)))
+    state = create_train_state(params, full, steps_per_epoch=100)
+    tx = make_optimizer(full, steps_per_epoch=100)
+    step_fn = make_scst_train_step(tx, full, tables, donate=False)
+    batch = {
+        "app": rng.normal(size=(BATCH, FRAMES, m.app_dim)).astype(np.float32),
+        "motion": rng.normal(size=(BATCH, FRAMES, m.motion_dim)).astype(np.float32),
+        "video_indices": np.arange(BATCH, dtype=np.int32),
+    }
+    batch = jax.device_put(batch, device)
+    state = jax.device_put(state, device)
+    state, mtr = step_fn(state, batch)  # compile
+    np.asarray(mtr["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, mtr = step_fn(state, batch)
+    np.asarray(mtr["loss"])
+    return steps * BATCH / (time.perf_counter() - t0)
+
+
 def _bench_train_batch(cfg, batch, k, seed=7):
     rng = np.random.default_rng(seed)
     m = cfg.model
@@ -183,6 +222,17 @@ def main() -> None:
         xe_sps, xe_util = None, None
 
     try:
+        scst_vps = time_scst_train(cfg, params, default_dev)
+        scst_cost = roofline.scst_step_cost(
+            cfg.model, BATCH, dec_steps=cfg.eval.max_decode_len,
+            pos_steps=cfg.model.max_pos_len,
+        )
+        scst_util = roofline.utilization(scst_cost, BATCH / scst_vps, kind)
+    except Exception as e:
+        print(f"scst bench failed: {e}", file=sys.stderr)
+        scst_vps, scst_util = None, None
+
+    try:
         from controllable_xgating_tpu.infer.evaluator import make_greedy_caption_fn
 
         gfn = make_greedy_caption_fn(
@@ -209,6 +259,7 @@ def main() -> None:
         "vs_baseline": round(vs, 2) if vs else None,
         "cpu_captions_per_sec": round(cpu_cps, 3) if np.isfinite(cpu_cps) else None,
         "xe_train_samples_per_sec": round(xe_sps, 1) if xe_sps else None,
+        "scst_train_videos_per_sec": round(scst_vps, 1) if scst_vps else None,
         "greedy_captions_per_sec": round(greedy_cps, 1) if greedy_cps else None,
         "batch": BATCH,
         "beam": BEAM,
@@ -220,6 +271,7 @@ def main() -> None:
         "beam_roofline": beam_util,
         "greedy_roofline": greedy_util,
         "xe_roofline": xe_util,
+        "scst_roofline": scst_util,
     }))
 
 

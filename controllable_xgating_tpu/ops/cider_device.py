@@ -41,7 +41,15 @@ _M2 = np.uint32(0x85EBCA6B)
 
 
 class CiderRewardTables(struct.PyTreeNode):
-    """Device-resident corpus statistics for the SCST reward."""
+    """Device-resident corpus statistics for the SCST reward.
+
+    The per-reference n-gram statistics (hashes, self-tf, idf, norms,
+    lengths) depend only on the corpus, so they are precomputed ONCE at
+    build time (`_precompute_ref_stats`) and gathered per batch — computing
+    them per train step costs ~80 ms/call at B=256 on v5e (measured round
+    2; the ref-side [B,S,4,L,L] self-tf plus 22M-element idf binary search
+    dwarf the candidate side). ~17 bytes/ngram position: ~0.4 GB HBM at
+    MSR-VTT scale."""
 
     table_h1: jax.Array  # [M] uint32, sorted lexicographically by (h1, h2)
     table_h2: jax.Array  # [M] uint32
@@ -49,6 +57,14 @@ class CiderRewardTables(struct.PyTreeNode):
     log_n: jax.Array     # scalar float32: log(#documents)
     ref_caps: jax.Array  # [N, S, L] int32 GT caption ids (global video index)
     ref_counts: jax.Array  # [N] int32 number of real captions per video
+    # precomputed per-reference stats (None only transiently during build)
+    ref_h1: jax.Array = None     # [N, S, 4, L] uint32
+    ref_h2: jax.Array = None     # [N, S, 4, L] uint32
+    ref_valid: jax.Array = None  # [N, S, 4, L] bool
+    ref_tf: jax.Array = None     # [N, S, 4, L] f32 self term frequencies
+    ref_idf: jax.Array = None    # [N, S, 4, L] f32
+    ref_norm: jax.Array = None   # [N, S, 4] f32 tf-idf vector norms
+    ref_wordlen: jax.Array = None  # [N, S] f32
 
 
 # --------------------------------------------------------------- host build
@@ -99,14 +115,14 @@ def build_reward_tables(
             h1s = np.zeros((1,), np.uint32)
             h2s = np.zeros((1,), np.uint32)
             dfs = np.zeros((1,), np.float32)
-        return CiderRewardTables(
+        return _precompute_ref_stats(CiderRewardTables(
             table_h1=jnp.asarray(h1s),
             table_h2=jnp.asarray(h2s),
             table_df=jnp.asarray(dfs),
             log_n=jnp.float32(math.log(max(len(df_video_indices), 1))),
             ref_caps=jnp.asarray(caps, jnp.int32),
             ref_counts=jnp.asarray(ncaps, jnp.int32),
-        )
+        ))
 
     df: dict[tuple[int, int], float] = {}
     for v in df_video_indices:
@@ -128,13 +144,34 @@ def build_reward_tables(
         h1s = np.zeros((1,), np.uint32)
         h2s = np.zeros((1,), np.uint32)
         dfs = np.zeros((1,), np.float32)
-    return CiderRewardTables(
+    return _precompute_ref_stats(CiderRewardTables(
         table_h1=jnp.asarray(h1s),
         table_h2=jnp.asarray(h2s),
         table_df=jnp.asarray(dfs),
         log_n=jnp.float32(math.log(max(len(df_video_indices), 1))),
         ref_caps=jnp.asarray(caps, jnp.int32),
         ref_counts=jnp.asarray(ncaps, jnp.int32),
+    ))
+
+
+def _precompute_ref_stats(tables: CiderRewardTables) -> CiderRewardTables:
+    """Fill the per-reference stat fields (device compute, chunked)."""
+    n = tables.ref_caps.shape[0]
+
+    @jax.jit
+    def stats(refs):
+        rh1, rh2, rv = _device_hashes(refs)          # [C, S, 4, L]
+        r_idf = _idf_lookup(tables, rh1, rh2, rv)
+        r_tf = _self_tf(rh1, rh2, rv)
+        r_norm = jnp.sqrt((r_tf * r_idf * r_idf).sum(-1))
+        return rh1, rh2, rv, r_tf, r_idf, r_norm, _word_len(refs)
+
+    chunk = 1024
+    outs = [stats(tables.ref_caps[i : i + chunk]) for i in range(0, n, chunk)]
+    cat = lambda j: jnp.concatenate([o[j] for o in outs], axis=0)
+    return tables.replace(
+        ref_h1=cat(0), ref_h2=cat(1), ref_valid=cat(2), ref_tf=cat(3),
+        ref_idf=cat(4), ref_norm=cat(5), ref_wordlen=cat(6),
     )
 
 
@@ -222,20 +259,23 @@ def cider_d_device(
     """CIDEr-D score [B] of each candidate against its video's GT set.
 
     Matches metrics/cider.py::CiderDScorer with the train-corpus df tables
-    (position-sum reformulation — see module docstring).
+    (position-sum reformulation — see module docstring). All per-reference
+    statistics are gathered from the build-time precompute; only the
+    candidate side is computed here.
     """
-    refs = tables.ref_caps[video_indices]        # [B, S, L]
     nref = tables.ref_counts[video_indices]      # [B]
-    b, s, length = refs.shape
+    rh1 = tables.ref_h1[video_indices]           # [B, S, 4, L]
+    rh2 = tables.ref_h2[video_indices]
+    rv = tables.ref_valid[video_indices]
+    r_tf = tables.ref_tf[video_indices]
+    r_idf = tables.ref_idf[video_indices]
+    r_norm = tables.ref_norm[video_indices]      # [B, S, 4]
+    lr = tables.ref_wordlen[video_indices]       # [B, S]
+    b, s = rh1.shape[0], rh1.shape[1]
 
     ch1, ch2, cv = _device_hashes(cand)          # [B, 4, Lc]
-    rh1, rh2, rv = _device_hashes(refs)          # [B, S, 4, L]
-
     c_idf = _idf_lookup(tables, ch1, ch2, cv)    # [B, 4, Lc]
-    r_idf = _idf_lookup(tables, rh1, rh2, rv)    # [B, S, 4, L]
-
     c_tf = _self_tf(ch1, ch2, cv)                # [B, 4, Lc]
-    r_tf = _self_tf(rh1, rh2, rv)                # [B, S, 4, L]
 
     # candidate tf of the n-gram sitting at each REF position:
     # match[b, s, n, j] = #{i : cand ngram_i == ref ngram_sj}
@@ -251,15 +291,12 @@ def cider_d_device(
     dot = (jnp.minimum(c_in_r, r_tf) * r_idf * r_idf).sum(-1)  # [B, S, 4]
 
     c_norm2 = (c_tf * c_idf * c_idf).sum(-1)     # [B, 4]
-    r_norm2 = (r_tf * r_idf * r_idf).sum(-1)     # [B, S, 4]
     c_norm = jnp.sqrt(c_norm2)
-    r_norm = jnp.sqrt(r_norm2)
 
     denom = c_norm[:, None, :] * r_norm          # [B, S, 4]
     sim = jnp.where(denom > 0.0, dot / jnp.maximum(denom, 1e-12), 0.0)
 
     lc = _word_len(cand)                         # [B]
-    lr = _word_len(refs)                         # [B, S]
     delta = lc[:, None] - lr
     penalty = jnp.exp(-(delta**2) / (2.0 * SIGMA**2))  # [B, S]
     sim = sim * penalty[:, :, None]

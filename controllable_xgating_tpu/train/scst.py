@@ -63,6 +63,7 @@ def scst_loss(
     rng: jax.Array,
     max_len: int,
     max_pos_len: int,
+    fused_baseline: bool = False,
 ) -> tuple[jax.Array, dict]:
     app, motion = batch["app"], batch["motion"]
     video_indices = batch["video_indices"]
@@ -72,9 +73,16 @@ def scst_loss(
     _, psi = pos_greedy_generate(params.pos, summary, max_pos_len)
     ctx = make_decode_context(params.decoder, enc_out, psi, frame_mask)
 
-    # baseline: greedy rollout, no gradient
-    greedy_tokens = jax.lax.stop_gradient(
-        greedy_decode(params.decoder, ctx, summary, max_len)
+    # baseline: greedy rollout, no gradient. stop_gradient is applied to
+    # the INPUTS (not just the tokens) so the whole rollout carries
+    # symbolic-zero tangents — which also lets it run through the fused
+    # Pallas step (no VJP needed) on TPU.
+    dec_f, ctx_f, summary_f = jax.lax.stop_gradient(
+        (params.decoder, ctx, summary)
+    )
+    greedy_tokens = greedy_decode(
+        dec_f, ctx_f, summary_f, max_len,
+        fused=True if fused_baseline else None,
     )
     # exploration: multinomial rollout; logps carry the gradient
     sample_tokens, logps = sample_decode(
@@ -110,13 +118,17 @@ def make_scst_train_step(
     # weight on the CIDEr-D reward term (the reference's reward-mixing knob;
     # with a single reward this scales the REINFORCE loss)
     reward_w = cfg.train.scst_cider_weight
+    from controllable_xgating_tpu.ops.dispatch import fused_enabled
+
+    fused_baseline = fused_enabled(None)
 
     def step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
         state, rng = state.next_rng()
 
         def loss_fn(params):
             loss, aux = scst_loss(
-                params, batch, tables, rng, max_len, max_pos_len
+                params, batch, tables, rng, max_len, max_pos_len,
+                fused_baseline=fused_baseline,
             )
             return reward_w * loss, aux
 

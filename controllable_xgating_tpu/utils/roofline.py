@@ -196,6 +196,25 @@ def xe_step_cost(
     return cost
 
 
+def scst_step_cost(
+    m: ModelConfig, batch: int, dec_steps: int, pos_steps: int, ws: int = 2
+) -> Cost:
+    """One SCST train step: greedy baseline rollout (no grad), multinomial
+    rollout (fwd + ~2x bwd through the REINFORCE logprobs), shared encoder/
+    POS/context (grad through sample path only -> ~3x), device CIDEr-D
+    (negligible FLOPs, counted as one pass over the token arrays)."""
+    shared = (
+        encode_cost(m, batch, ws)
+        + pos_step_cost(m, batch, ws).scaled(pos_steps)
+        + context_cost(m, batch, ws)
+    )
+    greedy = decode_step_cost(m, batch, ws).scaled(dec_steps)
+    sample = decode_step_cost(m, batch, ws, with_sampling_tail=True).scaled(
+        dec_steps
+    )
+    return shared.scaled(3.0) + greedy + sample.scaled(3.0)
+
+
 def utilization(cost: Cost, seconds: float, device_kind: str) -> dict:
     """Roofline summary for a measured execution time of `cost`."""
     peak_flops, peak_bw, resolved = device_peaks(device_kind)

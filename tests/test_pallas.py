@@ -212,3 +212,49 @@ def test_pos_greedy_fused_tag_parity():
         tags_out, psi_out = pos_greedy_generate(params, summary, 7, fused=True)
     np.testing.assert_array_equal(np.asarray(tags_out), np.asarray(tags_ref))
     np.testing.assert_allclose(np.asarray(psi_out), np.asarray(psi_ref), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_fused_rollout_under_stop_gradient_traces():
+    """SCST's greedy baseline runs the fused Pallas step inside a
+    value_and_grad trace: stop_gradient on the rollout INPUTS gives the
+    kernel symbolic-zero tangents, so no VJP is required. Gradients must
+    match the jnp-baseline version exactly (the baseline only enters the
+    loss through stop_gradient'd rewards)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from controllable_xgating_tpu.infer.greedy import greedy_decode
+    from controllable_xgating_tpu.models.captioner import (
+        encode_for_inference, init_captioner,
+    )
+    from controllable_xgating_tpu.utils.config import ModelConfig
+
+    cfg = ModelConfig(
+        app_dim=10, motion_dim=8, hidden_dim=12, embed_dim=8, attn_dim=10,
+        pos_embed_dim=10, vocab_size=25, pos_vocab_size=10, num_frames=4,
+        max_caption_len=8, max_pos_len=6,
+    )
+    key = jax.random.PRNGKey(5)
+    params = init_captioner(key, cfg)
+    app = jax.random.normal(key, (3, 4, 10))
+    mot = jax.random.normal(jax.random.fold_in(key, 1), (3, 4, 8))
+
+    def loss(params, fused_baseline):
+        ctx, summary, _ = encode_for_inference(params, app, mot, max_pos_len=6)
+        dec_f, ctx_f, sum_f = jax.lax.stop_gradient(
+            (params.decoder, ctx, summary)
+        )
+        toks = greedy_decode(
+            dec_f, ctx_f, sum_f, 8,
+            fused=True if fused_baseline else None,
+        )
+        # differentiable term + a reward-like use of the frozen rollout
+        reward = jax.lax.stop_gradient((toks == 5).sum().astype(jnp.float32))
+        return (summary.astype(jnp.float32) ** 2).sum() * (1.0 + 0.1 * reward)
+
+    l_ref, g_ref = jax.value_and_grad(loss)(params, False)
+    with pltpu.force_tpu_interpret_mode():
+        l_out, g_out = jax.value_and_grad(loss)(params, True)
+    np.testing.assert_allclose(float(l_out), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_out)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
