@@ -58,6 +58,7 @@ def main(argv=None) -> None:
             max_len=cfg.eval.max_decode_len,
             max_pos_len=cfg.model.max_pos_len,
             caption_fn=caption_fn,
+            metrics=cfg.eval.metrics,
         )
     result = {"split": args.split, "beam_size": beam, "metrics": metrics}
     print(json.dumps(result, indent=2))

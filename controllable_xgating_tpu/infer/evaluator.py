@@ -74,6 +74,7 @@ def evaluate_split(
     max_len: int = 28,
     max_pos_len: int = 28,
     caption_fn=None,
+    metrics=None,
 ) -> tuple[dict, dict]:
     """Returns (metrics dict, {video_id: caption string}).
 
@@ -100,5 +101,5 @@ def evaluate_split(
     gts = gts_from_label_array(
         info.vocab, labels["caps"][indices], labels["ncaps"][indices], keys
     )
-    metrics = language_eval(gts, res)
-    return metrics, {k: v[0] for k, v in res.items()}
+    scored = language_eval(gts, res, metrics=metrics)
+    return scored, {k: v[0] for k, v in res.items()}

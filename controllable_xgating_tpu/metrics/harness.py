@@ -42,12 +42,17 @@ def language_eval(
     gts: Mapping[str, Sequence[str]],
     res: Mapping[str, Sequence[str]],
     retokenize: bool = False,
+    metrics: Sequence[str] = None,
 ) -> dict[str, float]:
-    """Run the full scorer suite. Inputs are {key: [caption strings]}.
+    """Run the scorer suite. Inputs are {key: [caption strings]}.
 
     `retokenize=True` pushes both sides through the PTB tokenizer first
     (coco-caption behavior when fed raw sentences); decoded model output
     built from the training vocab is already in tokenized form.
+
+    `metrics` selects which scorer families run (cfg.eval.metrics; default
+    all). Names match the output keys: any of Bleu_4/METEOR/ROUGE_L/CIDEr/
+    CIDErD — BLEU always yields all four orders when selected.
     """
     if retokenize:
         tok = PTBTokenizer()
@@ -58,12 +63,24 @@ def language_eval(
     if missing:
         raise KeyError(f"candidates without references: {missing[:5]}")
 
+    if isinstance(metrics, str):  # CLI override form: "CIDEr,Bleu_4"
+        metrics = [m for m in metrics.split(",") if m]
+    want = None if metrics is None else {m.lower() for m in metrics}
+
+    def on(name: str) -> bool:
+        return want is None or any(name in m for m in want)
+
     out: dict[str, float] = {}
-    bleu, _ = BleuScorer(4).score(gts, res)
-    for i, b in enumerate(bleu, 1):
-        out[f"Bleu_{i}"] = b
-    out["METEOR"], _ = MeteorScorer().score(gts, res)
-    out["ROUGE_L"], _ = RougeScorer().score(gts, res)
-    out["CIDEr"], _ = CiderScorer().score(gts, res)
-    out["CIDErD"], _ = CiderDScorer().score(gts, res)
+    if on("bleu"):
+        bleu, _ = BleuScorer(4).score(gts, res)
+        for i, b in enumerate(bleu, 1):
+            out[f"Bleu_{i}"] = b
+    if on("meteor"):
+        out["METEOR"], _ = MeteorScorer().score(gts, res)
+    if on("rouge"):
+        out["ROUGE_L"], _ = RougeScorer().score(gts, res)
+    if on("cider"):  # plain CIDEr ("cider" also selects CIDErD below)
+        out["CIDEr"], _ = CiderScorer().score(gts, res)
+    if on("cider"):
+        out["CIDErD"], _ = CiderDScorer().score(gts, res)
     return out

@@ -92,6 +92,7 @@ def train_loop(
                     max_len=cfg.eval.max_decode_len,
                     max_pos_len=cfg.model.max_pos_len,
                     caption_fn=caption_fn,
+                    metrics=cfg.eval.metrics,
                 )
                 entry["eval"] = metrics
                 score = metrics.get(track_metric, metrics.get("CIDEr", 0.0))

@@ -44,11 +44,8 @@ class ModelConfig:
 
 @dataclass
 class DataConfig:
-    data_dir: str = "data"
-    dataset: str = "msrvtt"  # msrvtt | msvd | joint
-    feature_file: str = ""  # hdf5 with {app,motion} feature groups
-    info_file: str = ""  # corpus info json (vocab, splits, id maps)
-    labels_file: str = ""  # npz with caption/pos token arrays
+    # corpus location/layout is the CLI's --data_dir convention
+    # (info.json + labels.npz + features.h5); no duplicate path knobs here
     batch_size: int = 64
     seqs_per_video: int = 20  # GT captions kept per video (pad/sample to this)
     caps_per_video_train: int = 5  # captions drawn per video per XE batch

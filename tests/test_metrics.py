@@ -217,3 +217,17 @@ def test_decode_and_gts_helpers():
                       pad_encode(v, ["runs"], 6)]])
     gts = gts_from_label_array(v, caps, np.array([2]), ["vid0"])
     assert gts == {"vid0": ["a man", "runs"]}
+
+
+def test_language_eval_metric_selection():
+    gts = {"a": ["a man runs", "a man is running"]}
+    res = {"a": ["a man runs"]}
+    full = language_eval(gts, res)
+    assert set(full) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4",
+                         "METEOR", "ROUGE_L", "CIDEr", "CIDErD"}
+    only = language_eval(gts, res, metrics=("CIDEr", "Bleu_4"))
+    assert set(only) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4",
+                         "CIDEr", "CIDErD"}
+    # CLI override string form
+    s = language_eval(gts, res, metrics="ROUGE_L")
+    assert set(s) == {"ROUGE_L"}
