@@ -1,0 +1,85 @@
+"""Serving CLI — run the micro-batching caption server on a checkpoint.
+
+The reference stops at research CLIs (SURVEY.md §1); this is the
+production-serving entry point (docs/ROADMAP.md item 4): an HTTP JSON API
+in front of `serve.engine.ServingEngine`, which coalesces concurrent
+requests into bucketed device batches (see that module's docstring).
+
+  python -m controllable_xgating_tpu.cli.serve --data_dir D \
+      --checkpoint_dir checkpoints/scst --port 8000 \
+      --mode beam --buckets 1,4,16,64 --max_wait_ms 5
+"""
+
+from __future__ import annotations
+
+import json
+
+from controllable_xgating_tpu.cli.common import (
+    apply_runtime_flags,
+    base_parser,
+    load_corpus,
+    parse_with_overrides,
+    restore_params,
+)
+
+
+def build_engine(args, cfg, info, store):
+    from controllable_xgating_tpu.serve.engine import ServingEngine
+
+    params = restore_params(args.checkpoint_dir, cfg, name=args.ckpt_name)
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    return ServingEngine(
+        params, cfg, info.vocab, info.pos_vocab,
+        mode=args.mode, buckets=buckets, max_wait_ms=args.max_wait_ms,
+    )
+
+
+def start(argv=None):
+    """Parse args, build the engine, bind the server. Returns
+    (httpd, engine) — main() runs serve_forever; tests drive it directly."""
+    p = base_parser(__doc__)
+    p.add_argument("--ckpt_name", default="best")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000,
+                   help="0 = pick an ephemeral port (printed at startup)")
+    p.add_argument("--mode", choices=("greedy", "beam"), default="beam")
+    p.add_argument("--buckets", default="1,4,16,64",
+                   help="ascending batch-size buckets (compiled once each)")
+    p.add_argument("--max_wait_ms", type=float, default=5.0,
+                   help="micro-batching window after the first request")
+    p.add_argument("--no_warmup", action="store_true",
+                   help="skip pre-compiling every bucket at startup")
+    args, cfg = parse_with_overrides(p, argv)
+    apply_runtime_flags(args, cfg)
+
+    info, _, store, cfg = load_corpus(args.data_dir, cfg)
+    engine = build_engine(args, cfg, info, store)
+    if not args.no_warmup:
+        print(json.dumps({"event": "warmup", "buckets": engine.buckets}))
+        engine.warmup()
+
+    from controllable_xgating_tpu.serve.server import serve
+
+    httpd = serve(engine, args.host, args.port,
+                  store=store, video_ids=list(info.video_ids))
+    print(json.dumps({
+        "event": "serving",
+        "addr": f"http://{args.host}:{httpd.server_address[1]}",
+        "mode": args.mode,
+    }), flush=True)
+    return httpd, engine
+
+
+def main(argv=None) -> None:
+    httpd, engine = start(argv)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        engine.close()
+
+
+if __name__ == "__main__":
+    main()

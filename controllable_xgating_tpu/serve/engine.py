@@ -1,0 +1,336 @@
+"""Online serving engine: dynamic micro-batching into the big-batch decoder.
+
+The reference has no serving story (SURVEY.md §1: research CLIs only); this
+subsystem is the production-deployment layer docs/ROADMAP.md item 4 asked
+for. The TPU decoder is throughput-optimal at large batch (docs/RESULTS.md:
+greedy 32k captions/s at B=1024 vs ~latency-bound at B=1), so the engine's
+job is to convert an *online* stream of single-video requests into *batched*
+device dispatches without unbounded queueing delay:
+
+  * callers `submit()` a request and get a `concurrent.futures.Future`;
+  * a dispatcher thread coalesces requests that arrive within
+    `max_wait_ms` of the first queued one (or until the largest bucket
+    fills) into ONE device program invocation;
+  * batches are padded up to a fixed set of batch-size *buckets* so the
+    jitted program is compiled once per bucket, never per request count
+    (static shapes — the XLA contract);
+  * mixed free-run / POS-controlled requests share a batch: the program
+    always rolls the POS generator AND teacher-forces the user tags, then
+    selects psi per row (`use_tags`), so controllability (paper §4) costs
+    no extra dispatch;
+  * everything downstream of the queue is the same code inference uses —
+    `encode_for_inference`-equivalent prolog + greedy/beam rollout with
+    early-stop, fused Pallas kernels per the dispatcher.
+
+Latency accounting (p50/p99 over a sliding window) and batch-occupancy
+counters are exposed via `stats()` and served by `serve/server.py`.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from dataclasses import dataclass
+from queue import Empty, Queue
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from controllable_xgating_tpu.data.features import _fit_frames
+from controllable_xgating_tpu.data.vocab import PAD, Vocab, pad_encode
+from controllable_xgating_tpu.infer.beam import beam_search
+from controllable_xgating_tpu.infer.greedy import greedy_decode
+from controllable_xgating_tpu.models.captioner import CaptionerParams
+from controllable_xgating_tpu.models.decoder import make_decode_context
+from controllable_xgating_tpu.models.encoder import encode
+from controllable_xgating_tpu.models.pos_generator import (
+    pos_forward,
+    pos_greedy_generate,
+)
+from controllable_xgating_tpu.utils.config import Config
+
+
+@dataclass
+class CaptionResult:
+    caption: str
+    pos_sequence: str
+    controlled: bool
+    score: Optional[float]  # beam logprob (None for greedy)
+    latency_ms: float
+    batch_size: int  # bucket the request rode in
+
+
+@dataclass
+class _Request:
+    app: np.ndarray          # [T, Da] fitted to num_frames
+    motion: np.ndarray       # [T, Dm]
+    nframes: int
+    pos_tags: Optional[np.ndarray]  # [Lp] int32, or None = free-run
+    future: Future
+    t_submit: float
+
+
+class ServingEngine:
+    """Micro-batching caption server around one jitted decode program.
+
+    Thread-safe: any number of producer threads may `submit()`; one
+    dispatcher thread owns the device. `close()` drains and joins.
+    """
+
+    def __init__(
+        self,
+        params: CaptionerParams,
+        cfg: Config,
+        vocab: Vocab,
+        pos_vocab: Vocab,
+        mode: str = "beam",
+        buckets: Sequence[int] = (1, 4, 16, 64),
+        max_wait_ms: float = 5.0,
+        fused: Optional[bool] = None,
+        latency_window: int = 2048,
+    ):
+        if mode not in ("greedy", "beam"):
+            raise ValueError(f"mode must be greedy|beam, got {mode!r}")
+        if not buckets or sorted(buckets) != list(buckets):
+            raise ValueError("buckets must be a non-empty ascending sequence")
+        self.params = params
+        self.cfg = cfg
+        self.vocab = vocab
+        self.pos_vocab = pos_vocab
+        self.mode = mode
+        self.buckets = tuple(int(b) for b in buckets)
+        self.max_wait_s = max_wait_ms / 1e3
+        self._queue: Queue[_Request] = Queue()
+        self._closed = threading.Event()
+        self._lat = deque(maxlen=latency_window)
+        self._lock = threading.Lock()
+        self._n_requests = 0
+        self._n_batches = 0
+        self._n_padded_rows = 0
+
+        from controllable_xgating_tpu.ops.dispatch import fused_enabled
+
+        fused = fused_enabled(fused)
+        m = cfg.model
+        ev = cfg.eval
+
+        def run(params, app, motion, frame_mask, pos_tags, use_tags):
+            enc_out, summary = encode(
+                params.encoder, app, motion, frame_mask, fused_kernels=fused
+            )
+            tags_gen, psi_gen = pos_greedy_generate(
+                params.pos, summary, m.max_pos_len, early_stop=True,
+                fused=fused,
+            )
+            _, psi_user = pos_forward(params.pos, summary, pos_tags)
+            psi = jnp.where(use_tags[:, None], psi_user, psi_gen)
+            tags_out = jnp.where(use_tags[:, None], pos_tags, tags_gen)
+            ctx = make_decode_context(params.decoder, enc_out, psi, frame_mask)
+            if mode == "greedy":
+                tokens = greedy_decode(
+                    params.decoder, ctx, summary, ev.max_decode_len,
+                    fused=fused, block_unk=ev.block_unk, early_stop=True,
+                )
+                scores = jnp.zeros((tokens.shape[0],), jnp.float32)
+            else:
+                tokens, scores = beam_search(
+                    params.decoder, ctx, summary, ev.beam_size,
+                    ev.max_decode_len, ev.length_penalty, fused=fused,
+                    block_unk=ev.block_unk, early_stop=True,
+                )
+            return tokens, tags_out, scores
+
+        self._fn = jax.jit(run)
+        self._dispatcher = threading.Thread(
+            target=self._dispatch_loop, name="cxg-serve-dispatch", daemon=True
+        )
+        self._dispatcher.start()
+
+    # ------------------------------------------------------------- producers
+
+    def submit(
+        self,
+        app: np.ndarray,
+        motion: np.ndarray,
+        nframes: Optional[int] = None,
+        pos_tags: Optional[Sequence[str]] = None,
+    ) -> Future:
+        """Enqueue one video -> Future[CaptionResult].
+
+        `app` [T, Da] / `motion` [T, Dm] may have any T: they are fitted to
+        the model's num_frames exactly like the offline FeatureStore
+        (uniform subsample or zero-pad + frame mask). `pos_tags` is an
+        optional Penn tag sequence enforcing the caption's syntax.
+        """
+        if self._closed.is_set():
+            raise RuntimeError("ServingEngine is closed")
+        app = np.asarray(app, np.float32)
+        motion = np.asarray(motion, np.float32)
+        if app.ndim != 2 or motion.ndim != 2 or app.shape[0] != motion.shape[0]:
+            raise ValueError("app [T,Da] and motion [T,Dm] must share T")
+        t_in = app.shape[0]
+        nf = self.cfg.model.num_frames
+        valid = min(int(nframes) if nframes is not None else t_in, t_in)
+        if valid < 1:
+            raise ValueError("nframes must be >= 1")
+        app = _fit_frames(app[None], nf)[0]
+        motion = _fit_frames(motion[None], nf)[0]
+        if t_in > nf:  # subsample keeps validity a prefix (uniform, ordered)
+            idx = np.linspace(0, t_in - 1, nf).round().astype(np.int64)
+            valid = max(int((idx < valid).sum()), 1)
+        else:
+            valid = min(valid, nf)
+        tags_row = None
+        if pos_tags is not None:
+            unknown = [t for t in pos_tags if t not in self.pos_vocab]
+            if unknown:
+                raise ValueError(f"unknown POS tags {unknown}")
+            tags_row = np.array(
+                pad_encode(self.pos_vocab, list(pos_tags),
+                           self.cfg.model.max_pos_len),
+                np.int32,
+            )
+        fut: Future = Future()
+        self._queue.put(
+            _Request(app, motion, valid, tags_row, fut, time.monotonic())
+        )
+        return fut
+
+    def caption(self, app, motion, nframes=None, pos_tags=None,
+                timeout: Optional[float] = None) -> CaptionResult:
+        """Synchronous convenience wrapper around submit()."""
+        return self.submit(app, motion, nframes, pos_tags).result(timeout)
+
+    # ------------------------------------------------------------ dispatcher
+
+    def _collect(self) -> list[_Request]:
+        """Block for the first request, then coalesce arrivals for up to
+        max_wait_ms (or until the largest bucket fills)."""
+        try:
+            first = self._queue.get(timeout=0.1)
+        except Empty:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        cap = self.buckets[-1]
+        while len(batch) < cap:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except Empty:
+                break
+        return batch
+
+    def _dispatch_loop(self) -> None:
+        while not (self._closed.is_set() and self._queue.empty()):
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                self._run_batch(batch)
+            except BaseException as e:  # noqa: BLE001 — forward to callers
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _run_batch(self, batch: list[_Request]) -> None:
+        n = len(batch)
+        bucket = next((b for b in self.buckets if b >= n), self.buckets[-1])
+        if n > bucket:  # more than the largest bucket queued: split
+            self._run_batch(batch[:bucket])
+            self._run_batch(batch[bucket:])
+            return
+        m = self.cfg.model
+        # pad rows replicate request 0 (a guaranteed-valid row: an all-zero
+        # frame mask would NaN the attention softmax)
+        rows = batch + [batch[0]] * (bucket - n)
+        app = np.stack([r.app for r in rows])
+        motion = np.stack([r.motion for r in rows])
+        mask = (
+            np.arange(m.num_frames)[None, :]
+            < np.array([r.nframes for r in rows])[:, None]
+        ).astype(np.float32)
+        tags = np.stack([
+            r.pos_tags if r.pos_tags is not None
+            else np.full((m.max_pos_len,), PAD, np.int32)
+            for r in rows
+        ])
+        use_tags = np.array([r.pos_tags is not None for r in rows])
+        tokens, tags_out, scores = self._fn(
+            self.params, app, motion, mask, tags, use_tags
+        )
+        tokens = np.asarray(tokens)
+        tags_out = np.asarray(tags_out)
+        scores = np.asarray(scores)
+        t_done = time.monotonic()
+        with self._lock:
+            self._n_requests += n
+            self._n_batches += 1
+            self._n_padded_rows += bucket - n
+            for r in batch:
+                self._lat.append(t_done - r.t_submit)
+        for i, r in enumerate(batch):
+            r.future.set_result(CaptionResult(
+                caption=self.vocab.decode_str(tokens[i]),
+                pos_sequence=" ".join(self.pos_vocab.decode(tags_out[i])),
+                controlled=r.pos_tags is not None,
+                score=float(scores[i]) if self.mode == "beam" else None,
+                latency_ms=(t_done - r.t_submit) * 1e3,
+                batch_size=bucket,
+            ))
+
+    # -------------------------------------------------------------- lifecycle
+
+    def warmup(self) -> None:
+        """Pre-trace every bucket so first real requests don't pay compile."""
+        m = self.cfg.model
+        for b in self.buckets:
+            app = np.zeros((b, m.num_frames, m.app_dim), np.float32)
+            mot = np.zeros((b, m.num_frames, m.motion_dim), np.float32)
+            mask = np.ones((b, m.num_frames), np.float32)
+            tags = np.full((b, m.max_pos_len), PAD, np.int32)
+            use = np.zeros((b,), bool)
+            jax.block_until_ready(
+                self._fn(self.params, app, mot, mask, tags, use)
+            )
+
+    def stats(self) -> dict:
+        with self._lock:
+            lat = sorted(self._lat)
+            n_req, n_bat, n_pad = (
+                self._n_requests, self._n_batches, self._n_padded_rows
+            )
+
+        def pct(p):
+            if not lat:
+                return None
+            return lat[min(int(p * len(lat)), len(lat) - 1)] * 1e3
+
+        rows = n_req + n_pad
+        return {
+            "mode": self.mode,
+            "buckets": list(self.buckets),
+            "requests": n_req,
+            "batches": n_bat,
+            "mean_batch_occupancy": (n_req / rows) if rows else None,
+            "latency_ms_p50": pct(0.50),
+            "latency_ms_p99": pct(0.99),
+            "queue_depth": self._queue.qsize(),
+        }
+
+    def close(self, timeout: float = 30.0) -> None:
+        """Stop accepting requests, drain the queue, join the dispatcher."""
+        self._closed.set()
+        self._dispatcher.join(timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

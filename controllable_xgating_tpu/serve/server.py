@@ -1,0 +1,111 @@
+"""Minimal production HTTP front-end for the ServingEngine (stdlib-only).
+
+Endpoints (JSON in/out):
+
+  POST /caption   {"video": "<id>"}                      — by corpus video id
+                  {"app": [[...]], "motion": [[...]],    — raw features
+                   "nframes": 12, "pos_tags": "DT NN VBZ"}
+                  -> {"caption", "pos_sequence", "controlled", "score",
+                      "latency_ms", "batch_size"}
+  GET  /healthz   -> {"ok": true}
+  GET  /stats     -> ServingEngine.stats()
+
+A ThreadingHTTPServer handles each connection on its own thread, so
+concurrent clients' requests coalesce inside the engine's micro-batching
+window — the server IS the load generator the engine was built for.
+No third-party web framework is used (offline environment; stdlib http
+is sufficient for a JSON API at these request sizes).
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from controllable_xgating_tpu.data.features import FeatureStore
+from controllable_xgating_tpu.serve.engine import ServingEngine
+
+
+def make_handler(engine: ServingEngine, store: Optional[FeatureStore],
+                 video_ids: Optional[list[str]]):
+    id_to_idx = (
+        {v: i for i, v in enumerate(video_ids)} if video_ids else {}
+    )
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):  # quiet by default; stats() has counters
+            pass
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True})
+            elif self.path == "/stats":
+                self._send(200, engine.stats())
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/caption":
+                self._send(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                if "video" in req:
+                    if store is None:
+                        raise ValueError("server started without a corpus")
+                    vid = req["video"]
+                    if vid not in id_to_idx:
+                        raise ValueError(f"unknown video id {vid!r}")
+                    idx = np.array([id_to_idx[vid]])
+                    app, motion = store.get_batch(idx)
+                    app, motion = app[0], motion[0]
+                    mask = store.frame_mask(idx)
+                    nframes = (
+                        int(mask[0].sum()) if mask is not None else None
+                    )
+                else:
+                    app = np.asarray(req["app"], np.float32)
+                    motion = np.asarray(req["motion"], np.float32)
+                    nframes = req.get("nframes")
+                tags = req.get("pos_tags")
+                if isinstance(tags, str):
+                    tags = tags.split()
+                res = engine.caption(app, motion, nframes, tags)
+                self._send(200, {
+                    "caption": res.caption,
+                    "pos_sequence": res.pos_sequence,
+                    "controlled": res.controlled,
+                    "score": res.score,
+                    "latency_ms": res.latency_ms,
+                    "batch_size": res.batch_size,
+                })
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — report, keep serving
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(engine: ServingEngine, host: str, port: int,
+          store: Optional[FeatureStore] = None,
+          video_ids: Optional[list[str]] = None) -> ThreadingHTTPServer:
+    """Bind and return the server (caller runs serve_forever / shutdown)."""
+    handler = make_handler(engine, store, video_ids)
+    httpd = ThreadingHTTPServer((host, port), handler)
+    httpd.daemon_threads = True
+    return httpd

@@ -1,0 +1,255 @@
+"""Serving engine + HTTP front-end tests (CPU, tiny model).
+
+The engine's contract: any interleaving of concurrent single-video
+requests — mixed free-run and POS-controlled, any arrival pattern, any
+bucket padding — produces EXACTLY the captions the offline batch path
+produces for the same inputs (rows are independent under the decoder).
+"""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from controllable_xgating_tpu.data.vocab import Vocab, pad_encode
+from controllable_xgating_tpu.infer.greedy import greedy_decode
+from controllable_xgating_tpu.models.captioner import (
+    encode_for_inference,
+    init_captioner,
+)
+from controllable_xgating_tpu.serve.engine import ServingEngine
+from controllable_xgating_tpu.utils.config import Config
+
+WORDS = [f"w{i}" for i in range(16)]
+TAGS = ["DT", "NN", "VBZ", "VBG", "IN"]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config().replace_flat({
+        "model.app_dim": 10, "model.motion_dim": 8, "model.hidden_dim": 12,
+        "model.embed_dim": 8, "model.attn_dim": 10, "model.pos_embed_dim": 10,
+        "model.vocab_size": 4 + len(WORDS), "model.pos_vocab_size": 4 + len(TAGS),
+        "model.num_frames": 5, "model.max_pos_len": 8,
+        "eval.max_decode_len": 9, "eval.beam_size": 3,
+    })
+    params = init_captioner(jax.random.PRNGKey(0), cfg.model)
+    vocab = Vocab(WORDS)
+    pos_vocab = Vocab(TAGS)
+    rng = np.random.default_rng(0)
+    feats = [
+        (rng.normal(size=(5, 10)).astype(np.float32),
+         rng.normal(size=(5, 8)).astype(np.float32))
+        for _ in range(6)
+    ]
+    return cfg, params, vocab, pos_vocab, feats
+
+
+def expected_caption(cfg, params, vocab, app, motion, pos_tags=None):
+    """Offline single-video reference path (public inference surface)."""
+    tags = None
+    if pos_tags is not None:
+        pv = Vocab(TAGS)
+        tags = np.array([pad_encode(pv, pos_tags, cfg.model.max_pos_len)],
+                        np.int32)
+    ctx, summary, _ = encode_for_inference(
+        params, app[None], motion[None],
+        np.ones((1, cfg.model.num_frames), np.float32),
+        pos_tags=tags, max_pos_len=cfg.model.max_pos_len,
+    )
+    toks = greedy_decode(params.decoder, ctx, summary,
+                         cfg.eval.max_decode_len)
+    return vocab.decode_str(np.asarray(toks)[0])
+
+
+def test_engine_matches_offline_path(setup):
+    """Concurrent mixed free/controlled requests == offline per-video decode."""
+    cfg, params, vocab, pos_vocab, feats = setup
+    reqs = [
+        (feats[0], None),
+        (feats[1], ["DT", "NN", "VBZ"]),
+        (feats[2], None),
+        (feats[3], ["NN", "VBG", "IN", "DT", "NN"]),
+        (feats[4], None),
+    ]
+    with ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                       buckets=(1, 2, 4), max_wait_ms=30.0) as eng:
+        futs = [eng.submit(a, m, pos_tags=t) for (a, m), t in reqs]
+        results = [f.result(timeout=120) for f in futs]
+    for ((app, mot), tags), res in zip(reqs, results):
+        assert res.caption == expected_caption(cfg, params, vocab, app, mot, tags)
+        assert res.controlled == (tags is not None)
+        if tags is not None:
+            assert res.pos_sequence.split()[: len(tags)] == tags
+
+
+def test_bucket_padding_does_not_change_results(setup):
+    """The same request answered solo (bucket=1) and ridden in a padded
+    bucket (n=3 -> bucket 4) must caption identically."""
+    cfg, params, vocab, pos_vocab, feats = setup
+    app, mot = feats[0]
+    with ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                       buckets=(1,), max_wait_ms=1.0) as eng:
+        solo = eng.caption(app, mot, timeout=120).caption
+    with ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                       buckets=(4,), max_wait_ms=50.0) as eng:
+        futs = [eng.submit(*feats[i]) for i in (0, 1, 2)]
+        padded = [f.result(timeout=120) for f in futs]
+    assert padded[0].caption == solo
+    assert all(r.batch_size == 4 for r in padded)
+
+
+def test_engine_beam_mode_scores(setup):
+    cfg, params, vocab, pos_vocab, feats = setup
+    with ServingEngine(params, cfg, vocab, pos_vocab, mode="beam",
+                       buckets=(2,), max_wait_ms=5.0) as eng:
+        res = eng.caption(*feats[0], timeout=180)
+    assert res.score is not None and np.isfinite(res.score)
+    assert isinstance(res.caption, str)
+
+
+def test_variable_frames_and_nframes(setup):
+    """Requests with T != num_frames are fitted like the FeatureStore; the
+    pad region must not influence the caption (mask flows through)."""
+    cfg, params, vocab, pos_vocab, feats = setup
+    short_app = feats[0][0][:3]          # T=3 < num_frames=5
+    short_mot = feats[0][1][:3]
+    garbage_app = np.concatenate(
+        [short_app, 100.0 * np.ones((2, 10), np.float32)])
+    garbage_mot = np.concatenate(
+        [short_mot, 100.0 * np.ones((2, 8), np.float32)])
+    with ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                       buckets=(1,), max_wait_ms=1.0) as eng:
+        a = eng.caption(short_app, short_mot, timeout=120).caption
+        b = eng.caption(garbage_app, garbage_mot, nframes=3,
+                        timeout=120).caption
+    assert a == b
+
+
+def test_stats_and_validation(setup):
+    cfg, params, vocab, pos_vocab, feats = setup
+    eng = ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                        buckets=(1, 2), max_wait_ms=1.0)
+    try:
+        with pytest.raises(ValueError, match="unknown POS tags"):
+            eng.submit(*feats[0], pos_tags=["NOTATAG"])
+        with pytest.raises(ValueError):
+            eng.submit(feats[0][0][:2], feats[0][1][:3])  # mismatched T
+        eng.caption(*feats[0], timeout=120)
+        s = eng.stats()
+        assert s["requests"] == 1 and s["batches"] == 1
+        assert s["latency_ms_p50"] is not None
+        assert 0 < s["mean_batch_occupancy"] <= 1
+    finally:
+        eng.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        eng.submit(*feats[0])
+
+
+def test_http_server_roundtrip(setup):
+    """Raw-feature POST through the stdlib server -> same caption as the
+    offline path; /healthz and /stats respond; bad requests get 400."""
+    from controllable_xgating_tpu.serve.server import serve
+
+    cfg, params, vocab, pos_vocab, feats = setup
+    app, mot = feats[5]
+    with ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                       buckets=(1, 2), max_wait_ms=2.0) as eng:
+        httpd = serve(eng, "127.0.0.1", 0)   # ephemeral port
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            body = json.dumps({
+                "app": app.tolist(), "motion": mot.tolist(),
+                "pos_tags": "DT NN VBZ",
+            }).encode()
+            req = urllib.request.Request(
+                base + "/caption", data=body,
+                headers={"Content-Type": "application/json"})
+            resp = json.loads(urllib.request.urlopen(req, timeout=120).read())
+            assert resp["caption"] == expected_caption(
+                cfg, params, vocab, app, mot, ["DT", "NN", "VBZ"])
+            assert resp["controlled"] is True
+
+            ok = json.loads(urllib.request.urlopen(
+                base + "/healthz", timeout=30).read())
+            assert ok == {"ok": True}
+            stats = json.loads(urllib.request.urlopen(
+                base + "/stats", timeout=30).read())
+            assert stats["requests"] >= 1
+
+            bad = urllib.request.Request(
+                base + "/caption", data=b'{"pos_tags": "DT"}',
+                headers={"Content-Type": "application/json"})
+            try:
+                urllib.request.urlopen(bad, timeout=30)
+                raised = False
+            except urllib.error.HTTPError as e:
+                raised = e.code == 400
+            assert raised
+        finally:
+            httpd.shutdown()
+
+
+@pytest.mark.slow
+def test_serve_cli_end_to_end(tmp_path):
+    """Full public surface: prepro -> 1-epoch train -> cli.serve.start ->
+    POST /caption by corpus video id (the production deployment path)."""
+    from controllable_xgating_tpu.cli import prepro as cli_prepro
+    from controllable_xgating_tpu.cli import serve as cli_serve
+    from controllable_xgating_tpu.cli import train as cli_train
+
+    d = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ckpts")
+    small = [
+        "--model.hidden_dim", "16", "--model.embed_dim", "10",
+        "--model.attn_dim", "10", "--model.pos_embed_dim", "10",
+        "--model.num_frames", "4", "--model.dropout", "0.0",
+        "--data.batch_size", "6", "--data.caps_per_video_train", "2",
+        "--eval.max_decode_len", "10",
+    ]
+    cli_prepro.main([
+        "--out", d, "--fixtures", "--fixture_videos", "12",
+        "--fixture_frames", "4", "--fixture_app_dim", "12",
+        "--fixture_motion_dim", "8", "--max_caption_len", "10",
+        "--seqs_per_video", "4",
+    ])
+    cli_train.main([
+        "--data_dir", d, "--checkpoint_dir", ck, "--stage", "joint",
+        "--epochs", "1", *small,
+    ])
+    httpd, engine = cli_serve.start([
+        "--data_dir", d, "--checkpoint_dir", ck + "/joint",
+        "--port", "0", "--mode", "greedy", "--buckets", "1,2",
+        "--max_wait_ms", "2", "--no_warmup", *small,
+    ])
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        req = urllib.request.Request(
+            base + "/caption", data=json.dumps({"video": "video3"}).encode(),
+            headers={"Content-Type": "application/json"})
+        resp = json.loads(urllib.request.urlopen(req, timeout=300).read())
+        assert isinstance(resp["caption"], str)
+        assert resp["controlled"] is False
+        # unknown video id -> 400, server keeps serving
+        bad = urllib.request.Request(
+            base + "/caption", data=json.dumps({"video": "nope"}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            code = 200
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 400
+        ok = json.loads(urllib.request.urlopen(
+            base + "/healthz", timeout=30).read())
+        assert ok == {"ok": True}
+    finally:
+        httpd.shutdown()
+        engine.close()
