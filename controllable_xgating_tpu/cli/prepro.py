@@ -29,6 +29,12 @@ def main(argv=None) -> None:
     p.add_argument("--min_word_freq", type=int, default=2)
     p.add_argument("--max_caption_len", type=int, default=28)
     p.add_argument("--seqs_per_video", type=int, default=20)
+    p.add_argument("--tagger", choices=("rules", "perceptron"),
+                   default="rules",
+                   help="POS tagger: built-in rule tagger, or a trained "
+                        "averaged-perceptron model (see tools/train_tagger.py)")
+    p.add_argument("--tagger_model",
+                   help="model path (required with --tagger perceptron)")
     p.add_argument("--fixtures", action="store_true")
     p.add_argument("--fixture_videos", type=int, default=200)
     p.add_argument("--fixture_frames", type=int, default=26)
@@ -57,6 +63,15 @@ def main(argv=None) -> None:
             captions = json.load(f)
         with open(args.splits) as f:
             splits = json.load(f)
+        tagger = None
+        if args.tagger == "perceptron":
+            if not args.tagger_model:
+                p.error("--tagger perceptron requires --tagger_model")
+            from controllable_xgating_tpu.data.postag_perceptron import (
+                PerceptronTagger,
+            )
+
+            tagger = PerceptronTagger.load(args.tagger_model)
         info = preprocess_corpus(
             captions,
             splits,
@@ -64,6 +79,7 @@ def main(argv=None) -> None:
             min_word_freq=args.min_word_freq,
             max_caption_len=args.max_caption_len,
             seqs_per_video=args.seqs_per_video,
+            tagger=tagger,
         )
     print(
         json.dumps(

@@ -79,6 +79,7 @@ def preprocess_corpus(
     min_word_freq: int = 2,
     max_caption_len: int = 28,
     seqs_per_video: int = 20,
+    tagger=None,
 ) -> CorpusInfo:
     """Run the full offline prep and write info.json + labels.npz.
 
@@ -86,10 +87,15 @@ def preprocess_corpus(
       captions: raw {video_id: [caption strings]} over ALL splits.
       splits: {"train"|"val"|"test": [video_id, ...]}.
       max_caption_len: fixed array length INCLUDING BOS and EOS slots.
+      tagger: object with `.tag(tokens) -> tags` (default: the rule-based
+        `PennTagger`; pass a trained `PerceptronTagger` for domain corpora).
+        If it exposes a `.tags` tagset (the perceptron does), the POS vocab
+        is built from THAT tagset instead of the closed Penn list.
     """
     os.makedirs(out_dir, exist_ok=True)
     tokenizer = PTBTokenizer()
-    tagger = PennTagger()
+    if tagger is None:
+        tagger = PennTagger()
 
     video_ids = [vid for s in SPLITS for vid in splits.get(s, ())]
     if len(set(video_ids)) != len(video_ids):
@@ -113,8 +119,11 @@ def preprocess_corpus(
         (t for vid in video_ids if vid in train_ids for t in tokenized[vid]),
         min_freq=min_word_freq,
     )
-    # POS vocab is the full closed Penn tagset — stable across corpora.
-    pos_vocab = Vocab(list(PENN_TAGS))
+    # POS vocab: the full closed Penn tagset by default (stable across
+    # corpora); a trained tagger's own tagset when it exposes one.
+    custom_tagset = getattr(tagger, "tags", None)
+    pos_vocab = Vocab(sorted(custom_tagset) if custom_tagset
+                      else list(PENN_TAGS))
 
     num_videos = len(video_ids)
     caps = np.zeros((num_videos, seqs_per_video, max_caption_len), np.int32)
