@@ -24,6 +24,20 @@ device dispatches without unbounded queueing delay:
 
 Latency accounting (p50/p99 over a sliding window) and batch-occupancy
 counters are exposed via `stats()` and served by `serve/server.py`.
+
+Transfer discipline (measured on the v5e-via-relay environment, where PCIe
+costs are magnified ~100x and therefore impossible to ignore):
+
+  * features are fed to the device in the COMPUTE dtype (bf16 under the
+    TPU policy — the encoder's first matmul casts them anyway, so this is
+    bit-identical and halves H2D bytes);
+  * the jitted program packs tokens/tags/scores into ONE int32 array so
+    completion costs a single D2H transfer;
+  * dispatch and completion run on separate threads: the dispatcher
+    assembles + enqueues batch N+1 on the device while the completion
+    thread drains batch N's outputs — host transfer and device compute
+    overlap instead of serializing (double buffering, bounded at
+    `max_inflight` batches of backpressure).
 """
 
 from __future__ import annotations
@@ -92,6 +106,7 @@ class ServingEngine:
         max_wait_ms: float = 5.0,
         fused: Optional[bool] = None,
         latency_window: int = 2048,
+        max_inflight: int = 2,
     ):
         if mode not in ("greedy", "beam"):
             raise ValueError(f"mode must be greedy|beam, got {mode!r}")
@@ -105,6 +120,8 @@ class ServingEngine:
         self.buckets = tuple(int(b) for b in buckets)
         self.max_wait_s = max_wait_ms / 1e3
         self._queue: Queue[_Request] = Queue()
+        # (requests, device_outputs, bucket) in flight; bounded = backpressure
+        self._completion: Queue = Queue(maxsize=max_inflight)
         self._closed = threading.Event()
         self._lat = deque(maxlen=latency_window)
         self._lock = threading.Lock()
@@ -113,12 +130,22 @@ class ServingEngine:
         self._n_padded_rows = 0
 
         from controllable_xgating_tpu.ops.dispatch import fused_enabled
+        from controllable_xgating_tpu.ops.precision import compute_dtype
 
         fused = fused_enabled(fused)
         m = cfg.model
         ev = cfg.eval
+        # feed features in the compute dtype: the encoder's first matmul
+        # casts operands there anyway, so this is free accuracy-wise and
+        # halves H2D traffic under the bf16 policy
+        self._feed_dtype = np.dtype(compute_dtype())
 
         def run(params, app, motion, frame_mask, pos_tags, use_tags):
+            # features arrive in the compute dtype (H2D economy); upcast on
+            # device so downstream dtypes match the offline path exactly
+            # (the policy re-casts matmul operands where it matters)
+            app = app.astype(jnp.float32)
+            motion = motion.astype(jnp.float32)
             enc_out, summary = encode(
                 params.encoder, app, motion, frame_mask, fused_kernels=fused
             )
@@ -142,13 +169,23 @@ class ServingEngine:
                     ev.max_decode_len, ev.length_penalty, fused=fused,
                     block_unk=ev.block_unk, early_stop=True,
                 )
-            return tokens, tags_out, scores
+            # one packed int32 output = one D2H transfer at completion
+            return jnp.concatenate([
+                tokens,
+                tags_out,
+                jax.lax.bitcast_convert_type(
+                    scores.astype(jnp.float32), jnp.int32)[:, None],
+            ], axis=1)
 
         self._fn = jax.jit(run)
         self._dispatcher = threading.Thread(
             target=self._dispatch_loop, name="cxg-serve-dispatch", daemon=True
         )
+        self._finisher = threading.Thread(
+            target=self._completion_loop, name="cxg-serve-finish", daemon=True
+        )
         self._dispatcher.start()
+        self._finisher.start()
 
     # ------------------------------------------------------------- producers
 
@@ -232,26 +269,28 @@ class ServingEngine:
             batch = self._collect()
             if not batch:
                 continue
-            try:
-                self._run_batch(batch)
-            except BaseException as e:  # noqa: BLE001 — forward to callers
-                for r in batch:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+            while batch:
+                head, batch = batch[:self.buckets[-1]], batch[self.buckets[-1]:]
+                try:
+                    self._dispatch_batch(head)
+                except BaseException as e:  # noqa: BLE001 — to the callers
+                    for r in head:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+        self._completion.put(None)  # finisher shutdown sentinel
 
-    def _run_batch(self, batch: list[_Request]) -> None:
+    def _dispatch_batch(self, batch: list[_Request]) -> None:
+        """Assemble + enqueue one device batch; does NOT wait for results
+        (the completion thread drains outputs, so H2D/compute of this batch
+        overlaps D2H/detokenize of the previous one)."""
         n = len(batch)
         bucket = next((b for b in self.buckets if b >= n), self.buckets[-1])
-        if n > bucket:  # more than the largest bucket queued: split
-            self._run_batch(batch[:bucket])
-            self._run_batch(batch[bucket:])
-            return
         m = self.cfg.model
         # pad rows replicate request 0 (a guaranteed-valid row: an all-zero
         # frame mask would NaN the attention softmax)
         rows = batch + [batch[0]] * (bucket - n)
-        app = np.stack([r.app for r in rows])
-        motion = np.stack([r.motion for r in rows])
+        app = np.stack([r.app for r in rows]).astype(self._feed_dtype)
+        motion = np.stack([r.motion for r in rows]).astype(self._feed_dtype)
         mask = (
             np.arange(m.num_frames)[None, :]
             < np.array([r.nframes for r in rows])[:, None]
@@ -262,28 +301,44 @@ class ServingEngine:
             for r in rows
         ])
         use_tags = np.array([r.pos_tags is not None for r in rows])
-        tokens, tags_out, scores = self._fn(
-            self.params, app, motion, mask, tags, use_tags
-        )
-        tokens = np.asarray(tokens)
-        tags_out = np.asarray(tags_out)
-        scores = np.asarray(scores)
-        t_done = time.monotonic()
-        with self._lock:
-            self._n_requests += n
-            self._n_batches += 1
-            self._n_padded_rows += bucket - n
-            for r in batch:
-                self._lat.append(t_done - r.t_submit)
-        for i, r in enumerate(batch):
-            r.future.set_result(CaptionResult(
-                caption=self.vocab.decode_str(tokens[i]),
-                pos_sequence=" ".join(self.pos_vocab.decode(tags_out[i])),
-                controlled=r.pos_tags is not None,
-                score=float(scores[i]) if self.mode == "beam" else None,
-                latency_ms=(t_done - r.t_submit) * 1e3,
-                batch_size=bucket,
-            ))
+        packed = self._fn(self.params, app, motion, mask, tags, use_tags)
+        self._completion.put((batch, packed, bucket))  # blocks at max_inflight
+
+    def _completion_loop(self) -> None:
+        max_len = self.cfg.eval.max_decode_len
+        while True:
+            item = self._completion.get()
+            if item is None:
+                return
+            batch, packed, bucket = item
+            try:
+                packed = np.asarray(packed)  # the one blocking D2H
+                tokens = packed[:, :max_len]
+                tags_out = packed[:, max_len:-1]
+                scores = packed[:, -1].view(np.float32)
+                t_done = time.monotonic()
+                n = len(batch)
+                with self._lock:
+                    self._n_requests += n
+                    self._n_batches += 1
+                    self._n_padded_rows += bucket - n
+                    for r in batch:
+                        self._lat.append(t_done - r.t_submit)
+                for i, r in enumerate(batch):
+                    r.future.set_result(CaptionResult(
+                        caption=self.vocab.decode_str(tokens[i]),
+                        pos_sequence=" ".join(
+                            self.pos_vocab.decode(tags_out[i])),
+                        controlled=r.pos_tags is not None,
+                        score=(float(scores[i]) if self.mode == "beam"
+                               else None),
+                        latency_ms=(t_done - r.t_submit) * 1e3,
+                        batch_size=bucket,
+                    ))
+            except BaseException as e:  # noqa: BLE001 — to the callers
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
 
     # -------------------------------------------------------------- lifecycle
 
@@ -291,8 +346,8 @@ class ServingEngine:
         """Pre-trace every bucket so first real requests don't pay compile."""
         m = self.cfg.model
         for b in self.buckets:
-            app = np.zeros((b, m.num_frames, m.app_dim), np.float32)
-            mot = np.zeros((b, m.num_frames, m.motion_dim), np.float32)
+            app = np.zeros((b, m.num_frames, m.app_dim), self._feed_dtype)
+            mot = np.zeros((b, m.num_frames, m.motion_dim), self._feed_dtype)
             mask = np.ones((b, m.num_frames), np.float32)
             tags = np.full((b, m.max_pos_len), PAD, np.int32)
             use = np.zeros((b,), bool)
@@ -322,12 +377,14 @@ class ServingEngine:
             "latency_ms_p50": pct(0.50),
             "latency_ms_p99": pct(0.99),
             "queue_depth": self._queue.qsize(),
+            "batches_in_flight": self._completion.qsize(),
         }
 
     def close(self, timeout: float = 30.0) -> None:
-        """Stop accepting requests, drain the queue, join the dispatcher."""
+        """Stop accepting requests, drain queues, join both worker threads."""
         self._closed.set()
         self._dispatcher.join(timeout)
+        self._finisher.join(timeout)
 
     def __enter__(self):
         return self

@@ -1,0 +1,123 @@
+"""Serving-engine load test: latency/throughput vs offered load.
+
+Drives `serve.engine.ServingEngine` at MSR-VTT-realistic model shapes with
+an open-loop Poisson load generator (requests arrive on their own schedule
+whether or not the server keeps up — the honest way to measure serving
+latency; a closed loop self-throttles and hides queueing).
+
+For each offered rate: achieved throughput, p50/p99 end-to-end latency,
+mean batch occupancy. Prints one JSON line per load point.
+
+  python tools/serve_bench.py --mode beam --rates 50,200,1000,4000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+FRAMES = 26
+APP_DIM = 1536
+MOT_DIM = 1024
+
+
+def build_engine(mode: str, buckets, max_wait_ms: float):
+    from controllable_xgating_tpu.data.vocab import Vocab
+    from controllable_xgating_tpu.models.captioner import init_captioner
+    from controllable_xgating_tpu.serve.engine import ServingEngine
+    from controllable_xgating_tpu.utils.config import Config
+
+    words = [f"w{i}" for i in range(9996)]
+    tags = ["DT", "NN", "VBZ", "VBG", "IN", "JJ", "NNS", "EX"]
+    cfg = Config().replace_flat({
+        "model.vocab_size": 4 + len(words),
+        "model.pos_vocab_size": 4 + len(tags),
+    })
+    from controllable_xgating_tpu.ops.precision import set_compute_dtype
+
+    if jax.default_backend() != "cpu":
+        set_compute_dtype(cfg.model.dtype)   # bf16 policy, like the CLIs
+    params = init_captioner(jax.random.PRNGKey(0), cfg.model)
+    return ServingEngine(
+        params, cfg, Vocab(words), Vocab(tags), mode=mode,
+        buckets=buckets, max_wait_ms=max_wait_ms,
+    )
+
+
+def run_load_point(engine, rate_rps: float, duration_s: float, rng):
+    """Open-loop Poisson arrivals at rate_rps for duration_s."""
+    app = rng.normal(size=(FRAMES, APP_DIM)).astype(np.float32)
+    mot = rng.normal(size=(FRAMES, MOT_DIM)).astype(np.float32)
+    # settle: a few full buckets through the whole pipeline before timing
+    # (first dispatches after idle pay one-off relay/session costs)
+    for _ in range(3):
+        warm = [engine.submit(app, mot) for _ in range(engine.buckets[-1])]
+        for f in warm:
+            f.result(timeout=300)
+    futures = []
+    t0 = time.monotonic()
+    next_t = t0
+    while True:
+        now = time.monotonic()
+        if now - t0 >= duration_s:
+            break
+        if now < next_t:
+            time.sleep(min(next_t - now, 0.005))
+            continue
+        futures.append(engine.submit(app, mot))
+        next_t += rng.exponential(1.0 / rate_rps)
+    results = [f.result(timeout=300) for f in futures]
+    t_end = time.monotonic()
+    lats = sorted(r.latency_ms for r in results)
+
+    def pct(p):
+        return lats[min(int(p * len(lats)), len(lats) - 1)]
+
+    occ = np.mean([r.batch_size for r in results])
+    return {
+        "offered_rps": rate_rps,
+        "achieved_rps": len(results) / (t_end - t0),
+        "n": len(results),
+        "latency_ms_p50": round(pct(0.50), 2),
+        "latency_ms_p99": round(pct(0.99), 2),
+        "mean_ride_bucket": round(float(occ), 1),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=("greedy", "beam"), default="beam")
+    p.add_argument("--rates", default="50,200,1000,4000",
+                   help="offered loads (requests/s), comma-separated")
+    p.add_argument("--duration", type=float, default=10.0)
+    p.add_argument("--buckets", default="1,4,16,64,256")
+    p.add_argument("--max_wait_ms", type=float, default=8.0)
+    args = p.parse_args()
+
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    engine = build_engine(args.mode, buckets, args.max_wait_ms)
+    print(json.dumps({"event": "warmup", "buckets": buckets,
+                      "backend": jax.default_backend()}), flush=True)
+    engine.warmup()
+    rng = np.random.default_rng(0)
+    try:
+        for rate in (float(r) for r in args.rates.split(",")):
+            # settle: drop stats between points
+            point = run_load_point(engine, rate, args.duration, rng)
+            point["mode"] = args.mode
+            print(json.dumps(point), flush=True)
+    finally:
+        engine.close()
+
+
+if __name__ == "__main__":
+    main()
