@@ -64,6 +64,13 @@ def apply_runtime_flags(args, cfg: "Config" = None) -> None:
         if platform == "tpu" and os.environ.get("PALLAS_AXON_POOL_IPS"):
             platform = "axon"  # this image exposes the TPU via the axon relay
         jax.config.update("jax_platforms", platform)
+    # multi-host: join the distributed runtime (no-op unless CXG_COORDINATOR
+    # is set) BEFORE anything touches the backend/device list
+    from controllable_xgating_tpu.parallel.distributed import (
+        initialize_from_env,
+    )
+
+    initialize_from_env()
     if getattr(args, "debug_nans", False):
         from controllable_xgating_tpu.utils.debug import enable_nan_checks
 

@@ -76,12 +76,17 @@ def main(argv=None) -> None:
         if infos:
             log.info("resuming from %s at step %d", ckpt_dir, int(state.step))
 
+    import jax
+
     infos_extra = {"stage": args.stage, "config": cfg.to_dict()}
-    jsonl = JsonlLogger(
-        os.path.join(ckpt_dir, "train_log.jsonl"),
-        echo=False,
-        tensorboard_dir=args.tensorboard,
-    )
+    if jax.process_index() == 0:
+        jsonl = JsonlLogger(
+            os.path.join(ckpt_dir, "train_log.jsonl"),
+            echo=False,
+            tensorboard_dir=args.tensorboard,
+        )
+    else:  # multi-host: one writer per log file (the primary)
+        jsonl = JsonlLogger(echo=False)
 
     from controllable_xgating_tpu.utils.profiling import profile_trace
 
@@ -93,6 +98,12 @@ def main(argv=None) -> None:
     n_dev = cfg.parallel.num_devices or len(jax.devices())
     mesh = None
     device_put_fn = None
+    multiproc = jax.process_count() > 1
+    if multiproc and cfg.parallel.num_devices not in (0, len(jax.devices())):
+        raise ValueError(
+            "parallel.num_devices cannot subset the device list in "
+            "multi-process mode (every process must participate)"
+        )
     if n_dev > 1:
         from controllable_xgating_tpu.parallel.mesh import (
             make_mesh,
@@ -101,6 +112,11 @@ def main(argv=None) -> None:
         )
 
         if cfg.data.batch_size % n_dev:
+            if multiproc:
+                raise ValueError(
+                    f"batch_size {cfg.data.batch_size} must divide over "
+                    f"{n_dev} devices in multi-process mode"
+                )
             log.info(
                 "batch_size %d not divisible by %d devices; running "
                 "single-device (set data.batch_size or parallel.num_devices)",
@@ -108,8 +124,23 @@ def main(argv=None) -> None:
             )
         else:
             mesh = make_mesh(n_dev, axis=cfg.parallel.mesh_axis)
-            device_put_fn = lambda b: shard_batch(b, mesh)
-            log.info("data-parallel over %d devices", n_dev)
+            if multiproc:
+                from controllable_xgating_tpu.parallel.distributed import (
+                    replicate_to_global,
+                    shard_process_local_batch,
+                )
+
+                # params were built identically on every process (same seed);
+                # lift them to global replicated arrays for the global mesh
+                state = replicate_to_global(state, mesh)
+                device_put_fn = lambda b: shard_process_local_batch(b, mesh)
+                log.info(
+                    "data-parallel over %d devices on %d processes (DCN)",
+                    n_dev, jax.process_count(),
+                )
+            else:
+                device_put_fn = lambda b: shard_batch(b, mesh)
+                log.info("data-parallel over %d devices", n_dev)
 
     def finalize(raw_step):
         if mesh is None:

@@ -81,9 +81,18 @@ def train_loop(
             )
 
             entry = {"epoch": epoch, "loss": mean_loss, "samples_per_sec": samples / dt}
-            if (epoch + 1) % cfg.train.eval_every_epochs == 0:
+            if (epoch + 1) % cfg.train.eval_every_epochs == 0 and _is_primary():
+                # multi-host: eval + checkpointing are primary-only side
+                # effects; decode runs locally on the primary's devices with
+                # a host copy of the (fully replicated) params. No
+                # collectives here, so non-primary processes simply proceed
+                # to the next epoch's (collective) train steps.
+                eval_params = (
+                    _host_params(state.params) if _is_multiprocess()
+                    else state.params
+                )
                 metrics, _ = evaluate_split(
-                    state.params,
+                    eval_params,
                     store,
                     labels,
                     info,
@@ -108,15 +117,46 @@ def train_loop(
                     **(infos_extra or {}),
                 }
                 if ckpt is not None:
-                    ckpt.save_last(state, infos)
+                    # multi-host: orbax writes happen on the primary alone,
+                    # from host arrays (a global-array save would demand
+                    # all-process coordination for no benefit — everything
+                    # is replicated)
+                    save_state = (
+                        _host_state(state) if _is_multiprocess() else state
+                    )
+                    ckpt.save_last(save_state, infos)
                     if score > best_score:
                         best_score = score
-                        ckpt.save_best(state, infos)
+                        ckpt.save_best(save_state, infos)
             history.append(entry)
     finally:
         prefetch.close()
 
     return state, {"best": best_score, "history": history}
+
+
+def _is_multiprocess() -> bool:
+    import jax
+
+    return jax.process_count() > 1
+
+
+def _is_primary() -> bool:
+    import jax
+
+    return jax.process_index() == 0
+
+
+def _host_params(params):
+    from controllable_xgating_tpu.parallel.distributed import host_replicated
+
+    return host_replicated(params)
+
+
+def _host_state(state):
+    from controllable_xgating_tpu.parallel.distributed import host_replicated
+
+    return host_replicated(state)
 
 
 def _make_select_caption_fn(cfg: Config):

@@ -110,14 +110,37 @@ class CheckpointManager:
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._ckptr = _ocp().StandardCheckpointer()
+        self._saver = self._ckptr
+        import jax
+
+        if jax.process_count() > 1:
+            # multi-host: saves happen on the primary ALONE, from host
+            # arrays (train/loop.py). Scope orbax's barriers to process 0 or
+            # its save would wait forever on peers that never call save.
+            # Restores stay on the default checkpointer: every process
+            # restores at the same point, so its barriers are symmetric.
+            if jax.process_index() == 0:
+                mp = _ocp().options.MultiprocessingOptions(
+                    primary_host=0, active_processes={0}
+                )
+                self._saver = _ocp().StandardCheckpointer(
+                    multiprocessing_options=mp
+                )
+            else:
+                self._saver = None
 
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
 
     def save(self, name: str, state: TrainState, infos: dict) -> None:
+        if self._saver is None:
+            raise RuntimeError(
+                "checkpoint saves are primary-process-only in multi-host "
+                "runs (train/loop.py gates them; do not call save here)"
+            )
         path = self._path(name)
-        self._ckptr.save(path, state, force=True)
-        self._ckptr.wait_until_finished()
+        self._saver.save(path, state, force=True)
+        self._saver.wait_until_finished()
         with open(path + ".infos.json", "w") as f:
             json.dump(infos, f)
 
