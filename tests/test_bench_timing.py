@@ -1,0 +1,96 @@
+"""bench.py timing-harness unit tests (tiny model, CPU).
+
+These helpers have two failure modes that produced silently-wrong numbers
+on hardware (both caught and fixed during round 2): XLA dead-code-
+eliminating the repeated body (times collapse to ~0 and throughput
+explodes), and the loop counter committing the program to the default
+device (a CPU-committed baseline silently ran on the TPU). Pin both."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bench
+from controllable_xgating_tpu.utils.config import Config
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = Config().replace_flat({
+        "model.app_dim": 8, "model.motion_dim": 6, "model.hidden_dim": 8,
+        "model.embed_dim": 6, "model.attn_dim": 6, "model.pos_embed_dim": 6,
+        "model.vocab_size": 24, "model.pos_vocab_size": 10,
+        "model.num_frames": 3, "model.max_pos_len": 5,
+        "model.max_caption_len": 6,
+    })
+    from controllable_xgating_tpu.models.captioner import init_captioner
+
+    params = init_captioner(jax.random.PRNGKey(0), cfg.model)
+    return cfg, params
+
+
+def test_caption_sustained_scales_with_length(tiny):
+    """Anti-DCE: the differenced per-batch time must track real work. A
+    16x longer decode must measure clearly slower per batch (a pruned or
+    hoisted loop body measures ~constant)."""
+    cfg, params = tiny
+    from controllable_xgating_tpu.infer.evaluator import make_greedy_caption_fn
+
+    rng = np.random.default_rng(0)
+    app = rng.normal(size=(32, 3, 8)).astype(np.float32)
+    mot = rng.normal(size=(32, 3, 6)).astype(np.float32)
+    dev = jax.devices("cpu")[0]
+    t = {}
+    for max_len in (6, 96):
+        fn = make_greedy_caption_fn(cfg.model.max_pos_len, max_len,
+                                    early_stop=False)
+        cps = bench.time_caption_sustained(fn, params, (app, mot), dev,
+                                           reps=(2, 50))
+        t[max_len] = 32 / cps
+    assert t[96] > 2.0 * t[6], (
+        f"per-batch time {t[6]*1e6:.0f}us -> {t[96]*1e6:.0f}us for 16x "
+        "decode length: timed body is being optimized away"
+    )
+
+
+def test_caption_sustained_scan_matches_fori(tiny):
+    cfg, params = tiny
+    from controllable_xgating_tpu.infer.evaluator import make_greedy_caption_fn
+
+    fn = make_greedy_caption_fn(cfg.model.max_pos_len, 6, early_stop=False)
+    rng = np.random.default_rng(1)
+    app = rng.normal(size=(4, 3, 8)).astype(np.float32)
+    mot = rng.normal(size=(4, 3, 6)).astype(np.float32)
+    dev = jax.devices("cpu")[0]
+    a = bench.time_caption_sustained(fn, params, (app, mot), dev,
+                                     reps=(2, 30), form="fori")
+    b = bench.time_caption_sustained(fn, params, (app, mot), dev,
+                                     reps=(2, 30), form="scan")
+    assert 0.2 < a / b < 5.0, f"fori {a} vs scan {b} diverge wildly"
+
+
+def test_train_sustained_runs_real_steps(tiny):
+    """Param values must CHANGE across the timed steps (anti-DCE guard for
+    the train harness)."""
+    cfg, params = tiny
+    from controllable_xgating_tpu.train.state import (
+        create_train_state, make_optimizer,
+    )
+    from controllable_xgating_tpu.train.xe import make_xe_train_step
+
+    full = cfg.replace_flat({"model.dropout": 0.0})
+    state = create_train_state(params, full, steps_per_epoch=10)
+    tx = make_optimizer(full, steps_per_epoch=10)
+    step_fn = make_xe_train_step(tx, full, stage="joint", donate=False)
+    batch = bench._bench_train_batch(full, 4, 2)
+    dev = jax.devices("cpu")[0]
+    per_step = bench.time_train_sustained(step_fn, state, batch, dev, steps=3)
+    assert per_step > 0
+    # the helper must not mutate the caller's state (donate=False contract)
+    s2, _ = step_fn(jax.device_put(state, dev), jax.device_put(batch, dev))
+    w0 = np.asarray(jax.tree.leaves(state.params)[0])
+    w1 = np.asarray(jax.tree.leaves(s2.params)[0])
+    assert not np.allclose(w0, w1), "train step changed no parameters"
