@@ -142,12 +142,13 @@ def main(argv=None) -> None:
                 device_put_fn = lambda b: shard_batch(b, mesh)
                 log.info("data-parallel over %d devices", n_dev)
 
-    def finalize(raw_step):
+    def finalize(raw_step, const_args=()):
         if mesh is None:
-            import jax as _jax
-
-            return _jax.jit(raw_step, donate_argnums=(0,))
-        return make_parallel_train_step(raw_step, mesh)
+            jitted = jax.jit(raw_step, donate_argnums=(0,))
+            if const_args:
+                return lambda s, b: jitted(s, b, *const_args)
+            return jitted
+        return make_parallel_train_step(raw_step, mesh, const_args=const_args)
 
     tx = make_optimizer(cfg, spe, stage=args.stage)
     if args.stage == "scst":
@@ -158,7 +159,8 @@ def main(argv=None) -> None:
 
         tables = build_scst_reward_tables(info, labels)
         step_fn = finalize(
-            make_scst_train_step(tx, cfg, tables, jit_compile=False)
+            make_scst_train_step(tx, cfg, tables, jit_compile=False),
+            const_args=(tables,),
         )
         epochs = args.epochs or cfg.train.epochs
     else:
@@ -187,7 +189,8 @@ def main(argv=None) -> None:
 
             tables = build_scst_reward_tables(info, labels)
             scst_step = finalize(
-                make_scst_train_step(tx, cfg, tables, jit_compile=False)
+                make_scst_train_step(tx, cfg, tables, jit_compile=False),
+                const_args=(tables,),
             )
             state, result = train_loop(
                 state, scst_step, train_it, store, labels, info, cfg,

@@ -65,6 +65,7 @@ def make_parallel_train_step(
     raw_step: Callable,
     mesh: Mesh,
     donate: bool = True,
+    const_args: tuple = (),
 ) -> Callable:
     """jit a raw (un-jitted) train step for SPMD over `mesh`.
 
@@ -73,12 +74,30 @@ def make_parallel_train_step(
     program per chip and inserts the gradient all-reduce over ICI — the
     whole of "distributed training" is these two annotations. Pass the
     builders' `jit_compile=False` output as `raw_step`.
+
+    `const_args` are per-run constant pytrees the raw step takes as extra
+    trailing arguments (e.g. the SCST reward tables): they are placed once
+    with replicated sharding and passed as jit ARGUMENTS — closing over
+    them instead would embed hundreds of MB as program constants.
     """
     repl = replicate_sharding(mesh)
     bsh = batch_sharding(mesh)
-    return jax.jit(
+    jitted = jax.jit(
         raw_step,
-        in_shardings=(repl, bsh),
+        in_shardings=(repl, bsh) + (repl,) * len(const_args),
         out_shardings=(repl, None),
         donate_argnums=(0,) if donate else (),
     )
+    if not const_args:
+        return jitted
+    if jax.process_count() > 1:
+        # device_put cannot target non-addressable devices; every process
+        # holds identical tables (same corpus), lift them to global arrays
+        from controllable_xgating_tpu.parallel.distributed import (
+            replicate_to_global,
+        )
+
+        placed = tuple(replicate_to_global(a, mesh) for a in const_args)
+    else:
+        placed = tuple(jax.device_put(a, repl) for a in const_args)
+    return lambda state, batch: jitted(state, batch, *placed)

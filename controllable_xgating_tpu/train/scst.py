@@ -122,7 +122,14 @@ def make_scst_train_step(
 
     fused_baseline = fused_enabled(None)
 
-    def step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
+    # `tables` is a jit ARGUMENT, never a closure capture: closed-over
+    # arrays are embedded in the compiled program as constants, and the
+    # reward tables are ~0.4 GB at MSR-VTT scale (measured in bench.py's
+    # harness: embedded constants also blow this environment's remote-
+    # compile request limit).
+    def step(
+        state: TrainState, batch: dict, tables: CiderRewardTables
+    ) -> tuple[TrainState, dict]:
         state, rng = state.next_rng()
 
         def loss_fn(params):
@@ -146,5 +153,8 @@ def make_scst_train_step(
         return new_state, metrics
 
     if not jit_compile:
+        # raw form for the SPMD wrapper: (state, batch, tables) — pass the
+        # tables to make_parallel_train_step as a replicated const_arg
         return step
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+    return lambda state, batch: jitted(state, batch, tables)

@@ -129,7 +129,9 @@ def test_parallel_scst_step(env):
     out1, m1 = step1(state1, batch)
 
     raw = make_scst_train_step(tx, cfg, tables, jit_compile=False)
-    pstep = make_parallel_train_step(raw, mesh, donate=False)
+    pstep = make_parallel_train_step(
+        raw, mesh, donate=False, const_args=(tables,)
+    )
     state8 = create_train_state(params, cfg, it.steps_per_epoch())
     out8, m8 = pstep(state8, shard_batch(batch, mesh))
 
