@@ -158,8 +158,10 @@ def _precompute_ref_stats(tables: CiderRewardTables) -> CiderRewardTables:
     """Fill the per-reference stat fields (device compute, chunked)."""
     n = tables.ref_caps.shape[0]
 
+    # `tables` is a jit argument: the idf table is ~260 MB at MSR-VTT
+    # scale and closure capture would embed it in the program as constants
     @jax.jit
-    def stats(refs):
+    def stats(refs, tables):
         rh1, rh2, rv = _device_hashes(refs)          # [C, S, 4, L]
         r_idf = _idf_lookup(tables, rh1, rh2, rv)
         r_tf = _self_tf(rh1, rh2, rv)
@@ -167,7 +169,10 @@ def _precompute_ref_stats(tables: CiderRewardTables) -> CiderRewardTables:
         return rh1, rh2, rv, r_tf, r_idf, r_norm, _word_len(refs)
 
     chunk = 1024
-    outs = [stats(tables.ref_caps[i : i + chunk]) for i in range(0, n, chunk)]
+    outs = [
+        stats(tables.ref_caps[i : i + chunk], tables)
+        for i in range(0, n, chunk)
+    ]
     cat = lambda j: jnp.concatenate([o[j] for o in outs], axis=0)
     return tables.replace(
         ref_h1=cat(0), ref_h2=cat(1), ref_valid=cat(2), ref_tf=cat(3),
