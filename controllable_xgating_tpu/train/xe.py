@@ -28,6 +28,16 @@ from controllable_xgating_tpu.train.state import (
 from controllable_xgating_tpu.utils.config import Config
 
 
+def masked_xe_sum(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Summed NLL over non-PAD target positions (see masked_xe_loss)."""
+    logits = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    tgt = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+    nll = lse - tgt
+    mask = (targets != PAD).astype(jnp.float32)
+    return (nll * mask).sum()
+
+
 def masked_xe_loss(logits: jax.Array, targets: jax.Array) -> jax.Array:
     """Mean NLL over non-PAD target positions.
 
@@ -36,12 +46,8 @@ def masked_xe_loss(logits: jax.Array, targets: jax.Array) -> jax.Array:
     second [B, L, V] log-prob array is materialized: at train shapes that
     array is ~1.4 GB of HBM write+read per step.
     """
-    logits = logits.astype(jnp.float32)
-    lse = jax.nn.logsumexp(logits, axis=-1)
-    tgt = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
-    nll = lse - tgt
-    mask = (targets != PAD).astype(jnp.float32)
-    return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    mask_count = (targets != PAD).sum().astype(jnp.float32)
+    return masked_xe_sum(logits, targets) / jnp.maximum(mask_count, 1.0)
 
 
 def _repeat_k(x: jax.Array, k: int) -> jax.Array:
@@ -55,8 +61,13 @@ def xe_losses(
     dropout_rng: Optional[jax.Array],
     dropout_rate: float,
     remat: bool = False,
+    reduction: str = "mean",
 ) -> tuple[jax.Array, dict]:
-    """Caption + POS XE on a train batch with caps [B, K, L]."""
+    """Caption + POS XE on a train batch with caps [B, K, L].
+
+    `reduction="sum"` returns UN-normalized token-NLL sums — the form
+    gradient accumulation needs (micro-batch sums divided by the GLOBAL
+    token counts add up exactly to the full-batch mean)."""
     app, motion = batch["app"], batch["motion"]
     caps, pos = batch["caps"], batch["pos"]
     frame_mask = batch.get("frame_mask")
@@ -77,15 +88,16 @@ def xe_losses(
     enc_out_k = _repeat_k(enc_out, k)
     mask_k = None if frame_mask is None else _repeat_k(frame_mask, k)
 
+    reduce = masked_xe_sum if reduction == "sum" else masked_xe_loss
     pos_logits, psi = pos_forward(params.pos, summary_k, pos_flat)
-    pos_loss = masked_xe_loss(pos_logits, pos_flat[:, 1:])
+    pos_loss = reduce(pos_logits, pos_flat[:, 1:])
 
     ctx = make_decode_context(params.decoder, enc_out_k, psi, mask_k)
     cap_logits = decoder_forward(
         params.decoder, ctx, summary_k, caps_flat, rngs[1], dropout_rate,
         remat=remat,
     )
-    cap_loss = masked_xe_loss(cap_logits, caps_flat[:, 1:])
+    cap_loss = reduce(cap_logits, caps_flat[:, 1:])
     return cap_loss, pos_loss
 
 
@@ -104,17 +116,73 @@ def make_xe_train_step(
     pos_w = 0.0 if stage == "caption" else 1.0
     dropout_rate = cfg.model.dropout
     remat = cfg.train.remat
+    accum = max(int(getattr(cfg.train, "accum_steps", 1)), 1)
 
     def loss_fn(params, batch, rng):
         cap_loss, pos_loss = xe_losses(params, batch, rng, dropout_rate, remat)
         total = cap_w * cap_loss + pos_w * pos_loss
         return total, {"cap_loss": cap_loss, "pos_loss": pos_loss}
 
-    def step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
-        state, rng = state.next_rng()
-        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+    def _grads_single(state, batch, rng):
+        return jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
         )
+
+    def _grads_accum(state, batch, rng):
+        """Gradient accumulation: split the batch into `accum` micro-
+        batches and scan, accumulating grads. Micro losses are token-NLL
+        SUMS divided by the GLOBAL non-PAD counts, so the accumulated
+        gradient equals the full-batch mean-loss gradient exactly (up to
+        f32 summation order); activation memory shrinks by `accum`x.
+        (Dropout draws per-micro-batch rngs, so with dropout > 0 the noise
+        pattern differs from the unaccumulated step — same distribution.)"""
+        b = batch["caps"].shape[0]
+        if b % accum:
+            raise ValueError(
+                f"data.batch_size {b} must be divisible by "
+                f"train.accum_steps {accum}"
+            )
+        cap_n = jnp.maximum(
+            (batch["caps"][..., 1:] != PAD).sum().astype(jnp.float32), 1.0
+        )
+        pos_n = jnp.maximum(
+            (batch["pos"][..., 1:] != PAD).sum().astype(jnp.float32), 1.0
+        )
+
+        def micro_loss(params, mb, r):
+            cap_sum, pos_sum = xe_losses(
+                params, mb, r, dropout_rate, remat, reduction="sum"
+            )
+            total = cap_w * cap_sum / cap_n + pos_w * pos_sum / pos_n
+            return total, {"cap_loss": cap_sum / cap_n,
+                           "pos_loss": pos_sum / pos_n}
+
+        micro = jax.tree.map(
+            lambda x: x.reshape(accum, b // accum, *x.shape[1:]), batch
+        )
+        rngs = jax.random.split(rng, accum)
+        zero_g = jax.tree.map(jnp.zeros_like, state.params)
+        zero_aux = {"cap_loss": 0.0, "pos_loss": 0.0}
+
+        def body(carry, inp):
+            g_acc, loss_acc, aux_acc = carry
+            mb, r = inp
+            (loss, aux), g = jax.value_and_grad(micro_loss, has_aux=True)(
+                state.params, mb, r
+            )
+            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            aux_acc = {k: aux_acc[k] + aux[k] for k in aux_acc}
+            return (g_acc, loss_acc + loss, aux_acc), None
+
+        (grads, total, aux), _ = jax.lax.scan(
+            body, (zero_g, 0.0, zero_aux), (micro, rngs)
+        )
+        return (total, aux), grads
+
+    def step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
+        state, rng = state.next_rng()
+        grads_fn = _grads_single if accum == 1 else _grads_accum
+        (total, aux), grads = grads_fn(state, batch, rng)
         mask = stage_grad_mask(state.params, stage)
         grads = apply_grad_mask(grads, mask)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

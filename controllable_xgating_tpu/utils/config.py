@@ -73,6 +73,10 @@ class TrainConfig:
     # checkpoint each decoder step in the XE backward (FLOPs-for-HBM trade,
     # enables much larger global batches on config 5)
     remat: bool = False
+    # gradient accumulation: process the batch in this many sequential
+    # micro-batches (XE stages; exact same update as the full batch at
+    # dropout=0, activation memory / accum_steps)
+    accum_steps: int = 1
 
 
 @dataclass

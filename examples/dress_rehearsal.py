@@ -132,6 +132,10 @@ def main(argv=None) -> None:
     p.add_argument("--platform", default=None)
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--skip_train", action="store_true")
+    p.add_argument("--scst", action="store_true",
+                   help="also run one SCST epoch from the XE checkpoint — "
+                        "exercises the ~0.4 GB precomputed reward tables at "
+                        "full corpus scale")
     args = p.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
@@ -197,6 +201,21 @@ def main(argv=None) -> None:
             if args.platform:
                 argv_t += ["--platform", args.platform]
             cli_train.main(argv_t)
+
+        if args.scst:
+            with _stage("scst_epoch", results):
+                argv_s = [
+                    "--data_dir", args.out,
+                    "--checkpoint_dir", os.path.join(args.out, "ck"),
+                    "--stage", "scst", "--epochs", "1",
+                    "--init_from", os.path.join(args.out, "ck", "joint"),
+                    "--data.batch_size", str(args.batch_size),
+                    "--train.lr", "5e-5",
+                    "--eval.select_decode", "greedy",
+                ]
+                if args.platform:
+                    argv_s += ["--platform", args.platform]
+                cli_train.main(argv_s)
 
     print(json.dumps({"stage": "TOTAL", "vocab_size": len(info["vocab"]),
                       "videos": args.videos,

@@ -144,3 +144,50 @@ def test_checkpoint_roundtrip(fixture_env, tmp_path):
         restored.params.decoder.embed, state.params.decoder.embed
     )
     assert infos["epoch"] == 1
+
+
+def test_grad_accumulation_matches_full_batch(fixture_env):
+    """train.accum_steps=k must produce the SAME update as the full-batch
+    step at dropout=0 (micro token-NLL sums / global counts compose to the
+    exact full-batch mean), with identical reported metrics."""
+    out, info, labels, store, cfg = fixture_env
+    it = TrainBatchIterator(
+        store, labels["caps"], labels["pos"], labels["ncaps"],
+        np.asarray(info.splits["train"]), 8, 3, seed=11,
+    )
+    batch = next(iter(it))
+    params = init_captioner(jax.random.PRNGKey(4), cfg.model)
+    results = {}
+    for accum in (1, 2, 4):
+        c = cfg.replace_flat({"train.accum_steps": accum})
+        state = create_train_state(params, c, steps_per_epoch=10)
+        tx = make_optimizer(c, steps_per_epoch=10)
+        step = make_xe_train_step(tx, c, stage="joint", donate=False)
+        new_state, m = step(state, batch)
+        results[accum] = (new_state, m)
+    s1, m1 = results[1]
+    for accum in (2, 4):
+        sa, ma = results[accum]
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(ma["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(m1["grad_norm"]), float(ma["grad_norm"]), rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(sa.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+
+
+def test_grad_accumulation_divisibility_error(fixture_env):
+    out, info, labels, store, cfg = fixture_env
+    it = TrainBatchIterator(
+        store, labels["caps"], labels["pos"], labels["ncaps"],
+        np.asarray(info.splits["train"]), 8, 3, seed=11,
+    )
+    batch = next(iter(it))
+    c = cfg.replace_flat({"train.accum_steps": 3})  # 8 % 3 != 0
+    params = init_captioner(jax.random.PRNGKey(4), cfg.model)
+    state = create_train_state(params, c, steps_per_epoch=10)
+    tx = make_optimizer(c, steps_per_epoch=10)
+    step = make_xe_train_step(tx, c, stage="joint", donate=False)
+    with pytest.raises(ValueError, match="divisible"):
+        step(state, batch)
