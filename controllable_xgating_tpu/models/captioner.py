@@ -114,11 +114,15 @@ def encode_for_inference(
     max_pos_len: int = 28,
     fused: Optional[bool] = None,
     early_stop: bool = False,
+    use_tags: Optional[jax.Array] = None,
 ):
     """Shared inference prolog: encode video, derive psi, build decode ctx.
 
     If `pos_tags` is given (controllability), psi comes from those tags;
     otherwise the POS generator free-runs greedily (paper inference mode).
+    `use_tags` (bool [B], requires `pos_tags`) mixes the two per row —
+    the serving engine batches controlled and free-run requests together:
+    rows with use_tags=True take the user tags' psi, the rest free-run.
     `fused=True` uses the Pallas XGating kernel; `early_stop=True` lets the
     POS rollout exit early (inference only — SCST differentiates through
     psi). Returns (ctx, summary, pos_tags_out).
@@ -126,7 +130,17 @@ def encode_for_inference(
     enc_out, summary = encode(
         params.encoder, app, motion, frame_mask, fused_kernels=fused
     )
-    if pos_tags is not None:
+    if use_tags is not None:
+        if pos_tags is None:
+            raise ValueError("use_tags requires pos_tags")
+        tags_gen, psi_gen = pos_greedy_generate(
+            params.pos, summary, max_pos_len, early_stop=early_stop,
+            fused=fused,
+        )
+        _, psi_user = pos_forward(params.pos, summary, pos_tags)
+        psi = jnp.where(use_tags[:, None], psi_user, psi_gen)
+        tags_out = jnp.where(use_tags[:, None], pos_tags, tags_gen)
+    elif pos_tags is not None:
         _, psi = pos_forward(params.pos, summary, pos_tags)
         tags_out = pos_tags
     else:

@@ -58,12 +58,9 @@ from controllable_xgating_tpu.data.features import _fit_frames
 from controllable_xgating_tpu.data.vocab import PAD, Vocab, pad_encode
 from controllable_xgating_tpu.infer.beam import beam_search
 from controllable_xgating_tpu.infer.greedy import greedy_decode
-from controllable_xgating_tpu.models.captioner import CaptionerParams
-from controllable_xgating_tpu.models.decoder import make_decode_context
-from controllable_xgating_tpu.models.encoder import encode
-from controllable_xgating_tpu.models.pos_generator import (
-    pos_forward,
-    pos_greedy_generate,
+from controllable_xgating_tpu.models.captioner import (
+    CaptionerParams,
+    encode_for_inference,
 )
 from controllable_xgating_tpu.utils.config import Config
 
@@ -123,6 +120,11 @@ class ServingEngine:
         # (requests, device_outputs, bucket) in flight; bounded = backpressure
         self._completion: Queue = Queue(maxsize=max_inflight)
         self._closed = threading.Event()
+        # serializes the closed-check+enqueue in submit() against close()
+        # setting the flag, so no request can slip into the queue after the
+        # dispatcher has decided it is drained (its Future would never
+        # resolve)
+        self._submit_lock = threading.Lock()
         self._lat = deque(maxlen=latency_window)
         self._lock = threading.Lock()
         self._n_requests = 0
@@ -146,17 +148,13 @@ class ServingEngine:
             # (the policy re-casts matmul operands where it matters)
             app = app.astype(jnp.float32)
             motion = motion.astype(jnp.float32)
-            enc_out, summary = encode(
-                params.encoder, app, motion, frame_mask, fused_kernels=fused
+            # the SAME prolog the offline paths use (per-row use_tags mixes
+            # controlled and free-run requests in one batch)
+            ctx, summary, tags_out = encode_for_inference(
+                params, app, motion, frame_mask, pos_tags=pos_tags,
+                max_pos_len=m.max_pos_len, fused=fused, early_stop=True,
+                use_tags=use_tags,
             )
-            tags_gen, psi_gen = pos_greedy_generate(
-                params.pos, summary, m.max_pos_len, early_stop=True,
-                fused=fused,
-            )
-            _, psi_user = pos_forward(params.pos, summary, pos_tags)
-            psi = jnp.where(use_tags[:, None], psi_user, psi_gen)
-            tags_out = jnp.where(use_tags[:, None], pos_tags, tags_gen)
-            ctx = make_decode_context(params.decoder, enc_out, psi, frame_mask)
             if mode == "greedy":
                 tokens = greedy_decode(
                     params.decoder, ctx, summary, ev.max_decode_len,
@@ -232,9 +230,14 @@ class ServingEngine:
                 np.int32,
             )
         fut: Future = Future()
-        self._queue.put(
-            _Request(app, motion, valid, tags_row, fut, time.monotonic())
-        )
+        with self._submit_lock:
+            # re-check under the lock: close() takes the same lock to set
+            # the flag, so a request can never land after the final drain
+            if self._closed.is_set():
+                raise RuntimeError("ServingEngine is closed")
+            self._queue.put(
+                _Request(app, motion, valid, tags_row, fut, time.monotonic())
+            )
         return fut
 
     def caption(self, app, motion, nframes=None, pos_tags=None,
@@ -266,17 +269,15 @@ class ServingEngine:
 
     def _dispatch_loop(self) -> None:
         while not (self._closed.is_set() and self._queue.empty()):
-            batch = self._collect()
+            batch = self._collect()  # never exceeds buckets[-1]
             if not batch:
                 continue
-            while batch:
-                head, batch = batch[:self.buckets[-1]], batch[self.buckets[-1]:]
-                try:
-                    self._dispatch_batch(head)
-                except BaseException as e:  # noqa: BLE001 — to the callers
-                    for r in head:
-                        if not r.future.done():
-                            r.future.set_exception(e)
+            try:
+                self._dispatch_batch(batch)
+            except BaseException as e:  # noqa: BLE001 — to the callers
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
         self._completion.put(None)  # finisher shutdown sentinel
 
     def _dispatch_batch(self, batch: list[_Request]) -> None:
@@ -382,7 +383,8 @@ class ServingEngine:
 
     def close(self, timeout: float = 30.0) -> None:
         """Stop accepting requests, drain queues, join both worker threads."""
-        self._closed.set()
+        with self._submit_lock:  # see submit(): no enqueue after this point
+            self._closed.set()
         self._dispatcher.join(timeout)
         self._finisher.join(timeout)
 

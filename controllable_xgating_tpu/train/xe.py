@@ -157,8 +157,16 @@ def make_xe_train_step(
             return total, {"cap_loss": cap_sum / cap_n,
                            "pos_loss": pos_sum / pos_n}
 
+        # INTERLEAVED split (row r of micro m = global row r*accum + m):
+        # under the DP mesh the batch is sharded contiguously on axis 0, so
+        # every micro-batch draws rows evenly from every device's block —
+        # a contiguous split would park each micro-step on a device subset
+        # and force a cross-device reshard inside the step
         micro = jax.tree.map(
-            lambda x: x.reshape(accum, b // accum, *x.shape[1:]), batch
+            lambda x: jnp.swapaxes(
+                x.reshape(b // accum, accum, *x.shape[1:]), 0, 1
+            ),
+            batch,
         )
         rngs = jax.random.split(rng, accum)
         zero_g = jax.tree.map(jnp.zeros_like, state.params)

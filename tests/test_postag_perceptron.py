@@ -137,3 +137,23 @@ def test_rule_tagger_still_default():
     """Guard: default prepro path is unchanged (rule tagger, Penn vocab)."""
     assert tag_tokens(["a", "man", "is", "running"]) == \
         ["DT", "NN", "VBZ", "VBG"]
+
+
+def test_read_tagged_separator_edge_cases(tmp_path):
+    """Slash-format pairs whose words contain underscores must split at the
+    rightmost separator, not silently corrupt the tagset."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import train_tagger
+
+    f = tmp_path / "t.txt"
+    f.write_text("new_york/NNP is/VBZ nice/JJ\na_DT dog_NN runs_VBZ\n")
+    sents = train_tagger.read_tagged(str(f))
+    assert sents[0] == (["new_york", "is", "nice"], ["NNP", "VBZ", "JJ"])
+    assert sents[1] == (["a", "dog", "runs"], ["DT", "NN", "VBZ"])
+    bad = tmp_path / "bad.txt"
+    bad.write_text("plainword\n")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="suffix"):
+        train_tagger.read_tagged(str(bad))

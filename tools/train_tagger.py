@@ -34,11 +34,14 @@ def read_tagged(path: str) -> list[tuple[list[str], list[str]]]:
                 continue
             toks, tags = [], []
             for pair in line.split():
-                sep = "_" if "_" in pair else "/"
-                if sep not in pair:
+                # split at the RIGHTMOST of '_' or '/': handles both tagged
+                # formats AND words containing the other separator
+                # ("new_york/NNP" -> ("new_york", "NNP"))
+                cut = max(pair.rfind("_"), pair.rfind("/"))
+                if cut <= 0 or cut == len(pair) - 1:
                     raise ValueError(
                         f"{path}:{ln}: {pair!r} has no _TAG or /TAG suffix")
-                w, t = pair.rsplit(sep, 1)
+                w, t = pair[:cut], pair[cut + 1:]
                 toks.append(w)
                 tags.append(t)
             sents.append((toks, tags))
