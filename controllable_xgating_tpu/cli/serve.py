@@ -24,13 +24,23 @@ from controllable_xgating_tpu.cli.common import (
 
 
 def build_engine(args, cfg, info, store):
+    import jax
+
     from controllable_xgating_tpu.serve.engine import ServingEngine
 
     params = restore_params(args.checkpoint_dir, cfg, name=args.ckpt_name)
     buckets = tuple(int(b) for b in args.buckets.split(","))
+    mesh = None
+    n_dev = args.devices or 1
+    if n_dev > 1:
+        from controllable_xgating_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_dev)
+        print(json.dumps({"event": "mesh", "devices": n_dev}))
     return ServingEngine(
         params, cfg, info.vocab, info.pos_vocab,
         mode=args.mode, buckets=buckets, max_wait_ms=args.max_wait_ms,
+        mesh=mesh,
     )
 
 
@@ -49,6 +59,9 @@ def start(argv=None):
                    help="micro-batching window after the first request")
     p.add_argument("--no_warmup", action="store_true",
                    help="skip pre-compiling every bucket at startup")
+    p.add_argument("--devices", type=int, default=0,
+                   help=">1 = data-parallel serving over a device mesh "
+                        "(buckets must divide by the device count)")
     args, cfg = parse_with_overrides(p, argv)
     apply_runtime_flags(args, cfg)
 

@@ -104,11 +104,23 @@ class ServingEngine:
         fused: Optional[bool] = None,
         latency_window: int = 2048,
         max_inflight: int = 2,
+        mesh=None,
     ):
+        """`mesh`: an optional 1-D `jax.sharding.Mesh` — data-parallel
+        serving over multiple chips (config 5 for the online path): each
+        batch is sharded on its leading axis, params replicated; every
+        bucket must then be divisible by the mesh size."""
         if mode not in ("greedy", "beam"):
             raise ValueError(f"mode must be greedy|beam, got {mode!r}")
         if not buckets or sorted(buckets) != list(buckets):
             raise ValueError("buckets must be a non-empty ascending sequence")
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            bad = [b for b in buckets if b % n_dev]
+            if bad:
+                raise ValueError(
+                    f"buckets {bad} not divisible by the {n_dev}-device mesh"
+                )
         self.params = params
         self.cfg = cfg
         self.vocab = vocab
@@ -175,7 +187,24 @@ class ServingEngine:
                     scores.astype(jnp.float32), jnp.int32)[:, None],
             ], axis=1)
 
-        self._fn = jax.jit(run)
+        if mesh is None:
+            self._fn = jax.jit(run)
+        else:
+            # DP serving: params replicated, every batch array sharded on
+            # axis 0; one SPMD program per bucket, out replicated so the
+            # single packed D2H stays one transfer
+            from controllable_xgating_tpu.parallel.mesh import (
+                batch_sharding, replicate_sharding,
+            )
+
+            repl = replicate_sharding(mesh)
+            bsh = batch_sharding(mesh)
+            self.params = jax.device_put(self.params, repl)
+            self._fn = jax.jit(
+                run,
+                in_shardings=(repl, bsh, bsh, bsh, bsh, bsh),
+                out_shardings=repl,
+            )
         self._dispatcher = threading.Thread(
             target=self._dispatch_loop, name="cxg-serve-dispatch", daemon=True
         )

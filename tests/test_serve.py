@@ -253,3 +253,30 @@ def test_serve_cli_end_to_end(tmp_path):
     finally:
         httpd.shutdown()
         engine.close()
+
+
+def test_mesh_dp_serving_matches_single_device(setup):
+    """config 5 for the online path: the engine over an 8-virtual-device
+    mesh (batch sharded, params replicated) captions identically to the
+    single-device engine."""
+    from controllable_xgating_tpu.parallel.mesh import make_mesh
+
+    cfg, params, vocab, pos_vocab, feats = setup
+    with ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                       buckets=(8,), max_wait_ms=40.0) as eng1:
+        futs = [eng1.submit(*feats[i % len(feats)],
+                            pos_tags=["DT", "NN"] if i == 2 else None)
+                for i in range(5)]
+        single = [f.result(timeout=120).caption for f in futs]
+
+    mesh = make_mesh(8)
+    with ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                       buckets=(8,), max_wait_ms=40.0, mesh=mesh) as eng8:
+        futs = [eng8.submit(*feats[i % len(feats)],
+                            pos_tags=["DT", "NN"] if i == 2 else None)
+                for i in range(5)]
+        sharded = [f.result(timeout=120).caption for f in futs]
+    assert sharded == single
+
+    with pytest.raises(ValueError, match="not divisible"):
+        ServingEngine(params, cfg, vocab, pos_vocab, buckets=(4,), mesh=mesh)
