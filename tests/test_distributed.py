@@ -129,3 +129,40 @@ def _leaves(tree):
     import jax
 
     return [np.asarray(x) for x in jax.tree.leaves(tree)]
+
+
+def test_two_process_scst_stage(corpus_dir, tmp_path):
+    """SCST over two processes: exercises const_args tables lifted to
+    global replicated arrays (parallel/mesh.py multi-process branch) plus
+    the stage handoff from a primary-written XE checkpoint."""
+    ck = str(tmp_path / "ck")
+    port = _free_port()
+
+    def run_stage(stage_args, n_procs=2):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-m", "controllable_xgating_tpu.cli.train",
+                 "--platform", "cpu", "--data_dir", corpus_dir,
+                 "--checkpoint_dir", ck, *stage_args, *SMALL],
+                env=_env(4, {
+                    "CXG_COORDINATOR": f"127.0.0.1:{port + hash(tuple(stage_args)) % 97}",
+                    "CXG_NUM_PROCESSES": str(n_procs),
+                    "CXG_PROCESS_ID": str(pid),
+                }),
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+            for pid in range(n_procs)
+        ]
+        outs = [p.communicate(timeout=600) for p in procs]
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, (out + err)[-3000:]
+        return outs
+
+    run_stage(["--stage", "joint", "--epochs", "1"])
+    assert os.path.exists(os.path.join(ck, "joint", "best.infos.json"))
+    outs = run_stage([
+        "--stage", "scst", "--epochs", "1",
+        "--init_from", os.path.join(ck, "joint"), "--train.lr", "5e-5",
+    ])
+    assert any("on 2 processes (DCN)" in out + err for out, err in outs)
+    assert os.path.exists(os.path.join(ck, "scst", "last.infos.json"))
