@@ -24,8 +24,6 @@ from controllable_xgating_tpu.cli.common import (
 
 
 def build_engine(args, cfg, info, store):
-    import jax
-
     from controllable_xgating_tpu.serve.engine import ServingEngine
 
     params = restore_params(args.checkpoint_dir, cfg, name=args.ckpt_name)

@@ -33,8 +33,6 @@ must produce the update sequence of the equivalent single-process
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax
 import numpy as np
 
