@@ -146,6 +146,7 @@ def test_checkpoint_roundtrip(fixture_env, tmp_path):
     assert infos["epoch"] == 1
 
 
+@pytest.mark.slow  # compiles three accumulation variants (~30 s)
 def test_grad_accumulation_matches_full_batch(fixture_env):
     """train.accum_steps=k must produce the SAME update as the full-batch
     step at dropout=0 (micro token-NLL sums / global counts compose to the
