@@ -48,6 +48,18 @@ def main(argv=None) -> None:
             block_unk=cfg.eval.block_unk,
         )
 
+    # config 5 for evaluation: shard eval batches over all devices when the
+    # batch divides (mirrors cli/train's automatic DP engagement)
+    import jax
+
+    mesh = None
+    n_dev = cfg.parallel.num_devices or len(jax.devices())
+    if n_dev > 1 and cfg.data.batch_size % n_dev == 0:
+        from controllable_xgating_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_dev, axis=cfg.parallel.mesh_axis)
+        log.info("eval data-parallel over %d devices", n_dev)
+
     from controllable_xgating_tpu.utils.profiling import profile_trace
 
     with profile_trace(args.profile):
@@ -59,6 +71,7 @@ def main(argv=None) -> None:
             max_pos_len=cfg.model.max_pos_len,
             caption_fn=caption_fn,
             metrics=cfg.eval.metrics,
+            mesh=mesh,
         )
     result = {"split": args.split, "beam_size": beam, "metrics": metrics}
     print(json.dumps(result, indent=2))

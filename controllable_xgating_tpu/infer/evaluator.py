@@ -75,22 +75,42 @@ def evaluate_split(
     max_pos_len: int = 28,
     caption_fn=None,
     metrics=None,
+    mesh=None,
 ) -> tuple[dict, dict]:
     """Returns (metrics dict, {video_id: caption string}).
 
     `caption_fn` lets callers supply a beam-search or pre-jitted decoder;
-    default is the greedy path.
+    default is the greedy path. `mesh` shards each eval batch on its
+    leading axis over the devices (config 5 for evaluation: the decode is
+    row-independent, so jit propagates the sharding with no collectives;
+    batch_size must divide by the mesh size — eval_batches pads every
+    batch to full size).
     """
     if caption_fn is None:
         caption_fn = make_greedy_caption_fn(max_pos_len, max_len)
     indices = np.asarray(info.splits[split], np.int64)
     if len(indices) == 0:
         raise ValueError(f"split {split!r} is empty")
+    put = lambda x: x
+    if mesh is not None:
+        from controllable_xgating_tpu.parallel.mesh import (
+            batch_sharding, replicate_sharding,
+        )
+
+        if batch_size % mesh.devices.size:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by the "
+                f"{mesh.devices.size}-device mesh"
+            )
+        bsh = batch_sharding(mesh)
+        params = jax.device_put(params, replicate_sharding(mesh))
+        put = lambda x: None if x is None else jax.device_put(x, bsh)
 
     res: dict[str, list[str]] = {}
     for batch in eval_batches(store, indices, batch_size):
         tokens, _ = caption_fn(
-            params, batch["app"], batch["motion"], batch.get("frame_mask")
+            params, put(batch["app"]), put(batch["motion"]),
+            put(batch.get("frame_mask")),
         )
         tokens = np.asarray(tokens)
         for row in range(batch["num_valid"]):

@@ -75,3 +75,22 @@ def test_train_loop_end_to_end(env, tmp_path):
     assert "eval" in result["history"][-1]
     assert ckpt.exists("best") and ckpt.exists("last")
     assert result["history"][1]["loss"] < result["history"][0]["loss"]
+
+
+def test_evaluate_split_mesh_matches_single_device(env):
+    """Mesh-sharded evaluation (config 5 for eval) must reproduce the
+    single-device metrics and captions exactly (decode is row-independent;
+    the mesh only partitions rows)."""
+    from controllable_xgating_tpu.parallel.mesh import make_mesh
+
+    out, info, labels, store, cfg = env
+    params = init_captioner(jax.random.PRNGKey(2), cfg.model)
+    kw = dict(split="val", batch_size=8, max_len=12, max_pos_len=12)
+    m1, c1 = evaluate_split(params, store, labels, info, **kw)
+    mesh = make_mesh(8)
+    m8, c8 = evaluate_split(params, store, labels, info, mesh=mesh, **kw)
+    assert c8 == c1
+    assert m8 == m1
+    with pytest.raises(ValueError, match="divisible"):
+        evaluate_split(params, store, labels, info, mesh=mesh,
+                       split="val", batch_size=7, max_len=12, max_pos_len=12)
