@@ -179,7 +179,7 @@ def main(argv=None) -> None:
             state, result_xe = train_loop(
                 state, step_fn, train_it, store, labels, info, cfg,
                 epochs=switch, ckpt=mgr, jsonl=jsonl, infos_extra=infos_extra,
-                device_put_fn=device_put_fn,
+                device_put_fn=device_put_fn, mesh=mesh,
             )
             log.info("switching to SCST at epoch %d", switch)
             from controllable_xgating_tpu.train.scst import (
@@ -196,7 +196,7 @@ def main(argv=None) -> None:
                 state, scst_step, train_it, store, labels, info, cfg,
                 epochs=epochs - switch, ckpt=mgr, jsonl=jsonl,
                 infos_extra={**infos_extra, "stage": "scst"},
-                device_put_fn=device_put_fn,
+                device_put_fn=device_put_fn, mesh=mesh,
             )
         result["best"] = max(result["best"], result_xe["best"])
     else:
@@ -204,7 +204,7 @@ def main(argv=None) -> None:
             state, result = train_loop(
                 state, step_fn, train_it, store, labels, info, cfg,
                 epochs=epochs, ckpt=mgr, jsonl=jsonl, infos_extra=infos_extra,
-                device_put_fn=device_put_fn,
+                device_put_fn=device_put_fn, mesh=mesh,
             )
     log.info("done: best %s = %.4f", cfg.train.keep_best_metric, result["best"])
 

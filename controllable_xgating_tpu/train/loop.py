@@ -39,6 +39,7 @@ def train_loop(
     infos_extra: Optional[dict] = None,
     device_put_fn=None,
     track_metric: Optional[str] = None,
+    mesh=None,
 ) -> tuple[TrainState, dict]:
     """Run `epochs` epochs. Returns (state, {"best": ..., "history": [...]}).
     """
@@ -102,6 +103,9 @@ def train_loop(
                     max_pos_len=cfg.model.max_pos_len,
                     caption_fn=caption_fn,
                     metrics=cfg.eval.metrics,
+                    # per-epoch eval rides the training mesh too — except
+                    # multi-host, where eval is a primary-LOCAL side effect
+                    mesh=mesh if not _is_multiprocess() else None,
                 )
                 entry["eval"] = metrics
                 score = metrics.get(track_metric, metrics.get("CIDEr", 0.0))
