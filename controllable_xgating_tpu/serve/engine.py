@@ -236,6 +236,14 @@ class ServingEngine:
         motion = np.asarray(motion, np.float32)
         if app.ndim != 2 or motion.ndim != 2 or app.shape[0] != motion.shape[0]:
             raise ValueError("app [T,Da] and motion [T,Dm] must share T")
+        m_cfg = self.cfg.model
+        if app.shape[1] != m_cfg.app_dim or motion.shape[1] != m_cfg.motion_dim:
+            # reject HERE: a wrong-width row would otherwise fail at
+            # dispatch and poison every other request riding its batch
+            raise ValueError(
+                f"feature dims ({app.shape[1]}, {motion.shape[1]}) != model "
+                f"({m_cfg.app_dim}, {m_cfg.motion_dim})"
+            )
         t_in = app.shape[0]
         nf = self.cfg.model.num_frames
         valid = min(int(nframes) if nframes is not None else t_in, t_in)

@@ -138,6 +138,8 @@ def test_stats_and_validation(setup):
             eng.submit(*feats[0], pos_tags=["NOTATAG"])
         with pytest.raises(ValueError):
             eng.submit(feats[0][0][:2], feats[0][1][:3])  # mismatched T
+        with pytest.raises(ValueError, match="feature dims"):
+            eng.submit(feats[0][0][:, :5], feats[0][1])  # wrong Da
         eng.caption(*feats[0], timeout=120)
         s = eng.stats()
         assert s["requests"] == 1 and s["batches"] == 1
