@@ -37,6 +37,11 @@ def main(argv=None) -> None:
     p.add_argument("--ckpt_name", default="best")
     p.add_argument("--pos_tags", default=None,
                    help="space-separated Penn tags to control syntax")
+    p.add_argument("--sample", type=int, default=0, metavar="N",
+                   help="N>0: draw N stochastic captions per video "
+                        "(multinomial; default is deterministic greedy)")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
     args, cfg = parse_with_overrides(p, argv)
     from controllable_xgating_tpu.cli.common import apply_runtime_flags
 
@@ -64,26 +69,54 @@ def main(argv=None) -> None:
         row = pad_encode(info.pos_vocab, tags, cfg.model.max_pos_len)
         pos_tags = np.array([row] * len(vids), np.int32)
 
+    n_samples = max(args.sample, 0)
+
     @jax.jit
-    def run(params, app, motion, frame_mask, pos_tags):
+    def run(params, app, motion, frame_mask, pos_tags, rng):
         ctx, summary, tags_out = encode_for_inference(
             params, app, motion, frame_mask, pos_tags=pos_tags,
             max_pos_len=cfg.model.max_pos_len,
         )
-        tokens = greedy_decode(
-            params.decoder, ctx, summary, cfg.eval.max_decode_len
-        )
+        if n_samples:
+            # one multinomial rollout per (video, sample): tile rows
+            from controllable_xgating_tpu.infer.greedy import sample_decode
+            from controllable_xgating_tpu.models.decoder import DecodeContext
+
+            rep = lambda x: None if x is None else jnp.repeat(
+                x, n_samples, axis=0)
+            ctx_k = DecodeContext(
+                enc_proj=rep(ctx.enc_proj), keys=rep(ctx.keys),
+                frame_mask=rep(ctx.frame_mask), psi_g=rep(ctx.psi_g),
+            )
+            tokens, _ = sample_decode(
+                params.decoder, ctx_k, rep(summary),
+                cfg.eval.max_decode_len, rng, args.temperature,
+            )
+        else:
+            tokens = greedy_decode(
+                params.decoder, ctx, summary, cfg.eval.max_decode_len
+            )
         return tokens, tags_out
 
-    tokens, tags_out = run(params, app, motion, frame_mask, pos_tags)
+    import jax.numpy as jnp
+
+    rng = jax.random.PRNGKey(args.seed)
+    tokens, tags_out = run(params, app, motion, frame_mask, pos_tags, rng)
     tokens = np.asarray(tokens)
     tags_out = np.asarray(tags_out)
+    per_vid = n_samples or 1
     for row, vid in enumerate(vids):
+        caps = [
+            info.vocab.decode_str(tokens[row * per_vid + s])
+            for s in range(per_vid)
+        ]
         print(json.dumps({
             "video": vid,
-            "caption": info.vocab.decode_str(tokens[row]),
+            "caption": caps[0] if not n_samples else caps,
             "pos_sequence": " ".join(info.pos_vocab.decode(tags_out[row])),
             "controlled": args.pos_tags is not None,
+            **({"sampled": True, "temperature": args.temperature}
+               if n_samples else {}),
         }))
 
 

@@ -80,6 +80,15 @@ def test_train_caption_eval_roundtrip(corpus_dir, tmp_path, capsys):
         "video0", "video1", "video2",
     ]
 
+    # stochastic sampling (multinomial, N captions per video)
+    cli_caption.main([
+        "--data_dir", corpus_dir, "--checkpoint_dir", ck + "/joint",
+        "--video", "video0", "--sample", "3", "--temperature", "0.8", *SMALL,
+    ])
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["sampled"] and len(out3["caption"]) == 3
+    assert all(isinstance(c, str) for c in out3["caption"])
+
     # beam-3 eval over the test split (config 2)
     cli_eval.main([
         "--data_dir", corpus_dir, "--checkpoint_dir", ck + "/joint",
