@@ -16,6 +16,22 @@ from controllable_xgating_tpu.ops.precision import mm, precision
 from controllable_xgating_tpu.ops.xgate import init_xgate, xgate_fuse
 
 
+def _fused_exec_ctx():
+    """Interpret mode on the CPU test platform; COMPILED on a real TPU.
+
+    `force_tpu_interpret_mode()` around kernels inside scans breaks the
+    relay-backed TPU backend (UNAVAILABLE at compile, then every later
+    test aborts — reproduced twice under CXG_TEST_TPU), and the compiled
+    kernel is the thing worth testing on hardware anyway."""
+    import contextlib
+
+    if jax.default_backend() == "cpu":
+        from jax.experimental.pallas import tpu as pltpu
+
+        return pltpu.force_tpu_interpret_mode()
+    return contextlib.nullcontext()
+
+
 def test_xgate_pallas_matches_jnp_f32():
     key = jax.random.PRNGKey(0)
     w = init_xgate(key, 24, 16, 32)
@@ -142,7 +158,7 @@ def test_beam_fused_matches_unfused():
     mot = jax.random.normal(key, (3, 4, 8))
     ctx, summary, _ = encode_for_inference(params, app, mot, max_pos_len=6)
     t_ref, s_ref = beam_search(params.decoder, ctx, summary, 4, 8, fused=False)
-    with pltpu.force_tpu_interpret_mode():
+    with _fused_exec_ctx():
         t_out, s_out = beam_search(params.decoder, ctx, summary, 4, 8, fused=True)
     np.testing.assert_array_equal(np.asarray(t_out), np.asarray(t_ref))
     np.testing.assert_allclose(np.asarray(s_out), np.asarray(s_ref), rtol=1e-5)
@@ -208,7 +224,7 @@ def test_pos_greedy_fused_tag_parity():
     )
     summary = jax.random.normal(key, (6, 24))
     tags_ref, psi_ref = pos_greedy_generate(params, summary, 7, fused=False)
-    with pltpu.force_tpu_interpret_mode():
+    with _fused_exec_ctx():
         tags_out, psi_out = pos_greedy_generate(params, summary, 7, fused=True)
     np.testing.assert_array_equal(np.asarray(tags_out), np.asarray(tags_ref))
     np.testing.assert_allclose(np.asarray(psi_out), np.asarray(psi_ref), rtol=1e-5, atol=1e-6)
@@ -253,7 +269,7 @@ def test_fused_rollout_under_stop_gradient_traces():
         return (summary.astype(jnp.float32) ** 2).sum() * (1.0 + 0.1 * reward)
 
     l_ref, g_ref = jax.value_and_grad(loss)(params, False)
-    with pltpu.force_tpu_interpret_mode():
+    with _fused_exec_ctx():
         l_out, g_out = jax.value_and_grad(loss)(params, True)
     np.testing.assert_allclose(float(l_out), float(l_ref), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_out)):
