@@ -70,6 +70,9 @@ def main(argv=None) -> None:
         pos_tags = np.array([row] * len(vids), np.int32)
 
     n_samples = max(args.sample, 0)
+    if n_samples and args.temperature <= 0:
+        die(f"--temperature must be > 0 (got {args.temperature}); "
+            "use greedy (no --sample) for deterministic decoding")
 
     @jax.jit
     def run(params, app, motion, frame_mask, pos_tags, rng):
@@ -79,17 +82,12 @@ def main(argv=None) -> None:
         )
         if n_samples:
             # one multinomial rollout per (video, sample): tile rows
+            # (ctx is a pytree; None leaves like frame_mask pass through)
             from controllable_xgating_tpu.infer.greedy import sample_decode
-            from controllable_xgating_tpu.models.decoder import DecodeContext
 
-            rep = lambda x: None if x is None else jnp.repeat(
-                x, n_samples, axis=0)
-            ctx_k = DecodeContext(
-                enc_proj=rep(ctx.enc_proj), keys=rep(ctx.keys),
-                frame_mask=rep(ctx.frame_mask), psi_g=rep(ctx.psi_g),
-            )
+            rep = lambda x: jnp.repeat(x, n_samples, axis=0)
             tokens, _ = sample_decode(
-                params.decoder, ctx_k, rep(summary),
+                params.decoder, jax.tree.map(rep, ctx), rep(summary),
                 cfg.eval.max_decode_len, rng, args.temperature,
             )
         else:

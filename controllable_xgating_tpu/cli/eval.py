@@ -49,12 +49,19 @@ def main(argv=None) -> None:
         )
 
     # config 5 for evaluation: shard eval batches over all devices when the
-    # batch divides (mirrors cli/train's automatic DP engagement)
+    # batch divides (mirrors cli/train's automatic DP engagement). Guards:
+    # never crash a smaller machine over a training config's num_devices,
+    # and never span processes (device_put of host batches cannot target
+    # non-addressable devices — eval is a local concern, like train/loop)
     import jax
 
     mesh = None
     n_dev = cfg.parallel.num_devices or len(jax.devices())
-    if n_dev > 1 and cfg.data.batch_size % n_dev == 0:
+    if (
+        1 < n_dev <= len(jax.devices())
+        and cfg.data.batch_size % n_dev == 0
+        and jax.process_count() == 1
+    ):
         from controllable_xgating_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_dev, axis=cfg.parallel.mesh_axis)

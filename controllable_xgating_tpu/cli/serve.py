@@ -17,6 +17,7 @@ import json
 from controllable_xgating_tpu.cli.common import (
     apply_runtime_flags,
     base_parser,
+    die,
     load_corpus,
     parse_with_overrides,
     restore_params,
@@ -34,6 +35,18 @@ def build_engine(args, cfg, info, store):
         from controllable_xgating_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_dev)
+        kept = tuple(b for b in buckets if b % n_dev == 0)
+        if kept != buckets:
+            if not kept:
+                die(f"no bucket in {list(buckets)} is divisible by "
+                    f"--devices {n_dev}; pass e.g. --buckets "
+                    f"{n_dev},{4 * n_dev},{16 * n_dev}")
+            print(json.dumps({
+                "event": "buckets_filtered",
+                "dropped": [b for b in buckets if b % n_dev],
+                "kept": list(kept),
+            }))
+            buckets = kept
         print(json.dumps({"event": "mesh", "devices": n_dev}))
     return ServingEngine(
         params, cfg, info.vocab, info.pos_vocab,

@@ -136,16 +136,16 @@ def test_two_process_scst_stage(corpus_dir, tmp_path):
     global replicated arrays (parallel/mesh.py multi-process branch) plus
     the stage handoff from a primary-written XE checkpoint."""
     ck = str(tmp_path / "ck")
-    port = _free_port()
 
     def run_stage(stage_args, n_procs=2):
+        port = _free_port()  # fresh validated port per stage
         procs = [
             subprocess.Popen(
                 [sys.executable, "-m", "controllable_xgating_tpu.cli.train",
                  "--platform", "cpu", "--data_dir", corpus_dir,
                  "--checkpoint_dir", ck, *stage_args, *SMALL],
                 env=_env(4, {
-                    "CXG_COORDINATOR": f"127.0.0.1:{port + hash(tuple(stage_args)) % 97}",
+                    "CXG_COORDINATOR": f"127.0.0.1:{port}",
                     "CXG_NUM_PROCESSES": str(n_procs),
                     "CXG_PROCESS_ID": str(pid),
                 }),

@@ -18,9 +18,11 @@ from controllable_xgating_tpu.cli import prepro as cli_prepro
 
 torch = pytest.importorskip("torch")
 
+import os  # noqa: E402
 import sys  # noqa: E402
 
-sys.path.insert(0, "tools")
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 import import_torch_checkpoint as itc  # noqa: E402
 
 SMALL = dict(hidden_dim=16, embed_dim=10, attn_dim=10, pos_embed_dim=10,

@@ -96,9 +96,11 @@ def test_clones_rule_tagger_on_captions():
 def test_train_tagger_cli_and_prepro_integration(tmp_path, capsys):
     """tools/train_tagger.py -> model file -> prepro --tagger perceptron;
     the corpus's POS vocab becomes the trained tagset."""
+    import os
     import sys
 
-    sys.path.insert(0, "tools")
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
     import train_tagger
 
     lines = [
@@ -142,9 +144,11 @@ def test_rule_tagger_still_default():
 def test_read_tagged_separator_edge_cases(tmp_path):
     """Slash-format pairs whose words contain underscores must split at the
     rightmost separator, not silently corrupt the tagset."""
+    import os
     import sys
 
-    sys.path.insert(0, "tools")
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
     import train_tagger
 
     f = tmp_path / "t.txt"

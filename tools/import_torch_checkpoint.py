@@ -169,7 +169,9 @@ def main(argv=None) -> None:
     mgr = CheckpointManager(args.out)
     mgr.save("best", state, {
         "imported_from": os.path.abspath(args.pth),
-        "epoch": -1, "step": 0, "best_score": float("nan"),
+        # best_score=None (json null, NOT NaN — bare NaN is invalid JSON
+        # and breaks strict parsers): no eval has scored these weights yet
+        "epoch": -1, "step": 0, "best_score": None,
         "config": cfg.to_dict(),
     })
     print(json.dumps({
