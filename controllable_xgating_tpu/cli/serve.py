@@ -51,7 +51,7 @@ def build_engine(args, cfg, info, store):
     return ServingEngine(
         params, cfg, info.vocab, info.pos_vocab,
         mode=args.mode, buckets=buckets, max_wait_ms=args.max_wait_ms,
-        mesh=mesh,
+        mesh=mesh, max_queue=args.max_queue,
     )
 
 
@@ -73,6 +73,9 @@ def start(argv=None):
     p.add_argument("--devices", type=int, default=0,
                    help=">1 = data-parallel serving over a device mesh "
                         "(buckets must divide by the device count)")
+    p.add_argument("--max_queue", type=int, default=0,
+                   help=">0 = shed load: reject requests (HTTP 503) once "
+                        "this many are waiting; 0 = queue unboundedly")
     args, cfg = parse_with_overrides(p, argv)
     apply_runtime_flags(args, cfg)
 

@@ -47,7 +47,7 @@ import time
 from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass
-from queue import Empty, Queue
+from queue import Empty, Full, Queue
 from typing import Optional, Sequence
 
 import jax
@@ -73,6 +73,10 @@ class CaptionResult:
     score: Optional[float]  # beam logprob (None for greedy)
     latency_ms: float
     batch_size: int  # bucket the request rode in
+
+
+class EngineOverloaded(RuntimeError):
+    """Raised by submit() when the bounded request queue is full."""
 
 
 @dataclass
@@ -105,11 +109,18 @@ class ServingEngine:
         latency_window: int = 2048,
         max_inflight: int = 2,
         mesh=None,
+        max_queue: int = 0,
     ):
         """`mesh`: an optional 1-D `jax.sharding.Mesh` — data-parallel
         serving over multiple chips (config 5 for the online path): each
         batch is sharded on its leading axis, params replicated; every
-        bucket must then be divisible by the mesh size."""
+        bucket must then be divisible by the mesh size.
+
+        `max_queue` > 0 bounds the request queue: submit() raises
+        EngineOverloaded once that many requests are waiting (load
+        shedding — under sustained overload an unbounded queue just turns
+        every caller's latency into the backlog drain time; rejecting
+        early lets clients back off / retry elsewhere). 0 = unbounded."""
         if mode not in ("greedy", "beam"):
             raise ValueError(f"mode must be greedy|beam, got {mode!r}")
         if not buckets or sorted(buckets) != list(buckets):
@@ -128,7 +139,7 @@ class ServingEngine:
         self.mode = mode
         self.buckets = tuple(int(b) for b in buckets)
         self.max_wait_s = max_wait_ms / 1e3
-        self._queue: Queue[_Request] = Queue()
+        self._queue: Queue[_Request] = Queue(maxsize=max(max_queue, 0))
         # (requests, device_outputs, bucket) in flight; bounded = backpressure
         self._completion: Queue = Queue(maxsize=max_inflight)
         self._closed = threading.Event()
@@ -142,6 +153,7 @@ class ServingEngine:
         self._n_requests = 0
         self._n_batches = 0
         self._n_padded_rows = 0
+        self._n_rejected = 0
 
         from controllable_xgating_tpu.ops.dispatch import fused_enabled
         from controllable_xgating_tpu.ops.precision import compute_dtype
@@ -272,9 +284,17 @@ class ServingEngine:
             # the flag, so a request can never land after the final drain
             if self._closed.is_set():
                 raise RuntimeError("ServingEngine is closed")
-            self._queue.put(
-                _Request(app, motion, valid, tags_row, fut, time.monotonic())
-            )
+            try:
+                self._queue.put_nowait(_Request(
+                    app, motion, valid, tags_row, fut, time.monotonic()
+                ))
+            except Full:
+                with self._lock:
+                    self._n_rejected += 1
+                raise EngineOverloaded(
+                    f"request queue full ({self._queue.maxsize} waiting); "
+                    "retry with backoff"
+                ) from None
         return fut
 
     def caption(self, app, motion, nframes=None, pos_tags=None,
@@ -415,6 +435,7 @@ class ServingEngine:
             "latency_ms_p50": pct(0.50),
             "latency_ms_p99": pct(0.99),
             "queue_depth": self._queue.qsize(),
+            "rejected": self._n_rejected,
             "batches_in_flight": self._completion.qsize(),
         }
 

@@ -26,7 +26,10 @@ from typing import Optional
 import numpy as np
 
 from controllable_xgating_tpu.data.features import FeatureStore
-from controllable_xgating_tpu.serve.engine import ServingEngine
+from controllable_xgating_tpu.serve.engine import (
+    EngineOverloaded,
+    ServingEngine,
+)
 
 
 def make_handler(engine: ServingEngine, store: Optional[FeatureStore],
@@ -93,6 +96,8 @@ def make_handler(engine: ServingEngine, store: Optional[FeatureStore],
                     "latency_ms": res.latency_ms,
                     "batch_size": res.batch_size,
                 })
+            except EngineOverloaded as e:
+                self._send(503, {"error": str(e), "retry": True})
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self._send(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — report, keep serving

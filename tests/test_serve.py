@@ -282,3 +282,27 @@ def test_mesh_dp_serving_matches_single_device(setup):
 
     with pytest.raises(ValueError, match="not divisible"):
         ServingEngine(params, cfg, vocab, pos_vocab, buckets=(4,), mesh=mesh)
+
+
+def test_load_shedding(setup):
+    """With max_queue set, submit() raises EngineOverloaded once the queue
+    is full instead of queueing unboundedly; accepted requests complete."""
+    from controllable_xgating_tpu.serve.engine import EngineOverloaded
+
+    cfg, params, vocab, pos_vocab, feats = setup
+    eng = ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                        buckets=(2,), max_wait_ms=200.0, max_queue=3)
+    try:
+        futs, rejected = [], 0
+        # burst way past the queue bound while the dispatcher coalesces
+        for i in range(30):
+            try:
+                futs.append(eng.submit(*feats[i % len(feats)]))
+            except EngineOverloaded:
+                rejected += 1
+        assert rejected > 0, "burst of 30 into queue=3 must shed load"
+        for f in futs:
+            assert isinstance(f.result(timeout=120).caption, str)
+        assert eng.stats()["rejected"] == rejected
+    finally:
+        eng.close()
