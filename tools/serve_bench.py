@@ -30,7 +30,7 @@ APP_DIM = 1536
 MOT_DIM = 1024
 
 
-def build_engine(mode: str, buckets, max_wait_ms: float):
+def build_engine(mode: str, buckets, max_wait_ms: float, max_queue: int = 0):
     from controllable_xgating_tpu.data.vocab import Vocab
     from controllable_xgating_tpu.models.captioner import init_captioner
     from controllable_xgating_tpu.serve.engine import ServingEngine
@@ -49,7 +49,7 @@ def build_engine(mode: str, buckets, max_wait_ms: float):
     params = init_captioner(jax.random.PRNGKey(0), cfg.model)
     return ServingEngine(
         params, cfg, Vocab(words), Vocab(tags), mode=mode,
-        buckets=buckets, max_wait_ms=max_wait_ms,
+        buckets=buckets, max_wait_ms=max_wait_ms, max_queue=max_queue,
     )
 
 
@@ -64,6 +64,7 @@ def run_load_point(engine, rate_rps: float, duration_s: float, rng):
         for f in warm:
             f.result(timeout=300)
     futures = []
+    rejected = 0
     t0 = time.monotonic()
     next_t = t0
     while True:
@@ -73,7 +74,10 @@ def run_load_point(engine, rate_rps: float, duration_s: float, rng):
         if now < next_t:
             time.sleep(min(next_t - now, 0.005))
             continue
-        futures.append(engine.submit(app, mot))
+        try:
+            futures.append(engine.submit(app, mot))
+        except Exception:  # EngineOverloaded under --max_queue: shed
+            rejected += 1
         next_t += rng.exponential(1.0 / rate_rps)
     results = [f.result(timeout=300) for f in futures]
     t_end = time.monotonic()
@@ -87,6 +91,7 @@ def run_load_point(engine, rate_rps: float, duration_s: float, rng):
         "offered_rps": rate_rps,
         "achieved_rps": len(results) / (t_end - t0),
         "n": len(results),
+        "rejected": rejected,
         "latency_ms_p50": round(pct(0.50), 2),
         "latency_ms_p99": round(pct(0.99), 2),
         "mean_ride_bucket": round(float(occ), 1),
@@ -101,10 +106,13 @@ def main():
     p.add_argument("--duration", type=float, default=10.0)
     p.add_argument("--buckets", default="1,4,16,64,256")
     p.add_argument("--max_wait_ms", type=float, default=8.0)
+    p.add_argument("--max_queue", type=int, default=0,
+                   help=">0 = load shedding (see ServingEngine)")
     args = p.parse_args()
 
     buckets = tuple(int(b) for b in args.buckets.split(","))
-    engine = build_engine(args.mode, buckets, args.max_wait_ms)
+    engine = build_engine(args.mode, buckets, args.max_wait_ms,
+                          max_queue=args.max_queue)
     print(json.dumps({"event": "warmup", "buckets": buckets,
                       "backend": jax.default_backend()}), flush=True)
     engine.warmup()
