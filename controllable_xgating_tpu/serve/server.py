@@ -57,6 +57,30 @@ def make_handler(engine: ServingEngine, store: Optional[FeatureStore],
                 self._send(200, {"ok": True})
             elif self.path == "/stats":
                 self._send(200, engine.stats())
+            elif self.path == "/metrics":
+                # Prometheus text exposition of the engine counters
+                s = engine.stats()
+                lines = []
+                for key, mtype in (
+                    ("requests", "counter"), ("batches", "counter"),
+                    ("rejected", "counter"), ("queue_depth", "gauge"),
+                    ("batches_in_flight", "gauge"),
+                    ("mean_batch_occupancy", "gauge"),
+                    ("latency_ms_p50", "gauge"), ("latency_ms_p99", "gauge"),
+                ):
+                    val = s.get(key)
+                    if val is None:
+                        continue
+                    name = f"cxg_serve_{key}"
+                    lines.append(f"# TYPE {name} {mtype}")
+                    lines.append(f"{name} {float(val)}")
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 

@@ -180,6 +180,10 @@ def test_http_server_roundtrip(setup):
             ok = json.loads(urllib.request.urlopen(
                 base + "/healthz", timeout=30).read())
             assert ok == {"ok": True}
+            prom = urllib.request.urlopen(
+                base + "/metrics", timeout=30).read().decode()
+            assert "# TYPE cxg_serve_requests counter" in prom
+            assert "cxg_serve_requests 1.0" in prom
             stats = json.loads(urllib.request.urlopen(
                 base + "/stats", timeout=30).read())
             assert stats["requests"] >= 1
