@@ -53,6 +53,7 @@ def init_captioner(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> Capti
         cfg.hidden_dim,
         cfg.encoder_bidirectional,
         dtype,
+        fusion=getattr(cfg, "fusion", "xgate"),
     )
     enc_dim = encoder.out_dim
     pos = init_pos_generator(
@@ -73,6 +74,7 @@ def init_captioner(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> Capti
         cfg.attn_dim,
         cfg.pos_embed_dim,
         dtype=dtype,
+        use_psi=getattr(cfg, "pos_guidance", True),
     )
     return CaptionerParams(encoder=encoder, pos=pos, decoder=decoder)
 

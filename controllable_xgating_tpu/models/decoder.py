@@ -53,6 +53,10 @@ class DecoderParams(struct.PyTreeNode):
     lstm: LSTMWeights    # input dim E + G, hidden Hd
     w_out: jax.Array     # [Hd, V]
     b_out: jax.Array     # [V]
+    # paper §4 ablation knob: False = "w/o POS guidance" — psi is zeroed at
+    # the single choke point (make_decode_context), so the decoder sees no
+    # syntactic signal; shapes and checkpoints are unchanged
+    use_psi: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def vocab_size(self) -> int:
@@ -73,6 +77,7 @@ def init_decoder(
     psi_dim: int,
     guide_dim: Optional[int] = None,
     dtype=jnp.float32,
+    use_psi: bool = True,
 ) -> DecoderParams:
     guide_dim = guide_dim or hidden
     ks = jax.random.split(key, 8)
@@ -93,6 +98,7 @@ def init_decoder(
         lstm=init_lstm(ks[7], embed_dim + guide_dim, hidden, dtype),
         w_out=u(jax.random.fold_in(key, 99), (hidden, vocab)),
         b_out=jnp.zeros((vocab,), dtype),
+        use_psi=use_psi,
     )
 
 
@@ -126,6 +132,8 @@ def make_decode_context(
     from controllable_xgating_tpu.ops.precision import compute_dtype
 
     cdt = compute_dtype()
+    if not params.use_psi:  # ablation: no syntactic guidance
+        psi = psi * 0
     psi_g = mm(psi, params.w_psi).astype(cdt)
     return DecodeContext(
         enc_proj=mm(enc_out, params.w_ctx).astype(cdt),

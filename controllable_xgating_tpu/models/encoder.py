@@ -42,10 +42,13 @@ def init_encoder(
     hidden: int,
     bidirectional: bool = True,
     dtype=jnp.float32,
+    fusion: str = "xgate",
 ) -> EncoderParams:
+    if fusion not in ("xgate", "concat"):
+        raise ValueError(f"model.fusion must be xgate|concat, got {fusion!r}")
     k1, k2, k3 = jax.random.split(key, 3)
     return EncoderParams(
-        xgate=init_xgate(k1, app_dim, motion_dim, hidden, dtype),
+        xgate=init_xgate(k1, app_dim, motion_dim, hidden, dtype, mode=fusion),
         lstm_fwd=init_lstm(k2, hidden, hidden, dtype),
         lstm_bwd=init_lstm(k3, hidden, hidden, dtype) if bidirectional else None,
     )
@@ -61,7 +64,9 @@ def encode(
     fused_kernels: Optional[bool] = None,  # True = Pallas XGating kernel
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (enc_out [B, T, He], summary [B, He])."""
-    if fused_kernels:
+    if fused_kernels and params.xgate.mode == "xgate":
+        # the Pallas kernel implements the cross-gated formula only; the
+        # concat ablation routes through the jnp path
         from controllable_xgating_tpu.ops.pallas.xgate import xgate_fuse_pallas
 
         fused = xgate_fuse_pallas(params.xgate, app, motion)

@@ -37,10 +37,16 @@ class XGateWeights(struct.PyTreeNode):
     bgm: jax.Array  # [H]
     wf: jax.Array   # [2H, H]
     bf: jax.Array   # [H]
+    # paper §4 ablation knob: "xgate" (cross gating, the paper's model) or
+    # "concat" (no gating — embed, concat, project). Static treedef data so
+    # it travels with the params; gate weights exist but go unused (and
+    # receive zero gradients) in concat mode.
+    mode: str = struct.field(pytree_node=False, default="xgate")
 
 
 def init_xgate(
-    key: jax.Array, app_dim: int, motion_dim: int, hidden: int, dtype=jnp.float32
+    key: jax.Array, app_dim: int, motion_dim: int, hidden: int, dtype=jnp.float32,
+    mode: str = "xgate",
 ) -> XGateWeights:
     ks = jax.random.split(key, 5)
 
@@ -59,6 +65,7 @@ def init_xgate(
         bgm=jnp.zeros((hidden,), dtype),
         wf=u(ks[4], (2 * hidden, hidden)),
         bf=jnp.zeros((hidden,), dtype),
+        mode=mode,
     )
 
 
@@ -67,10 +74,15 @@ def xgate_fuse(w: XGateWeights, x_app: jax.Array, x_motion: jax.Array) -> jax.Ar
     f32 = jnp.float32
     ea = mm(x_app, w.wa) + w.ba.astype(f32)
     em = mm(x_motion, w.wm) + w.bm.astype(f32)
+    h = w.wf.shape[0] // 2
+    if w.mode == "concat":  # ablation: no cross gating
+        fused = jnp.tanh(
+            mm(ea, w.wf[:h]) + mm(em, w.wf[h:]) + w.bf.astype(f32)
+        )
+        return fused.astype(x_app.dtype)
     ga = jax.nn.sigmoid(mm(em, w.uga) + w.bga.astype(f32))
     gm = jax.nn.sigmoid(mm(ea, w.ugm) + w.bgm.astype(f32))
     # split-wf form (no concat): [ea*ga ; em*gm] @ wf == ea*ga @ wf_top + ...
-    h = w.wf.shape[0] // 2
     fused = jnp.tanh(
         mm(ea * ga, w.wf[:h]) + mm(em * gm, w.wf[h:]) + w.bf.astype(f32)
     )

@@ -36,6 +36,10 @@ class ModelConfig:
     max_caption_len: int = 28  # includes BOS/EOS positions
     max_pos_len: int = 28
     encoder_bidirectional: bool = True
+    # paper §4 ablation knobs: fusion="concat" disables cross gating;
+    # pos_guidance=False zeroes psi (decoder sees no syntactic signal)
+    fusion: str = "xgate"  # xgate | concat
+    pos_guidance: bool = True
     dropout: float = 0.5  # REFERENCE_TBD: typical for this codebase era
     dtype: str = "bfloat16"  # compute dtype on TPU; params stay f32
     # decoder variant for the scaled config 5 ("2x hidden-dim decoder")
