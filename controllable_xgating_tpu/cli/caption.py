@@ -14,6 +14,7 @@ generator's own prediction.
 from __future__ import annotations
 
 import json
+import sys
 
 import jax
 import numpy as np
@@ -62,6 +63,12 @@ def main(argv=None) -> None:
     frame_mask = store.frame_mask(np.array(vidx_list))
     pos_tags = None
     if args.pos_tags:
+        if not cfg.model.pos_guidance:
+            print(
+                "warning: model.pos_guidance=false — the decoder ignores "
+                "psi, so --pos_tags cannot steer this caption",
+                file=sys.stderr,
+            )
         tags = args.pos_tags.split()
         unknown = [t for t in tags if t not in info.pos_vocab]
         if unknown:
