@@ -126,12 +126,18 @@ def main(argv=None) -> None:
             mesh = make_mesh(n_dev, axis=cfg.parallel.mesh_axis)
             if multiproc:
                 from controllable_xgating_tpu.parallel.distributed import (
+                    assert_same_across_processes,
                     replicate_to_global,
                     shard_process_local_batch,
                 )
 
-                # params were built identically on every process (same seed);
-                # lift them to global replicated arrays for the global mesh
+                # params were built identically on every process (same seed)
+                # or restored from the same checkpoint — verify before
+                # lifting: a process that could not see the checkpoint would
+                # otherwise silently train desynchronized
+                assert_same_across_processes(
+                    (state.params, state.step), "restored params/step"
+                )
                 state = replicate_to_global(state, mesh)
                 device_put_fn = lambda b: shard_process_local_batch(b, mesh)
                 log.info(

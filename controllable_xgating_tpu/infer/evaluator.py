@@ -81,10 +81,12 @@ def evaluate_split(
 
     `caption_fn` lets callers supply a beam-search or pre-jitted decoder;
     default is the greedy path. `mesh` shards each eval batch on its
-    leading axis over the devices (config 5 for evaluation: the decode is
-    row-independent, so jit propagates the sharding with no collectives;
-    batch_size must divide by the mesh size — eval_batches pads every
-    batch to full size).
+    leading axis over the devices (config 5 for evaluation: the decode
+    itself is row-independent so jit propagates the sharding; the only
+    collectives are the per-step scalar all-reduces that early_stop's
+    batch-wide "all rows done?" test lowers to — a few bytes over ICI each
+    step, negligible next to the decode itself; batch_size must divide by
+    the mesh size — eval_batches pads every batch to full size).
     """
     if caption_fn is None:
         caption_fn = make_greedy_caption_fn(max_pos_len, max_len)

@@ -124,12 +124,46 @@ def shard_process_local_batch(batch: dict, mesh) -> dict:
     return jax.tree.map(put, batch)
 
 
+def assert_same_across_processes(tree, what: str = "state") -> None:
+    """Raise if the processes hold divergent copies of `tree`.
+
+    Guards the resume path: without shared storage one process can restore
+    a checkpoint while a peer fresh-initializes (each checks its own local
+    checkpoint_dir), and replicate_to_global would then stamp divergent
+    per-process values into a "replicated" global array, silently
+    desynchronizing training. Fingerprint = blake2b over every leaf's raw
+    bytes (host-side, one pass over params — cheap at these model sizes),
+    all-gathered and compared."""
+    import hashlib
+
+    if jax.process_count() <= 1:
+        return
+    h = hashlib.blake2b(digest_size=8)
+    for leaf in jax.tree.leaves(tree):
+        arr = np.asarray(leaf)
+        h.update(str(arr.dtype).encode())
+        h.update(str(arr.shape).encode())
+        h.update(np.ascontiguousarray(arr).tobytes())
+    fp = np.uint64(int.from_bytes(h.digest(), "little"))
+    from jax.experimental import multihost_utils
+
+    fps = np.asarray(multihost_utils.process_allgather(fp))
+    if len(set(fps.tolist())) > 1:
+        raise RuntimeError(
+            f"processes disagree on {what} (fingerprints {fps.tolist()}): "
+            "most likely one process restored a checkpoint another could "
+            "not see. Multi-host resume requires checkpoint_dir on shared "
+            "storage visible to every process."
+        )
+
+
 def replicate_to_global(tree, mesh):
     """Process-local pytree -> fully-replicated global jax.Arrays.
 
     Every process must hold the SAME values (deterministic init from a
-    shared seed — the CLIs guarantee this); each contributes its full copy
-    as the local data of a replicated global array. Required because a
+    shared seed — the CLIs guarantee this, and cli/train.py asserts it via
+    assert_same_across_processes before lifting); each contributes its full
+    copy as the local data of a replicated global array. Required because a
     jitted step over a multi-process mesh only accepts global arrays."""
     from controllable_xgating_tpu.parallel.mesh import replicate_sharding
 

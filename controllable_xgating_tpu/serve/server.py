@@ -86,6 +86,14 @@ def make_handler(engine: ServingEngine, store: Optional[FeatureStore],
 
         def do_POST(self):
             if self.path != "/caption":
+                # drain the body first: under HTTP/1.1 keep-alive an unread
+                # body would be parsed as the NEXT request on this socket
+                length = int(self.headers.get("Content-Length", 0) or 0)
+                while length > 0:
+                    chunk = self.rfile.read(min(length, 1 << 16))
+                    if not chunk:
+                        break
+                    length -= len(chunk)
                 self._send(404, {"error": f"no route {self.path}"})
                 return
             try:

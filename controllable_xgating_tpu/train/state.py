@@ -161,6 +161,27 @@ class CheckpointManager:
                     f"{tm.vocab_size} — the corpus changed under this "
                     "checkpoint_dir; point --checkpoint_dir somewhere fresh"
                 )
+            # architecture knobs are STATIC pytree fields (shapes identical
+            # across the ablation grid), so a mismatched restore would
+            # otherwise succeed silently and run the wrong model
+            tmpl_fusion = template.params.encoder.xgate.mode
+            saved_fusion = saved_model.get("fusion", "xgate")
+            if saved_fusion != tmpl_fusion:
+                raise ValueError(
+                    f"checkpoint {path!r} was trained with model.fusion="
+                    f"{saved_fusion!r} but this run is configured for "
+                    f"{tmpl_fusion!r}; re-run with --model.fusion "
+                    f"{saved_fusion}"
+                )
+            saved_psi = bool(saved_model.get("pos_guidance", True))
+            if saved_psi != template.params.decoder.use_psi:
+                raise ValueError(
+                    f"checkpoint {path!r} was trained with "
+                    f"model.pos_guidance={saved_psi} but this run is "
+                    f"configured for {template.params.decoder.use_psi}; "
+                    f"re-run with --model.pos_guidance "
+                    f"{str(saved_psi).lower()}"
+                )
         state = self._ckptr.restore(path, template)
         return state, infos
 

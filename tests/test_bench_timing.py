@@ -65,10 +65,14 @@ def test_caption_sustained_scan_matches_fori(tiny):
     app = rng.normal(size=(4, 3, 8)).astype(np.float32)
     mot = rng.normal(size=(4, 3, 6)).astype(np.float32)
     dev = jax.devices("cpu")[0]
-    a = bench.time_caption_sustained(fn, params, (app, mot), dev,
-                                     reps=(2, 30), form="fori")
-    b = bench.time_caption_sustained(fn, params, (app, mot), dev,
-                                     reps=(2, 30), form="scan")
+    # best-of-3 per form: a single measurement on this 1-vCPU box can be
+    # inflated several-fold by scheduler noise (observed flake)
+    a = max(bench.time_caption_sustained(fn, params, (app, mot), dev,
+                                         reps=(2, 30), form="fori")
+            for _ in range(3))
+    b = max(bench.time_caption_sustained(fn, params, (app, mot), dev,
+                                         reps=(2, 30), form="scan")
+            for _ in range(3))
     assert 0.2 < a / b < 5.0, f"fori {a} vs scan {b} diverge wildly"
 
 

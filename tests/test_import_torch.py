@@ -127,3 +127,26 @@ def test_import_error_paths(corpus, tmp_path):
     # partial import keeps init values
     params, rep = itc.import_params(template, {}, {}, allow_missing=True)
     assert rep["imported"] == [] and len(rep["kept_initialized"]) == len(names)
+
+
+def test_pickle_code_is_rejected_without_optin(tmp_path):
+    """A .pth whose wrapper pickles arbitrary objects must NOT be unpickled
+    by default (pickle executes code); it loads only under --unsafe_pickle
+    (ADVICE r2, medium)."""
+
+    pth = str(tmp_path / "wrapped.pth")
+    # a pickled function reference: benign here, but exactly the shape of
+    # object whose unpickling can execute arbitrary code (reduce payloads)
+    torch.save(
+        {"state_dict": {"w": torch.zeros(2)}, "infos": os.getcwd}, pth
+    )
+    with pytest.raises(ValueError, match="unsafe_pickle"):
+        itc.load_state_dict(pth)
+    sd = itc.load_state_dict(pth, unsafe_pickle=True)
+    assert set(sd) == {"w"}
+
+    # a plain tensor-only checkpoint loads fine without the flag
+    plain = str(tmp_path / "plain.pth")
+    torch.save({"state_dict": {"w": torch.ones(3)}}, plain)
+    sd = itc.load_state_dict(plain)
+    assert set(sd) == {"w"}

@@ -201,6 +201,47 @@ def test_http_server_roundtrip(setup):
             httpd.shutdown()
 
 
+def test_http_404_drains_body_on_keepalive(setup):
+    """POST to an unknown route must drain the request body before
+    responding: under HTTP/1.1 keep-alive, unread body bytes would be
+    parsed as the NEXT request on the same connection, corrupting the
+    client's following (valid) request (ADVICE r2)."""
+    import http.client
+
+    from controllable_xgating_tpu.serve.server import serve
+
+    cfg, params, vocab, pos_vocab, feats = setup
+    app, mot = feats[5]
+    with ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                       buckets=(1, 2), max_wait_ms=2.0) as eng:
+        httpd = serve(eng, "127.0.0.1", 0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        conn = http.client.HTTPConnection(
+            "127.0.0.1", httpd.server_address[1], timeout=120)
+        try:
+            # big-ish body so it cannot be flushed incidentally
+            junk = json.dumps({"noise": "x" * 100_000}).encode()
+            conn.request("POST", "/bogus", body=junk,
+                         headers={"Content-Type": "application/json"})
+            r1 = conn.getresponse()
+            assert r1.status == 404
+            r1.read()
+            # same connection: a valid request must still parse cleanly
+            body = json.dumps(
+                {"app": app.tolist(), "motion": mot.tolist()}).encode()
+            conn.request("POST", "/caption", body=body,
+                         headers={"Content-Type": "application/json"})
+            r2 = conn.getresponse()
+            assert r2.status == 200
+            resp = json.loads(r2.read())
+            assert resp["caption"] == expected_caption(
+                cfg, params, vocab, app, mot, None)
+        finally:
+            conn.close()
+            httpd.shutdown()
+
+
 @pytest.mark.slow
 def test_serve_cli_end_to_end(tmp_path):
     """Full public surface: prepro -> 1-epoch train -> cli.serve.start ->

@@ -146,6 +146,37 @@ def test_checkpoint_roundtrip(fixture_env, tmp_path):
     assert infos["epoch"] == 1
 
 
+def test_restore_rejects_mismatched_architecture(fixture_env, tmp_path):
+    """A checkpoint trained under an ablation config (fusion=concat /
+    pos_guidance=false) has IDENTICAL parameter shapes to the default
+    model, so orbax restores it cleanly — the manager must catch the
+    config mismatch or eval/caption/serve silently run the wrong
+    architecture (ADVICE r2, medium)."""
+    out, info, labels, store, cfg = fixture_env
+    for knob, val, needle in (
+        ("model.fusion", "concat", "model.fusion"),
+        ("model.pos_guidance", False, "model.pos_guidance"),
+    ):
+        abl = cfg.replace_flat({knob: val})
+        params = init_captioner(jax.random.PRNGKey(5), abl.model)
+        state = create_train_state(params, abl, 4)
+        mgr = CheckpointManager(str(tmp_path / f"ckpt_{knob.split('.')[1]}"))
+        mgr.save_best(state, {"epoch": 0, "config": abl.to_dict()})
+        template = create_train_state(
+            init_captioner(jax.random.PRNGKey(6), cfg.model), cfg, 4
+        )
+        with pytest.raises(ValueError, match=needle):
+            mgr.restore("best", template)
+        # restoring under the matching config still works
+        ok_template = create_train_state(
+            init_captioner(jax.random.PRNGKey(7), abl.model), abl, 4
+        )
+        restored, _ = mgr.restore("best", ok_template)
+        np.testing.assert_array_equal(
+            restored.params.decoder.embed, state.params.decoder.embed
+        )
+
+
 @pytest.mark.slow  # compiles three accumulation variants (~30 s)
 def test_grad_accumulation_matches_full_batch(fixture_env):
     """train.accum_steps=k must produce the SAME update as the full-batch

@@ -56,10 +56,29 @@ def param_paths(params):
     return out
 
 
-def load_state_dict(path: str) -> dict:
+def load_state_dict(path: str, unsafe_pickle: bool = False) -> dict:
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:
+        # weights_only rejects checkpoints whose wrapper dict pickles
+        # arbitrary objects (the reference era saved `infos` alongside).
+        # Full unpickling executes code from the file, so it is opt-in:
+        # a malicious third-party .pth otherwise gets code execution here.
+        if not unsafe_pickle:
+            raise ValueError(
+                f"{path}: not loadable with torch weights_only=True ({e}). "
+                "If you trust this checkpoint's origin, re-run with "
+                "--unsafe_pickle to allow full unpickling (this executes "
+                "code embedded in the file)."
+            ) from e
+        print(
+            f"warning: {path}: falling back to full unpickling "
+            "(--unsafe_pickle); only do this for checkpoints you trust",
+            file=sys.stderr,
+        )
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     # the reference era saved either the raw state_dict or a wrapper dict
     for key in ("state_dict", "model", "model_state_dict"):
         if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
@@ -131,6 +150,9 @@ def main(argv=None) -> None:
                                      "{key, transform}}")
     p.add_argument("--out", help="output checkpoint dir (writes 'best')")
     p.add_argument("--allow_missing", action="store_true")
+    p.add_argument("--unsafe_pickle", action="store_true",
+                   help="permit full (code-executing) unpickling when "
+                        "torch weights_only=True cannot load the file")
     p.add_argument("--seed", type=int, default=0,
                    help="init seed for unmapped params")
     args, overrides = p.parse_known_args(argv)
@@ -156,7 +178,7 @@ def main(argv=None) -> None:
 
     with open(args.mapping) as f:
         mapping = json.load(f)
-    state_dict = load_state_dict(args.pth)
+    state_dict = load_state_dict(args.pth, unsafe_pickle=args.unsafe_pickle)
     params, report = import_params(
         template, state_dict, mapping, allow_missing=args.allow_missing
     )
