@@ -1,0 +1,183 @@
+"""Train and evaluate the paper's 2x2 ablation grid end-to-end.
+
+The system's two novelties (paper §1; SURVEY.md §1) are cross-gated fusion
+and POS-sequence guidance. The knobs (`model.fusion=concat`,
+`model.pos_guidance=false`) exist and unit-test clean, but only a trained
+A/B demonstrates the paper's §4 ablation claims — cross gating > concat
+fusion, psi guidance > none — so this driver runs the FULL recipe
+(examples/full_pipeline.sh: POS 8 epochs -> XE caption 40 -> SCST 15, then
+beam-5 test eval + controllability eval) for every cell of
+{fusion: xgate, concat} x {pos_guidance: on, off} on the 600-video
+syntactically-diverse fixture corpus, with identical seeds/hyperparameters
+across cells.
+
+Resumable: each completed stage leaves a `.done` marker; re-running skips
+finished work. Results land in <out>/grid_results.json.
+
+  python tools/ablation_grid.py --data_dir data/flagship \
+      --out checkpoints/ablation_grid
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CELLS = [
+    ("xgate", True),
+    ("concat", True),
+    ("xgate", False),
+    ("concat", False),
+]
+
+# the flagship recipe's shared flags (examples/full_pipeline.sh); SMOKE
+# (CPU plumbing check) shrinks dims/epochs but exercises every command
+FLAGSHIP = {"dims": 512, "frames": 26, "batch": 64, "decode_len": 20,
+            "epochs": (8, 40, 15), "extra": ["--compute_dtype", "bfloat16"]}
+SMOKE = {"dims": 20, "frames": 5, "batch": 4, "decode_len": 12,
+         "epochs": (1, 2, 1), "extra": ["--platform", "cpu"]}
+RECIPE = FLAGSHIP
+
+
+def common_flags(data_dir: str) -> list[str]:
+    d = str(RECIPE["dims"])
+    return [
+        "--data_dir", data_dir,
+        "--model.hidden_dim", d, "--model.embed_dim", d,
+        "--model.attn_dim", d, "--model.pos_embed_dim", d,
+        "--model.num_frames", str(RECIPE["frames"]),
+        "--data.batch_size", str(RECIPE["batch"]),
+        "--data.caps_per_video_train", "4",
+        "--train.lr_decay_every_epochs", "40",
+        "--train.log_every_steps", "1000",
+        "--eval.max_decode_len", str(RECIPE["decode_len"]),
+        *RECIPE["extra"],
+    ]
+
+
+def cell_name(fusion: str, psi: bool) -> str:
+    return f"{fusion}_{'pos' if psi else 'nopos'}"
+
+
+def knob_flags(fusion: str, psi: bool) -> list[str]:
+    return ["--model.fusion", fusion,
+            "--model.pos_guidance", "true" if psi else "false"]
+
+
+def run(cmd: list[str], log_path: str) -> None:
+    print(f"[grid] $ {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    with open(log_path, "a") as log:
+        log.write(f"\n=== {' '.join(cmd)}\n")
+        log.flush()
+        subprocess.run(cmd, check=True, stdout=log, stderr=subprocess.STDOUT,
+                       cwd=REPO)
+    print(f"[grid]   done in {time.time() - t0:.0f}s", flush=True)
+
+
+def stage(marker_dir: str, name: str, cmd: list[str], log_path: str) -> None:
+    marker = os.path.join(marker_dir, f"{name}.done")
+    if os.path.exists(marker):
+        print(f"[grid] skip {name} (marker exists)", flush=True)
+        return
+    run(cmd, log_path)
+    with open(marker, "w") as f:
+        f.write(str(time.time()))
+
+
+def run_cell(data_dir: str, out: str, fusion: str, psi: bool) -> dict:
+    name = cell_name(fusion, psi)
+    ck = os.path.join(out, name)
+    os.makedirs(ck, exist_ok=True)
+    log_path = os.path.join(ck, "grid_log.txt")
+    common = common_flags(data_dir)
+    knobs = knob_flags(fusion, psi)
+    py = [sys.executable, "-m"]
+
+    stage(ck, "pos", py + [
+        "controllable_xgating_tpu.cli.train", "--stage", "pos",
+        "--epochs", str(RECIPE["epochs"][0]), "--checkpoint_dir", ck,
+        "--train.lr", "1e-3", *common, *knobs], log_path)
+    stage(ck, "caption", py + [
+        "controllable_xgating_tpu.cli.train", "--stage", "caption",
+        "--epochs", str(RECIPE["epochs"][1]), "--init_from", os.path.join(ck, "pos"),
+        "--checkpoint_dir", ck, "--train.lr", "2e-3", *common, *knobs],
+        log_path)
+    stage(ck, "scst", py + [
+        "controllable_xgating_tpu.cli.train", "--stage", "scst",
+        "--epochs", str(RECIPE["epochs"][2]), "--init_from", os.path.join(ck, "caption"),
+        "--checkpoint_dir", ck, "--train.lr", "1e-4",
+        "--model.dropout", "0.0", *common, *knobs], log_path)
+
+    for ckpt_stage in ("caption", "scst"):
+        stage(ck, f"eval_{ckpt_stage}", py + [
+            "controllable_xgating_tpu.cli.eval", "--split", "test",
+            "--beam_size", "5",
+            "--checkpoint_dir", os.path.join(ck, ckpt_stage),
+            *common, *knobs], log_path)
+
+    # controllability: run for every cell — for pos_guidance=off it is the
+    # negative control (psi is ignored, so controlled ~= free agreement)
+    ctrl_path = os.path.join(ck, "controllability.json")
+    if not os.path.exists(ctrl_path):
+        cmd = [sys.executable, os.path.join(REPO, "tools",
+                                            "controllability_eval.py"),
+               "--data_dir", data_dir,
+               "--checkpoint_dir", os.path.join(ck, "scst"),
+               *common, *knobs]
+        print(f"[grid] $ {' '.join(cmd)}", flush=True)
+        res = subprocess.run(cmd, check=True, capture_output=True,
+                             text=True, cwd=REPO)
+        with open(ctrl_path, "w") as f:
+            f.write(res.stdout)
+
+    cell = {"fusion": fusion, "pos_guidance": psi}
+    for ckpt_stage in ("caption", "scst"):
+        with open(os.path.join(ck, ckpt_stage, "eval_test.json")) as f:
+            cell[f"{ckpt_stage}_metrics"] = json.load(f)["metrics"]
+    with open(ctrl_path) as f:
+        ctrl = json.load(f)
+    cell["controllability"] = {
+        k: ctrl[k] for k in
+        ("free_run_tag_agreement", "controlled_tag_agreement", "videos")
+    }
+    return cell
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_dir", default="data/flagship")
+    p.add_argument("--out", default="checkpoints/ablation_grid")
+    p.add_argument("--cells", default=None,
+                   help="comma list like xgate_pos,concat_nopos (default all)")
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny dims/epochs on CPU: validates the plumbing "
+                        "(every command runs) without TPU time")
+    args = p.parse_args(argv)
+    if args.smoke:
+        global RECIPE
+        RECIPE = SMOKE
+
+    os.makedirs(args.out, exist_ok=True)
+    want = set(args.cells.split(",")) if args.cells else None
+    results = []
+    for fusion, psi in CELLS:
+        if want and cell_name(fusion, psi) not in want:
+            continue
+        print(f"[grid] ===== cell {cell_name(fusion, psi)} =====", flush=True)
+        results.append(run_cell(args.data_dir, args.out, fusion, psi))
+        # persist incrementally so a crash keeps finished cells
+        with open(os.path.join(args.out, "grid_results.json"), "w") as f:
+            json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+    print("[grid] ALL_DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -53,8 +53,14 @@ def main(argv=None) -> None:
     p.add_argument("--template", default="DT NN VBZ VBG IN DT NN")
     p.add_argument("--split", default="test")
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"))
+    p.add_argument("--compute_dtype", default=None,
+                   choices=("float32", "bfloat16"))
     args, rest = p.parse_known_args(argv)
     cfg = Config().replace_flat(parse_cli_overrides(rest))
+    from controllable_xgating_tpu.cli.common import apply_runtime_flags
+
+    apply_runtime_flags(args, cfg)
 
     info, labels, store, cfg = load_corpus(args.data_dir, cfg)
     params = restore_params(args.checkpoint_dir, cfg)
