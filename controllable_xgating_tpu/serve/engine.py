@@ -79,6 +79,13 @@ class EngineOverloaded(RuntimeError):
     """Raised by submit() when the bounded request queue is full."""
 
 
+class DeadlineExceeded(EngineOverloaded):
+    """Set on a request's Future when its deadline passed while it was
+    still queued (shed at the queue head — the device never sees it).
+    Subclasses EngineOverloaded so HTTP callers get the same 503/retry
+    treatment: both mean 'the engine could not serve you in time'."""
+
+
 @dataclass
 class _Request:
     app: np.ndarray          # [T, Da] fitted to num_frames
@@ -87,6 +94,7 @@ class _Request:
     pos_tags: Optional[np.ndarray]  # [Lp] int32, or None = free-run
     future: Future
     t_submit: float
+    t_deadline: Optional[float] = None  # monotonic; None = no deadline
 
 
 class ServingEngine:
@@ -154,6 +162,8 @@ class ServingEngine:
         self._n_batches = 0
         self._n_padded_rows = 0
         self._n_rejected = 0
+        self._n_cancelled = 0   # Futures cancelled before dispatch
+        self._n_expired = 0     # deadlines shed at the queue head
 
         from controllable_xgating_tpu.ops.dispatch import fused_enabled
         from controllable_xgating_tpu.ops.precision import compute_dtype
@@ -234,6 +244,7 @@ class ServingEngine:
         motion: np.ndarray,
         nframes: Optional[int] = None,
         pos_tags: Optional[Sequence[str]] = None,
+        deadline_ms: Optional[float] = None,
     ) -> Future:
         """Enqueue one video -> Future[CaptionResult].
 
@@ -241,6 +252,12 @@ class ServingEngine:
         the model's num_frames exactly like the offline FeatureStore
         (uniform subsample or zero-pad + frame mask). `pos_tags` is an
         optional Penn tag sequence enforcing the caption's syntax.
+
+        `deadline_ms`: drop the request (Future gets DeadlineExceeded) if
+        it is still QUEUED this long after submit — under overload the
+        queue head is exactly where requests whose caller already gave up
+        pile up, and dispatching them wastes device rows. Cancelling the
+        returned Future before dispatch frees its row the same way.
         """
         if self._closed.is_set():
             raise RuntimeError("ServingEngine is closed")
@@ -278,7 +295,11 @@ class ServingEngine:
                            self.cfg.model.max_pos_len),
                 np.int32,
             )
+        if deadline_ms is not None and deadline_ms <= 0:
+            raise ValueError("deadline_ms must be positive")
         fut: Future = Future()
+        now = time.monotonic()
+        deadline = now + deadline_ms / 1e3 if deadline_ms is not None else None
         with self._submit_lock:
             # re-check under the lock: close() takes the same lock to set
             # the flag, so a request can never land after the final drain
@@ -286,7 +307,7 @@ class ServingEngine:
                 raise RuntimeError("ServingEngine is closed")
             try:
                 self._queue.put_nowait(_Request(
-                    app, motion, valid, tags_row, fut, time.monotonic()
+                    app, motion, valid, tags_row, fut, now, deadline
                 ))
             except Full:
                 with self._lock:
@@ -299,8 +320,18 @@ class ServingEngine:
 
     def caption(self, app, motion, nframes=None, pos_tags=None,
                 timeout: Optional[float] = None) -> CaptionResult:
-        """Synchronous convenience wrapper around submit()."""
-        return self.submit(app, motion, nframes, pos_tags).result(timeout)
+        """Synchronous convenience wrapper around submit().
+
+        `timeout` doubles as the queue deadline: a caller that would stop
+        waiting must not consume a device-batch row after the fact."""
+        deadline_ms = timeout * 1e3 if timeout is not None else None
+        fut = self.submit(app, motion, nframes, pos_tags,
+                          deadline_ms=deadline_ms)
+        try:
+            return fut.result(timeout)
+        except TimeoutError:
+            fut.cancel()  # frees the row if still queued; no-op if running
+            raise
 
     # ------------------------------------------------------------ dispatcher
 
@@ -324,15 +355,47 @@ class ServingEngine:
                 break
         return batch
 
+    def _claim(self, r: _Request) -> bool:
+        """Take ownership of a request at dispatch time, or shed it.
+
+        Returns False (row freed, Future resolved) when the caller already
+        cancelled the Future or its queue deadline passed — the two ways a
+        dead client's request reaches the queue head under overload.
+        set_running_or_notify_cancel() both detects cancellation and locks
+        the Future against late cancels once we commit it to the device."""
+        if not r.future.set_running_or_notify_cancel():
+            with self._lock:
+                self._n_cancelled += 1
+            return False
+        if r.t_deadline is not None and time.monotonic() > r.t_deadline:
+            r.future.set_exception(DeadlineExceeded(
+                "deadline expired while queued; retry with backoff"))
+            with self._lock:
+                self._n_expired += 1
+            return False
+        return True
+
     def _dispatch_loop(self) -> None:
         while not (self._closed.is_set() and self._queue.empty()):
             batch = self._collect()  # never exceeds buckets[-1]
-            if not batch:
+            # shed dead requests NOW (not at collect time: the deadline can
+            # pass while the batch waits on max_inflight backpressure too,
+            # but once claimed a row must stay claimed) and backfill the
+            # freed rows from the queue so shedding raises goodput
+            live = [r for r in batch if self._claim(r)]
+            while len(live) < len(batch):  # freed rows -> backfill
+                try:
+                    r = self._queue.get_nowait()
+                except Empty:
+                    break
+                if self._claim(r):
+                    live.append(r)
+            if not live:
                 continue
             try:
-                self._dispatch_batch(batch)
+                self._dispatch_batch(live)
             except BaseException as e:  # noqa: BLE001 — to the callers
-                for r in batch:
+                for r in live:
                     if not r.future.done():
                         r.future.set_exception(e)
         self._completion.put(None)  # finisher shutdown sentinel
@@ -419,6 +482,7 @@ class ServingEngine:
             n_req, n_bat, n_pad = (
                 self._n_requests, self._n_batches, self._n_padded_rows
             )
+            n_cancel, n_expired = self._n_cancelled, self._n_expired
 
         def pct(p):
             if not lat:
@@ -436,6 +500,8 @@ class ServingEngine:
             "latency_ms_p99": pct(0.99),
             "queue_depth": self._queue.qsize(),
             "rejected": self._n_rejected,
+            "cancelled": n_cancel,
+            "deadline_expired": n_expired,
             "batches_in_flight": self._completion.qsize(),
         }
 

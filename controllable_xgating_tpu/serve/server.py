@@ -63,7 +63,9 @@ def make_handler(engine: ServingEngine, store: Optional[FeatureStore],
                 lines = []
                 for key, mtype in (
                     ("requests", "counter"), ("batches", "counter"),
-                    ("rejected", "counter"), ("queue_depth", "gauge"),
+                    ("rejected", "counter"), ("cancelled", "counter"),
+                    ("deadline_expired", "counter"),
+                    ("queue_depth", "gauge"),
                     ("batches_in_flight", "gauge"),
                     ("mean_batch_occupancy", "gauge"),
                     ("latency_ms_p50", "gauge"), ("latency_ms_p99", "gauge"),
@@ -119,7 +121,11 @@ def make_handler(engine: ServingEngine, store: Optional[FeatureStore],
                 tags = req.get("pos_tags")
                 if isinstance(tags, str):
                     tags = tags.split()
-                res = engine.caption(app, motion, nframes, tags)
+                deadline_ms = req.get("deadline_ms")
+                timeout = (float(deadline_ms) / 1e3
+                           if deadline_ms is not None else None)
+                res = engine.caption(app, motion, nframes, tags,
+                                     timeout=timeout)
                 self._send(200, {
                     "caption": res.caption,
                     "pos_sequence": res.pos_sequence,
@@ -130,6 +136,11 @@ def make_handler(engine: ServingEngine, store: Optional[FeatureStore],
                 })
             except EngineOverloaded as e:
                 self._send(503, {"error": str(e), "retry": True})
+            except TimeoutError:
+                # deadline passed while the request was queued or running;
+                # engine.caption() already cancelled the queued row
+                self._send(503, {"error": "deadline exceeded",
+                                 "retry": True})
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self._send(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — report, keep serving

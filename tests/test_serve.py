@@ -201,6 +201,93 @@ def test_http_server_roundtrip(setup):
             httpd.shutdown()
 
 
+def test_cancelled_and_expired_requests_never_reach_device(setup):
+    """A request whose Future was cancelled, or whose queue deadline
+    passed, must be shed at dispatch (its device-batch row freed and
+    backfilled from the queue), not silently computed for a dead client
+    (VERDICT r2 item 4)."""
+    import time
+
+    from controllable_xgating_tpu.serve.engine import DeadlineExceeded
+
+    cfg, params, vocab, pos_vocab, feats = setup
+    with ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                       buckets=(2,), max_wait_ms=100.0) as eng:
+        orig_fn = eng._fn
+        entered = threading.Event()
+        gate = threading.Event()
+
+        def gated_fn(*a):
+            entered.set()
+            assert gate.wait(30.0)
+            return orig_fn(*a)
+
+        eng._fn = gated_fn
+        # A occupies the dispatcher inside the gated device fn
+        fut_a = eng.submit(*feats[0])
+        assert entered.wait(30.0)
+        # queue up: B (will be cancelled), C, D (backfills B's row),
+        # E (deadline already passed by the time the gate opens)
+        fut_b = eng.submit(*feats[1])
+        fut_c = eng.submit(*feats[2])
+        fut_d = eng.submit(*feats[3])
+        fut_e = eng.submit(*feats[4], deadline_ms=10.0)
+        assert fut_b.cancel()
+        time.sleep(0.05)  # let E's deadline lapse while queued
+        gate.set()
+
+        # live requests complete with the exact offline captions
+        for fut, f in ((fut_a, feats[0]), (fut_c, feats[2]),
+                       (fut_d, feats[3])):
+            res = fut.result(timeout=60)
+            assert res.caption == expected_caption(
+                cfg, params, vocab, f[0], f[1])
+        assert fut_b.cancelled()
+        with pytest.raises(DeadlineExceeded):
+            fut_e.result(timeout=60)
+
+        s = eng.stats()
+        # device saw exactly A (padded bucket) then [C, D] (B's freed row
+        # backfilled by D): 3 live requests in 2 batches — a shed row is
+        # never dispatched, or n_requests would read 5
+        assert s["requests"] == 3
+        assert s["batches"] == 2
+        assert s["cancelled"] == 1
+        assert s["deadline_expired"] == 1
+
+
+def test_caption_timeout_sheds_queued_row(setup):
+    """caption(timeout=...) propagates the timeout as a queue deadline and
+    cancels on timeout, so a timed-out synchronous caller's request never
+    consumes device work either."""
+    cfg, params, vocab, pos_vocab, feats = setup
+    with ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                       buckets=(1,), max_wait_ms=1.0) as eng:
+        orig_fn = eng._fn
+        entered = threading.Event()
+        gate = threading.Event()
+
+        def gated_fn(*a):
+            entered.set()
+            assert gate.wait(30.0)
+            return orig_fn(*a)
+
+        eng._fn = gated_fn
+        fut_a = eng.submit(*feats[0])
+        assert entered.wait(30.0)
+        with pytest.raises(TimeoutError):
+            eng.caption(*feats[1], timeout=0.05)
+        gate.set()
+        fut_a.result(timeout=60)
+        # drain: the dead request must be shed, not computed
+        res = eng.caption(*feats[2], timeout=60)
+        assert res.caption == expected_caption(
+            cfg, params, vocab, feats[2][0], feats[2][1])
+        s = eng.stats()
+        assert s["requests"] == 2  # A + the final live caption only
+        assert s["cancelled"] + s["deadline_expired"] == 1
+
+
 def test_http_404_drains_body_on_keepalive(setup):
     """POST to an unknown route must drain the request body before
     responding: under HTTP/1.1 keep-alive, unread body bytes would be

@@ -53,8 +53,15 @@ def build_engine(mode: str, buckets, max_wait_ms: float, max_queue: int = 0):
     )
 
 
-def run_load_point(engine, rate_rps: float, duration_s: float, rng):
-    """Open-loop Poisson arrivals at rate_rps for duration_s."""
+def run_load_point(engine, rate_rps: float, duration_s: float, rng,
+                   deadline_ms: float | None = None):
+    """Open-loop Poisson arrivals at rate_rps for duration_s.
+
+    `deadline_ms` simulates impatient clients: every request carries that
+    queue deadline, and the point reports how many were shed unserved
+    (`expired`) vs completed after the client would have stopped waiting
+    (`late_completions` — wasted device work; the engine's queue-head
+    shedding should keep this to at most the in-flight overshoot)."""
     app = rng.normal(size=(FRAMES, APP_DIM)).astype(np.float32)
     mot = rng.normal(size=(FRAMES, MOT_DIM)).astype(np.float32)
     # settle: a few full buckets through the whole pipeline before timing
@@ -75,11 +82,18 @@ def run_load_point(engine, rate_rps: float, duration_s: float, rng):
             time.sleep(min(next_t - now, 0.005))
             continue
         try:
-            futures.append(engine.submit(app, mot))
+            futures.append(engine.submit(app, mot, deadline_ms=deadline_ms))
         except Exception:  # EngineOverloaded under --max_queue: shed
             rejected += 1
         next_t += rng.exponential(1.0 / rate_rps)
-    results = [f.result(timeout=300) for f in futures]
+    from controllable_xgating_tpu.serve.engine import DeadlineExceeded
+
+    results, expired = [], 0
+    for f in futures:
+        try:
+            results.append(f.result(timeout=300))
+        except DeadlineExceeded:
+            expired += 1
     t_end = time.monotonic()
     lats = sorted(r.latency_ms for r in results)
 
@@ -87,7 +101,7 @@ def run_load_point(engine, rate_rps: float, duration_s: float, rng):
         return lats[min(int(p * len(lats)), len(lats) - 1)]
 
     occ = np.mean([r.batch_size for r in results])
-    return {
+    point = {
         "offered_rps": rate_rps,
         "achieved_rps": len(results) / (t_end - t0),
         "n": len(results),
@@ -96,6 +110,12 @@ def run_load_point(engine, rate_rps: float, duration_s: float, rng):
         "latency_ms_p99": round(pct(0.99), 2),
         "mean_ride_bucket": round(float(occ), 1),
     }
+    if deadline_ms is not None:
+        point["deadline_ms"] = deadline_ms
+        point["expired"] = expired
+        point["late_completions"] = int(
+            sum(r.latency_ms > deadline_ms for r in results))
+    return point
 
 
 def main():
@@ -108,7 +128,17 @@ def main():
     p.add_argument("--max_wait_ms", type=float, default=8.0)
     p.add_argument("--max_queue", type=int, default=0,
                    help=">0 = load shedding (see ServingEngine)")
+    p.add_argument("--deadline_ms", type=float, default=None,
+                   help="per-request queue deadline (impatient clients)")
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"),
+                   help="force the JAX platform (NB: this environment's "
+                        "sitecustomize overrides JAX_PLATFORMS, so the env "
+                        "var alone cannot keep this off the TPU)")
     args = p.parse_args()
+    if args.platform:
+        from controllable_xgating_tpu.cli.common import apply_runtime_flags
+
+        apply_runtime_flags(args)
 
     buckets = tuple(int(b) for b in args.buckets.split(","))
     engine = build_engine(args.mode, buckets, args.max_wait_ms,
@@ -120,8 +150,13 @@ def main():
     try:
         for rate in (float(r) for r in args.rates.split(",")):
             # settle: drop stats between points
-            point = run_load_point(engine, rate, args.duration, rng)
+            point = run_load_point(engine, rate, args.duration, rng,
+                                   deadline_ms=args.deadline_ms)
             point["mode"] = args.mode
+            point["engine_stats"] = {
+                k: engine.stats()[k]
+                for k in ("cancelled", "deadline_expired", "rejected")
+            }
             print(json.dumps(point), flush=True)
     finally:
         engine.close()
