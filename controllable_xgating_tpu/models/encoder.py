@@ -9,11 +9,15 @@ the POS-generator and caption-decoder states.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import struct
+
+log = logging.getLogger("cxg.encoder")
+_xgate_fallback_warned: set = set()
 
 from controllable_xgating_tpu.ops.lstm import (
     LSTMWeights,
@@ -64,9 +68,34 @@ def encode(
     fused_kernels: Optional[bool] = None,  # True = Pallas XGating kernel
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (enc_out [B, T, He], summary [B, He])."""
-    if fused_kernels and params.xgate.mode == "xgate":
+    use_pallas = bool(fused_kernels) and params.xgate.mode == "xgate"
+    if use_pallas:
         # the Pallas kernel implements the cross-gated formula only; the
-        # concat ablation routes through the jnp path
+        # concat ablation routes through the jnp path. C3D-width motion
+        # features (~4096-d, MSVD alternate stream) blow the kernel's VMEM
+        # budget in f32 — estimate first and fall back loudly, like the
+        # decoder's fused-kernel gate (models/decoder.py)
+        from controllable_xgating_tpu.ops.pallas.xgate import (
+            XGATE_VMEM_LIMIT,
+            xgate_vmem_bytes,
+        )
+        from controllable_xgating_tpu.ops.precision import compute_dtype
+
+        est = xgate_vmem_bytes(
+            app.shape[-1], motion.shape[-1], params.xgate.wa.shape[1],
+            compute_dtype(),
+        )
+        if est > XGATE_VMEM_LIMIT:
+            use_pallas = False
+            if est not in _xgate_fallback_warned:
+                _xgate_fallback_warned.add(est)
+                log.warning(
+                    "fused XGating kernel requested but its VMEM estimate "
+                    "(%.1f MiB) exceeds the %.0f MiB budget at these "
+                    "dims/dtype; falling back to the jnp path",
+                    est / 2**20, XGATE_VMEM_LIMIT / 2**20,
+                )
+    if use_pallas:
         from controllable_xgating_tpu.ops.pallas.xgate import xgate_fuse_pallas
 
         fused = xgate_fuse_pallas(params.xgate, app, motion)

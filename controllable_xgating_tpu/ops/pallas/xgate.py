@@ -29,6 +29,26 @@ from controllable_xgating_tpu.ops.xgate import XGateWeights
 TILE_R = 256
 
 
+def xgate_vmem_bytes(da: int, dm: int, h: int, dtype) -> int:
+    """Rough resident bytes for one grid step of the fused kernel.
+
+    Weights are whole-array blocks ((da+dm)·h embeds + 4·h² gates/proj);
+    activations are the row tile's streams in/out plus the f32
+    intermediates (ea, em, ga, gm, fused and matmul accumulators). Matters
+    at C3D widths (dm≈4096): the f32 weight set alone exceeds VMEM there,
+    so callers must fall back to the jnp path (models/encoder.py does)."""
+    ws = jnp.dtype(dtype).itemsize
+    weights = (da + dm) * h + 4 * h * h + 5 * h
+    tiles = TILE_R * (da + dm + h)
+    acts_f32 = TILE_R * h * 6 * 4
+    return (weights + tiles) * ws + acts_f32
+
+
+# v5e VMEM is 16 MiB; leave ~2 MiB scratch headroom like the decoder's
+# fused-kernel budget (models/decoder.py ATTN_LSTM_VMEM_LIMIT)
+XGATE_VMEM_LIMIT = 14 * 1024 * 1024
+
+
 def _kernel(
     xa_ref, xm_ref,
     wa_ref, wm_ref, uga_ref, ugm_ref, wf_a_ref, wf_m_ref,

@@ -1,0 +1,108 @@
+"""C3D-width fidelity (SURVEY.md §2 feature-store row; BASELINE north star
+"(I3D/C3D)"): MSVD's alternate motion stream is C3D fc activations at
+~4096-d instead of I3D's 1024-d. These tests pin the framework's behavior
+at those widths: the VMEM-budget fallback for the fused XGating kernel,
+kernel parity at wide-motion aspect ratios, and the training/eval
+pipeline end-to-end with 4096-d motion features."""
+
+import json
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controllable_xgating_tpu.models.encoder import encode, init_encoder
+from controllable_xgating_tpu.ops.pallas.xgate import (
+    XGATE_VMEM_LIMIT,
+    xgate_vmem_bytes,
+)
+
+C3D = dict(app_dim=1536, motion_dim=4096, hidden=512)
+
+
+def test_vmem_estimate_at_c3d_widths():
+    """f32 at C3D widths must exceed the budget (the weight set alone is
+    ~15.7 MB); bf16 must fit (what the TPU compute policy uses)."""
+    f32 = xgate_vmem_bytes(C3D["app_dim"], C3D["motion_dim"], C3D["hidden"],
+                           jnp.float32)
+    bf16 = xgate_vmem_bytes(C3D["app_dim"], C3D["motion_dim"], C3D["hidden"],
+                            jnp.bfloat16)
+    assert f32 > XGATE_VMEM_LIMIT
+    assert bf16 <= XGATE_VMEM_LIMIT
+    # I3D widths fit under the bf16 policy (what the CLIs engage on TPU);
+    # I3D-f32 is borderline (~15 MiB estimate vs 16 MiB VMEM) and the
+    # estimate deliberately errs toward the safe jnp fallback there
+    assert xgate_vmem_bytes(1536, 1024, 512, jnp.bfloat16) <= XGATE_VMEM_LIMIT
+
+
+def test_encoder_falls_back_at_c3d_f32(caplog):
+    """encode(fused_kernels=True) at C3D widths under the f32 policy must
+    warn once and produce EXACTLY the jnp path's output (the fallback IS
+    that path; this pins the routing)."""
+    params = init_encoder(jax.random.PRNGKey(0), C3D["app_dim"],
+                          C3D["motion_dim"], C3D["hidden"])
+    rng = np.random.default_rng(0)
+    app = rng.normal(size=(2, 3, C3D["app_dim"])).astype(np.float32)
+    motion = rng.normal(size=(2, 3, C3D["motion_dim"])).astype(np.float32)
+    with caplog.at_level(logging.WARNING, logger="cxg.encoder"):
+        out_fused, sum_fused = encode(params, app, motion, fused_kernels=True)
+    assert any("VMEM estimate" in r.message for r in caplog.records)
+    out_ref, sum_ref = encode(params, app, motion, fused_kernels=False)
+    np.testing.assert_array_equal(np.asarray(out_fused), np.asarray(out_ref))
+    np.testing.assert_array_equal(np.asarray(sum_fused), np.asarray(sum_ref))
+
+
+def test_xgate_kernel_parity_wide_motion():
+    """Pallas kernel (interpret mode) == jnp path at a C3D-like aspect
+    ratio (motion dim >> app dim), small absolute dims for CPU speed."""
+    from controllable_xgating_tpu.ops.pallas.xgate import xgate_fuse_pallas
+    from controllable_xgating_tpu.ops.xgate import init_xgate, xgate_fuse
+
+    da, dm, h = 48, 256, 32
+    w = init_xgate(jax.random.PRNGKey(1), da, dm, h)
+    rng = np.random.default_rng(1)
+    xa = rng.normal(size=(4, 5, da)).astype(np.float32)
+    xm = rng.normal(size=(4, 5, dm)).astype(np.float32)
+    got = np.asarray(xgate_fuse_pallas(w, xa, xm, interpret=True))
+    want = np.asarray(xgate_fuse(w, xa, xm))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+@pytest.mark.slow  # full prepro -> XE epoch -> eval at 4096-d motion (~2 min)
+def test_pipeline_end_to_end_at_c3d_motion_width(tmp_path):
+    """The whole surface (prepro -> train 1 epoch -> beam eval) runs with
+    4096-d motion features: pack/store width plumbing, encoder fallback,
+    and decode all at the msvd_c3d.json motion width (hidden kept small
+    for CPU runtime; the width under test is the motion stream's)."""
+    from controllable_xgating_tpu.cli import eval as cli_eval
+    from controllable_xgating_tpu.cli import prepro as cli_prepro
+    from controllable_xgating_tpu.cli import train as cli_train
+
+    d = str(tmp_path / "c3d_corpus")
+    cli_prepro.main([
+        "--out", d, "--fixtures", "--fixture_videos", "12",
+        "--fixture_frames", "5", "--fixture_app_dim", "64",
+        "--fixture_motion_dim", "4096", "--max_caption_len", "10",
+        "--seqs_per_video", "3",
+    ])
+    small = [
+        "--model.hidden_dim", "24", "--model.embed_dim", "16",
+        "--model.attn_dim", "16", "--model.pos_embed_dim", "16",
+        "--model.num_frames", "5", "--model.dropout", "0.0",
+        "--data.batch_size", "4", "--data.caps_per_video_train", "2",
+        "--eval.max_decode_len", "10",
+    ]
+    ck = str(tmp_path / "ck")
+    cli_train.main(["--platform", "cpu", "--data_dir", d,
+                    "--checkpoint_dir", ck, "--stage", "joint",
+                    "--epochs", "1", *small])
+    cli_eval.main(["--platform", "cpu", "--data_dir", d,
+                   "--checkpoint_dir", os.path.join(ck, "joint"),
+                   "--beam_size", "2", *small])
+    with open(os.path.join(ck, "joint", "eval_test.json")) as f:
+        res = json.load(f)
+    assert set(res["metrics"]) >= {"Bleu_4", "CIDEr"}
+    assert all(np.isfinite(v) for v in res["metrics"].values())
