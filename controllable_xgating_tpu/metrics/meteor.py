@@ -21,9 +21,14 @@ per SURVEY.md §2's "report divergence" directive:
   * the WordNet synonym (w=0.8) and paraphrase-table (w=0.6) matcher
     stages are OMITTED — their data files are jar-internal downloads.
     METEOR here is therefore a lower bound vs the jar.
-  * Porter stemmer instead of Snowball (near-identical on caption English).
+  * Porter stemmer instead of Snowball. Measured bound (tools/
+    meteor_sensitivity.py; docs/RESULTS.md round 3): disabling the stem
+    stage entirely moves the fixture-corpus score by ~1e-4, so any
+    stemmer disagreement is below that.
   * the function-word list is the common English core rather than the
-    jar's learned list.
+    jar's learned list. Measured: extending it with 60 closed-class words
+    moves the corpus score by ~3e-4; even deleting a random quarter of
+    the list moves it by at most ~0.015.
 
 Alignment: the jar resolves the match search with a beam over partial
 alignments choosing maximum total matches, then fewest chunks. `_align`
@@ -58,23 +63,27 @@ _FUNCTION_WORDS = {
 }
 
 
-def _align(hyp: list[str], ref: list[str]) -> list[tuple[int, int, int]]:
+def _align(
+    hyp: list[str], ref: list[str], use_stem: bool = True
+) -> list[tuple[int, int, int]]:
     """Best alignment as [(hyp_i, ref_j, stage)], stage 0=exact, 1=stem.
 
     Beam search over hypothesis positions, each word either unmatched or
     matched to a compatible unused reference word. States are ranked by
     (matches desc, chunks asc, stage-weight sum desc) — the published
     METEOR alignment objective. Beam 256 is exhaustive at caption lengths.
+    `use_stem=False` disables the stem stage (sensitivity analysis only —
+    bounds what ANY stemmer disagreement could change).
     """
-    stems_h = [stem(w) for w in hyp]
-    stems_r = [stem(w) for w in ref]
+    stems_h = [stem(w) for w in hyp] if use_stem else None
+    stems_r = [stem(w) for w in ref] if use_stem else None
     cands: list[list[tuple[int, int]]] = []
     for i, hw in enumerate(hyp):
         row = []
         for j, rw in enumerate(ref):
             if hw == rw:
                 row.append((j, 0))
-            elif stems_h[i] == stems_r[j]:
+            elif use_stem and stems_h[i] == stems_r[j]:
                 row.append((j, 1))
         cands.append(row)
 
@@ -131,26 +140,43 @@ def _count_chunks(pairs: Sequence[tuple[int, int, int]]) -> int:
     return chunks
 
 
-def _weight(word: str) -> float:
-    return (1.0 - DELTA) if word in _FUNCTION_WORDS else DELTA
+def _weight(word: str, function_words=None) -> float:
+    fw = _FUNCTION_WORDS if function_words is None else function_words
+    return (1.0 - DELTA) if word in fw else DELTA
 
 
-def meteor_single(hyp_str: str, refs: Sequence[str]) -> float:
+def meteor_single(
+    hyp_str: str,
+    refs: Sequence[str],
+    function_words=None,
+    use_stem: bool = True,
+) -> float:
     """METEOR of one hypothesis vs its references (best ref wins — jar
-    behavior when scoring captioning-style multi-reference sets)."""
+    behavior when scoring captioning-style multi-reference sets).
+
+    `function_words` / `use_stem` exist ONLY for the documented
+    sensitivity analysis (tools/meteor_sensitivity.py) bounding the
+    divergence from the jar's learned word list and Snowball stemmer;
+    scoring paths always use the defaults."""
     hyp = hyp_str.split()
     best = 0.0
     for ref_str in refs:
         ref = ref_str.split()
         if not hyp or not ref:
             continue
-        pairs = _align(hyp, ref)
+        pairs = _align(hyp, ref, use_stem=use_stem)
         if not pairs:
             continue
-        m_hyp = sum(STAGE_WEIGHTS[s] * _weight(hyp[i]) for i, _, s in pairs)
-        m_ref = sum(STAGE_WEIGHTS[s] * _weight(ref[j]) for _, j, s in pairs)
-        w_hyp = sum(_weight(w) for w in hyp)
-        w_ref = sum(_weight(w) for w in ref)
+        m_hyp = sum(
+            STAGE_WEIGHTS[s] * _weight(hyp[i], function_words)
+            for i, _, s in pairs
+        )
+        m_ref = sum(
+            STAGE_WEIGHTS[s] * _weight(ref[j], function_words)
+            for _, j, s in pairs
+        )
+        w_hyp = sum(_weight(w, function_words) for w in hyp)
+        w_ref = sum(_weight(w, function_words) for w in ref)
         p = m_hyp / w_hyp if w_hyp else 0.0
         r = m_ref / w_ref if w_ref else 0.0
         if p == 0.0 or r == 0.0:

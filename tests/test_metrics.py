@@ -1,4 +1,5 @@
 import math
+import os as _os
 
 import numpy as np
 import pytest
@@ -191,6 +192,35 @@ def test_meteor_word_order_penalty():
     good = meteor_single("a b c d", ["a b c d"])
     scrambled = meteor_single("d c b a", ["a b c d"])
     assert scrambled < good
+
+
+def test_meteor_fixture_corpus_golden_and_sensitivity_bounds():
+    """Pin the current function-word list's corpus score on the fixture
+    paraphrase corpus (any list/stemmer change shows up here), and hold
+    the measured divergence bounds (tools/meteor_sensitivity.py,
+    docs/RESULTS.md): word-list perturbations move the corpus score by
+    <~0.02 absolute; any stemmer disagreement is bounded by the
+    exact-only delta (<1e-3 here)."""
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "tools"))
+    from meteor_sensitivity import (
+        EXTRA_FUNCTION_WORDS,
+        corpus_pairs,
+        corpus_score,
+    )
+    from controllable_xgating_tpu.metrics.meteor import _FUNCTION_WORDS
+
+    pairs = corpus_pairs(50, 0)
+    base = corpus_score(pairs)
+    assert base == pytest.approx(0.5214883517184782, abs=1e-9)
+    extended = corpus_score(
+        pairs, function_words=_FUNCTION_WORDS | EXTRA_FUNCTION_WORDS)
+    assert abs(extended - base) < 0.02
+    exact_only = corpus_score(pairs, use_stem=False)
+    assert 0 <= base - exact_only < 1e-3
 
 
 # ---------------- harness ----------------
