@@ -149,3 +149,55 @@ def sample_decode(
 ) -> tuple[jax.Array, jax.Array]:
     """Multinomial rollout -> (tokens [B, L], logprobs [B, L]) for SCST."""
     return _rollout(params, ctx, summary, max_len, rng, temperature)
+
+
+def paired_rollout(
+    params: DecoderParams,
+    ctx: DecodeContext,
+    summary: jax.Array,
+    max_len: int,
+    rng: jax.Array,
+    temperature: float = 1.0,
+    fused: Optional[bool] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Greedy baseline + multinomial sample in ONE 2B-row rollout.
+
+    SCST needs both rollouts over the SAME videos each step; running them
+    as one doubled batch halves the per-step weight reads (the roofline
+    bottleneck of small-batch decode: embed/attn/LSTM/w_out stream from
+    HBM once per step instead of twice). Token-exact with the separate
+    `greedy_decode` / `sample_decode` calls: the greedy half is the same
+    argmax, and the sample half draws with the same per-step keys over the
+    same [B, V] logits slice. No logprobs are computed here — SCST's
+    paired path recomputes logp(sample) teacher-forced (train/scst.py),
+    which is why this rollout needs no gradient and may use the fused
+    Pallas step.
+
+    Returns (greedy_tokens [B, L], sample_tokens [B, L]).
+    """
+    b = summary.shape[0]
+    cat = lambda x: jnp.concatenate([x, x], axis=0)
+    ctx2 = jax.tree.map(cat, ctx)
+    h, c = init_decoder_state(params, cat(summary))
+    tok0 = jnp.full((2 * b,), BOS, jnp.int32)
+    alive0 = jnp.ones((2 * b,), bool)
+    step_rngs = jax.random.split(rng, max_len)
+
+    def step(carry, step_rng):
+        h, c, tok, alive = carry
+        logits, h, c, _ = decode_step(params, ctx2, tok, h, c, fused=fused)
+        logits = mask_special_tokens(logits.astype(jnp.float32))
+        greedy_nxt = jnp.argmax(logits[:b], axis=-1).astype(jnp.int32)
+        samp_nxt = jax.random.categorical(
+            step_rng, logits[b:] / temperature, axis=-1
+        ).astype(jnp.int32)
+        nxt = jnp.concatenate([greedy_nxt, samp_nxt])
+        nxt = jnp.where(alive, nxt, PAD)
+        alive = alive & (nxt != EOS)
+        return (h, c, nxt, alive), nxt
+
+    (_, _, _, _), tokens = jax.lax.scan(
+        step, (h, c, tok0, alive0), step_rngs
+    )
+    tokens = jnp.swapaxes(tokens, 0, 1)  # [2B, L]
+    return tokens[:b], tokens[b:]

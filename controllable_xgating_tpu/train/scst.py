@@ -25,8 +25,14 @@ import numpy as np
 import optax
 
 from controllable_xgating_tpu.data.corpus import CorpusInfo
-from controllable_xgating_tpu.data.vocab import PAD
-from controllable_xgating_tpu.infer.greedy import greedy_decode, sample_decode
+from controllable_xgating_tpu.data.vocab import BOS, PAD
+from controllable_xgating_tpu.infer.greedy import (
+    greedy_decode,
+    mask_special_tokens,
+    paired_rollout,
+    sample_decode,
+)
+from controllable_xgating_tpu.models.decoder import decoder_forward
 from controllable_xgating_tpu.models.captioner import CaptionerParams
 from controllable_xgating_tpu.models.decoder import make_decode_context
 from controllable_xgating_tpu.models.encoder import encode
@@ -64,7 +70,24 @@ def scst_loss(
     max_len: int,
     max_pos_len: int,
     fused_baseline: bool = False,
+    paired: bool = False,
 ) -> tuple[jax.Array, dict]:
+    """REINFORCE loss. Two token-equivalent realizations:
+
+    `paired=False` (the original): separate greedy + sample rollouts, logp
+    taken from the sampling scan (gradient flows through the rollout).
+
+    `paired=True`: ONE 2B-row no-grad rollout produces both token sets
+    (halved per-step weight reads, fused Pallas step usable for the whole
+    rollout), then logp(sample) is recomputed TEACHER-FORCED through
+    `decoder_forward` — the hoisted-vocab-projection path the XE trainer
+    uses, whose backward is the optimized XE backward instead of the
+    sequential sampling scan's. Same estimator: the sampled trajectory
+    feeds PAD after EOS exactly like the teacher-forced input
+    [BOS, tokens[:-1]], so hidden states — and hence logps at unmasked
+    positions — match the rollout's up to f32 accumulation order
+    (pinned by tests/test_scst.py parity test).
+    """
     app, motion = batch["app"], batch["motion"]
     video_indices = batch["video_indices"]
     frame_mask = batch.get("frame_mask")
@@ -73,22 +96,42 @@ def scst_loss(
     _, psi = pos_greedy_generate(params.pos, summary, max_pos_len)
     ctx = make_decode_context(params.decoder, enc_out, psi, frame_mask)
 
-    # baseline: greedy rollout, no gradient. stop_gradient is applied to
-    # the INPUTS (not just the tokens) so the whole rollout carries
-    # symbolic-zero tangents — which also lets it run through the fused
-    # Pallas step (no VJP needed) on TPU.
+    # baseline (and, under `paired`, also the sample tokens): rollouts
+    # carry no gradient. stop_gradient is applied to the INPUTS (not just
+    # the tokens) so the whole rollout has symbolic-zero tangents — which
+    # also lets it run through the fused Pallas step (no VJP needed).
     dec_f, ctx_f, summary_f = jax.lax.stop_gradient(
         (params.decoder, ctx, summary)
     )
-    greedy_tokens = greedy_decode(
-        dec_f, ctx_f, summary_f, max_len,
-        fused=True if fused_baseline else None,
-    )
-    # exploration: multinomial rollout; logps carry the gradient
-    sample_tokens, logps = sample_decode(
-        params.decoder, ctx, summary, max_len, rng
-    )
-    sample_tokens = jax.lax.stop_gradient(sample_tokens)
+    if paired:
+        greedy_tokens, sample_tokens = paired_rollout(
+            dec_f, ctx_f, summary_f, max_len, rng,
+            fused=True if fused_baseline else None,
+        )
+        # teacher-forced logp of the sampled tokens, with gradient
+        b = sample_tokens.shape[0]
+        caps_in = jnp.concatenate(
+            [jnp.full((b, 1), BOS, jnp.int32), sample_tokens], axis=1
+        )
+        logits = decoder_forward(params.decoder, ctx, summary, caps_in)
+        logits = mask_special_tokens(logits.astype(jnp.float32))
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        logps = (
+            jnp.take_along_axis(
+                logits, sample_tokens[:, :, None], axis=-1
+            )[:, :, 0]
+            - lse
+        )
+    else:
+        greedy_tokens = greedy_decode(
+            dec_f, ctx_f, summary_f, max_len,
+            fused=True if fused_baseline else None,
+        )
+        # exploration: multinomial rollout; logps carry the gradient
+        sample_tokens, logps = sample_decode(
+            params.decoder, ctx, summary, max_len, rng
+        )
+        sample_tokens = jax.lax.stop_gradient(sample_tokens)
 
     reward_s = cider_d_device(tables, sample_tokens, video_indices)
     reward_g = cider_d_device(tables, greedy_tokens, video_indices)
@@ -118,6 +161,7 @@ def make_scst_train_step(
     # weight on the CIDEr-D reward term (the reference's reward-mixing knob;
     # with a single reward this scales the REINFORCE loss)
     reward_w = cfg.train.scst_cider_weight
+    paired = cfg.train.scst_paired_rollout
     from controllable_xgating_tpu.ops.dispatch import fused_enabled
 
     fused_baseline = fused_enabled(None)
@@ -135,7 +179,7 @@ def make_scst_train_step(
         def loss_fn(params):
             loss, aux = scst_loss(
                 params, batch, tables, rng, max_len, max_pos_len,
-                fused_baseline=fused_baseline,
+                fused_baseline=fused_baseline, paired=paired,
             )
             return reward_w * loss, aux
 

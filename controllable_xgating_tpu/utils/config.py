@@ -66,6 +66,13 @@ class TrainConfig:
     epochs: int = 50
     scst_start_epoch: int = -1  # -1 = pure XE; >=0 switches to SCST
     scst_cider_weight: float = 1.0
+    # SCST rollout realization (train/scst.py): True = one 2B-row no-grad
+    # rollout for baseline+sample plus a teacher-forced logp recompute
+    # (halved decode weight reads, XE-path backward); False = the original
+    # separate rollouts with gradient through the sampling scan. Token-
+    # equivalent (parity-tested); the default follows the measured winner
+    # on TPU (docs/RESULTS.md round 3).
+    scst_paired_rollout: bool = False
     seed: int = 1234
     eval_every_epochs: int = 1
     checkpoint_dir: str = "checkpoints"

@@ -56,6 +56,7 @@ def test_caption_sustained_scales_with_length(tiny):
     )
 
 
+@pytest.mark.slow  # 6 timed harness runs (best-of-3 x 2 forms), ~25 s
 def test_caption_sustained_scan_matches_fori(tiny):
     cfg, params = tiny
     from controllable_xgating_tpu.infer.evaluator import make_greedy_caption_fn

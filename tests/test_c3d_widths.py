@@ -6,7 +6,6 @@ kernel parity at wide-motion aspect ratios, and the training/eval
 pipeline end-to-end with 4096-d motion features."""
 
 import json
-import logging
 import os
 
 import jax
@@ -38,18 +37,22 @@ def test_vmem_estimate_at_c3d_widths():
     assert xgate_vmem_bytes(1536, 1024, 512, jnp.bfloat16) <= XGATE_VMEM_LIMIT
 
 
-def test_encoder_falls_back_at_c3d_f32(caplog):
+def test_encoder_falls_back_at_c3d_f32():
     """encode(fused_kernels=True) at C3D widths under the f32 policy must
     warn once and produce EXACTLY the jnp path's output (the fallback IS
-    that path; this pins the routing)."""
+    that path; this pins the routing). The warn-once registry is the
+    assertion target (caplog misses records when another test reconfigured
+    the cxg logger tree earlier in the session)."""
+    from controllable_xgating_tpu.models import encoder as enc_mod
+
     params = init_encoder(jax.random.PRNGKey(0), C3D["app_dim"],
                           C3D["motion_dim"], C3D["hidden"])
     rng = np.random.default_rng(0)
     app = rng.normal(size=(2, 3, C3D["app_dim"])).astype(np.float32)
     motion = rng.normal(size=(2, 3, C3D["motion_dim"])).astype(np.float32)
-    with caplog.at_level(logging.WARNING, logger="cxg.encoder"):
-        out_fused, sum_fused = encode(params, app, motion, fused_kernels=True)
-    assert any("VMEM estimate" in r.message for r in caplog.records)
+    enc_mod._xgate_fallback_warned.clear()
+    out_fused, sum_fused = encode(params, app, motion, fused_kernels=True)
+    assert enc_mod._xgate_fallback_warned, "fallback did not trigger"
     out_ref, sum_ref = encode(params, app, motion, fused_kernels=False)
     np.testing.assert_array_equal(np.asarray(out_fused), np.asarray(out_ref))
     np.testing.assert_array_equal(np.asarray(sum_fused), np.asarray(sum_ref))

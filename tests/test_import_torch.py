@@ -48,6 +48,7 @@ def _small_args():
     return out
 
 
+@pytest.mark.slow  # full import -> orbax -> CLI-restore round trip (~17 s)
 def test_dump_template_and_roundtrip(corpus, tmp_path, capsys):
     # 1. template dump
     itc.main(["--data_dir", corpus, "--dump_template", *_small_args()])

@@ -30,6 +30,7 @@ def test_precision_context_restores():
     assert compute_dtype() == jnp.float32
 
 
+@pytest.mark.slow  # compiles the full forward twice (~18 s)
 def test_bf16_forward_close_to_f32():
     cfg = ModelConfig(
         app_dim=12, motion_dim=8, hidden_dim=16, embed_dim=10, attn_dim=12,

@@ -173,3 +173,73 @@ def test_scst_loss_zero_when_advantage_zero(scst_env):
         params, batch, tables, jax.random.PRNGKey(0), 12, 12
     )
     assert np.isfinite(float(loss))
+
+
+def test_paired_rollout_matches_separate_rollouts(scst_env):
+    """paired_rollout must reproduce greedy_decode + sample_decode
+    token-for-token (same argmax rows, same per-step sampling keys)."""
+    from controllable_xgating_tpu.infer.greedy import (
+        greedy_decode, paired_rollout, sample_decode,
+    )
+    from controllable_xgating_tpu.models.decoder import make_decode_context
+    from controllable_xgating_tpu.models.encoder import encode
+    from controllable_xgating_tpu.models.pos_generator import (
+        pos_greedy_generate,
+    )
+
+    info, labels, store, cfg = scst_env
+    params = init_captioner(jax.random.PRNGKey(2), cfg.model)
+    it = TrainBatchIterator(
+        store, labels["caps"], labels["pos"], labels["ncaps"],
+        np.asarray(info.splits["train"]), cfg.data.batch_size,
+        cfg.data.caps_per_video_train, seed=2,
+    )
+    batch = next(iter(it))
+    enc_out, summary = encode(
+        params.encoder, batch["app"], batch["motion"],
+        batch.get("frame_mask"),
+    )
+    _, psi = pos_greedy_generate(params.pos, summary, 12)
+    ctx = make_decode_context(params.decoder, enc_out, psi,
+                              batch.get("frame_mask"))
+    rng = jax.random.PRNGKey(7)
+    g_ref = greedy_decode(params.decoder, ctx, summary, 12)
+    s_ref, _ = sample_decode(params.decoder, ctx, summary, 12, rng)
+    g_pair, s_pair = paired_rollout(params.decoder, ctx, summary, 12, rng)
+    np.testing.assert_array_equal(np.asarray(g_pair), np.asarray(g_ref))
+    np.testing.assert_array_equal(np.asarray(s_pair), np.asarray(s_ref))
+
+
+def test_scst_paired_loss_matches_original(scst_env):
+    """The paired realization is the SAME estimator: identical rewards
+    (token-identical rollouts) and matching loss/grads up to f32
+    accumulation order (logp recomputed teacher-forced)."""
+    info, labels, store, cfg = scst_env
+    params = init_captioner(jax.random.PRNGKey(3), cfg.model)
+    tables = build_scst_reward_tables(info, labels)
+    it = TrainBatchIterator(
+        store, labels["caps"], labels["pos"], labels["ncaps"],
+        np.asarray(info.splits["train"]), cfg.data.batch_size,
+        cfg.data.caps_per_video_train, seed=3,
+    )
+    batch = next(iter(it))
+    rng = jax.random.PRNGKey(9)
+
+    def run(paired):
+        def f(p):
+            return scst_loss(p, batch, tables, rng, 12, 12, paired=paired)
+        (loss, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return loss, aux, grads
+
+    loss_a, aux_a, grads_a = run(False)
+    loss_b, aux_b, grads_b = run(True)
+    assert float(aux_a["reward_sample"]) == pytest.approx(
+        float(aux_b["reward_sample"]), abs=1e-6)
+    assert float(aux_a["reward_greedy"]) == pytest.approx(
+        float(aux_b["reward_greedy"]), abs=1e-6)
+    assert float(loss_a) == pytest.approx(float(loss_b), rel=1e-4)
+    flat_a = jax.tree.leaves(grads_a)
+    flat_b = jax.tree.leaves(grads_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)

@@ -65,6 +65,8 @@ def expected_caption(cfg, params, vocab, app, motion, pos_tags=None):
     return vocab.decode_str(np.asarray(toks)[0])
 
 
+@pytest.mark.slow  # ~35 s of CPU compiles; the fast lane keeps offline-
+# equality coverage via test_http_server_roundtrip's expected_caption check
 def test_engine_matches_offline_path(setup):
     """Concurrent mixed free/controlled requests == offline per-video decode."""
     cfg, params, vocab, pos_vocab, feats = setup
@@ -102,6 +104,7 @@ def test_bucket_padding_does_not_change_results(setup):
     assert all(r.batch_size == 4 for r in padded)
 
 
+@pytest.mark.slow  # beam-program compile per bucket (~16 s)
 def test_engine_beam_mode_scores(setup):
     cfg, params, vocab, pos_vocab, feats = setup
     with ServingEngine(params, cfg, vocab, pos_vocab, mode="beam",
