@@ -5,6 +5,7 @@ import os
 import sys
 
 import h5py
+import pytest
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
@@ -82,3 +83,54 @@ def test_pack_features_from_npy_dir(tmp_path):
         assert f["motion"].shape == (2, 5, 4)
         # v1 app had 3 frames -> padded with zeros at the end
         assert np.allclose(f["app"][1, 3:], 0)
+
+
+@pytest.mark.slow  # trains a tiny 1-epoch checkpoint first (~40 s)
+def test_controllability_eval_single_and_multi_template(tmp_path, capsys):
+    """The controllability study runs end-to-end against a trained
+    checkpoint, in both single-template (default, the grid driver's
+    contract) and multi-template (--templates) modes."""
+    from controllable_xgating_tpu.cli import prepro as cli_prepro
+    from controllable_xgating_tpu.cli import train as cli_train
+
+    import controllability_eval
+
+    d = str(tmp_path / "corpus")
+    cli_prepro.main([
+        "--out", d, "--fixtures", "--fixture_videos", "12",
+        "--fixture_frames", "4", "--fixture_app_dim", "12",
+        "--fixture_motion_dim", "8", "--max_caption_len", "10",
+        "--seqs_per_video", "3",
+    ])
+    small = [
+        "--model.hidden_dim", "16", "--model.embed_dim", "10",
+        "--model.attn_dim", "10", "--model.pos_embed_dim", "10",
+        "--model.num_frames", "4", "--model.dropout", "0.0",
+        "--data.batch_size", "4", "--data.caps_per_video_train", "2",
+        "--eval.max_decode_len", "10",
+    ]
+    ck = str(tmp_path / "ck")
+    cli_train.main(["--platform", "cpu", "--data_dir", d,
+                    "--checkpoint_dir", ck, "--stage", "joint",
+                    "--epochs", "1", *small])
+
+    capsys.readouterr()  # drain prepro/train stdout
+
+    common = ["--data_dir", d, "--checkpoint_dir", os.path.join(ck, "joint"),
+              "--platform", "cpu", *small]
+    controllability_eval.main([*common, "--template", "DT NN VBZ"])
+    single = json.loads(capsys.readouterr().out)
+    assert single["template"] == "DT NN VBZ"
+    assert 0.0 <= single["controlled_tag_agreement"] <= 1.0
+    assert single["videos"] > 0
+
+    controllability_eval.main(
+        [*common, "--templates", "DT NN VBZ;EX VBZ DT NN VBG"])
+    multi = json.loads(capsys.readouterr().out)
+    assert len(multi["per_template"]) == 2
+    assert multi["per_template"][0]["template"] == "DT NN VBZ"
+    # the single-template run and the same template inside --templates
+    # must agree exactly (the multi path is a pure loop over the study)
+    assert (multi["per_template"][0]["controlled_tag_agreement"]
+            == single["controlled_tag_agreement"])
+    assert 0.0 <= multi["mean_controlled_tag_agreement"] <= 1.0

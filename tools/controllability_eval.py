@@ -51,6 +51,10 @@ def main(argv=None) -> None:
     p.add_argument("--data_dir", required=True)
     p.add_argument("--checkpoint_dir", required=True)
     p.add_argument("--template", default="DT NN VBZ VBG IN DT NN")
+    p.add_argument("--templates", default=None,
+                   help="semicolon-separated Penn tag templates; when set, "
+                        "the study runs per template and reports each plus "
+                        "the mean (paper §4 uses several syntax patterns)")
     p.add_argument("--split", default="test")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"))
@@ -64,8 +68,6 @@ def main(argv=None) -> None:
 
     info, labels, store, cfg = load_corpus(args.data_dir, cfg)
     params = restore_params(args.checkpoint_dir, cfg)
-    template = args.template.split()
-    tmpl_row = pad_encode(info.pos_vocab, template, cfg.model.max_pos_len)
     tagger = PennTagger()
 
     @jax.jit
@@ -79,30 +81,48 @@ def main(argv=None) -> None:
         ), tags
 
     idx = np.asarray(info.splits[args.split])
-    free_scores, ctrl_scores = [], []
-    examples = []
-    for batch in eval_batches(store, idx, args.batch_size):
-        b = batch["app"].shape[0]
-        tmpl_batch = np.array([tmpl_row] * b, np.int32)
-        free_toks, _ = run(params, batch["app"], batch["motion"], None)
-        ctrl_toks, _ = run(params, batch["app"], batch["motion"], tmpl_batch)
-        free_toks = np.asarray(free_toks)
-        ctrl_toks = np.asarray(ctrl_toks)
-        for row in range(batch["num_valid"]):
-            free_cap = info.vocab.decode_str(free_toks[row])
-            ctrl_cap = info.vocab.decode_str(ctrl_toks[row])
-            free_scores.append(tag_agreement(free_cap, template, tagger))
-            ctrl_scores.append(tag_agreement(ctrl_cap, template, tagger))
-            if len(examples) < 5:
-                examples.append({"free": free_cap, "controlled": ctrl_cap})
 
-    print(json.dumps({
-        "template": args.template,
-        "videos": len(free_scores),
-        "free_run_tag_agreement": round(float(np.mean(free_scores)), 4),
-        "controlled_tag_agreement": round(float(np.mean(ctrl_scores)), 4),
-        "examples": examples,
-    }, indent=2))
+    def study(template: list[str]) -> dict:
+        tmpl_row = pad_encode(info.pos_vocab, template, cfg.model.max_pos_len)
+        free_scores, ctrl_scores = [], []
+        examples = []
+        for batch in eval_batches(store, idx, args.batch_size):
+            b = batch["app"].shape[0]
+            tmpl_batch = np.array([tmpl_row] * b, np.int32)
+            free_toks, _ = run(params, batch["app"], batch["motion"], None)
+            ctrl_toks, _ = run(params, batch["app"], batch["motion"],
+                               tmpl_batch)
+            free_toks = np.asarray(free_toks)
+            ctrl_toks = np.asarray(ctrl_toks)
+            for row in range(batch["num_valid"]):
+                free_cap = info.vocab.decode_str(free_toks[row])
+                ctrl_cap = info.vocab.decode_str(ctrl_toks[row])
+                free_scores.append(tag_agreement(free_cap, template, tagger))
+                ctrl_scores.append(tag_agreement(ctrl_cap, template, tagger))
+                if len(examples) < 5:
+                    examples.append(
+                        {"free": free_cap, "controlled": ctrl_cap})
+        return {
+            "template": " ".join(template),
+            "videos": len(free_scores),
+            "free_run_tag_agreement": round(float(np.mean(free_scores)), 4),
+            "controlled_tag_agreement": round(float(np.mean(ctrl_scores)), 4),
+            "examples": examples,
+        }
+
+    if args.templates:
+        results = [
+            study(t.split()) for t in args.templates.split(";") if t.strip()
+        ]
+        print(json.dumps({
+            "per_template": results,
+            "mean_free_run_tag_agreement": round(float(np.mean(
+                [r["free_run_tag_agreement"] for r in results])), 4),
+            "mean_controlled_tag_agreement": round(float(np.mean(
+                [r["controlled_tag_agreement"] for r in results])), 4),
+        }, indent=2))
+    else:
+        print(json.dumps(study(args.template.split()), indent=2))
 
 
 if __name__ == "__main__":
