@@ -36,6 +36,9 @@ def main(argv=None) -> None:
     p.add_argument("--video", required=True,
                    help="video id, comma-separated ids, or 'all' (batch mode)")
     p.add_argument("--ckpt_name", default="best")
+    p.add_argument("--use_ckpt_config", action="store_true",
+                   help="adopt the checkpoint's saved architecture knobs "
+                        "(dims/fusion/pos_guidance) instead of flags")
     p.add_argument("--pos_tags", default=None,
                    help="space-separated Penn tags to control syntax")
     p.add_argument("--sample", type=int, default=0, metavar="N",
@@ -46,6 +49,13 @@ def main(argv=None) -> None:
     args, cfg = parse_with_overrides(p, argv)
     from controllable_xgating_tpu.cli.common import apply_runtime_flags
 
+    if args.use_ckpt_config:
+        from controllable_xgating_tpu.cli.common import (
+            adopt_ckpt_model_config,
+        )
+
+        cfg = adopt_ckpt_model_config(args.checkpoint_dir, cfg,
+                                      args.ckpt_name)
     apply_runtime_flags(args, cfg)
 
     info, labels, store, cfg = load_corpus(args.data_dir, cfg)

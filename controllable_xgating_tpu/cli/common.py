@@ -113,6 +113,46 @@ def load_corpus(data_dir: str, cfg: Config):
     return info, labels, store, cfg
 
 
+# model fields adopted by --use_ckpt_config. Corpus-derived fields
+# (vocab sizes, caption/POS lengths) and feature widths stay with the
+# corpus/store — load_corpus sets them; dropout is a train-time knob.
+CKPT_MODEL_FIELDS = (
+    "hidden_dim", "embed_dim", "attn_dim", "pos_embed_dim", "num_frames",
+    "encoder_bidirectional", "fusion", "pos_guidance",
+    "decoder_hidden_mult", "dtype",
+)
+
+
+def adopt_ckpt_model_config(
+    ckpt_dir: str, cfg: Config, name: str = "best"
+) -> Config:
+    """Apply the checkpoint's saved architecture knobs to `cfg`.
+
+    The inverse convenience of CheckpointManager.restore's mismatch check
+    (train/state.py): instead of erroring on a template built from the
+    wrong flags, eval/caption/serve can adopt the checkpoint's own model
+    config (--use_ckpt_config) so an ablation checkpoint evaluates
+    correctly without re-passing every override."""
+    path = os.path.join(os.path.abspath(ckpt_dir), name + ".infos.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no checkpoint infos at {path!r}; cannot adopt its config"
+        )
+    import json
+
+    with open(path) as f:
+        infos = json.load(f)
+    saved = (infos.get("config") or {}).get("model")
+    if not saved:
+        raise ValueError(
+            f"{path!r} carries no model config (pre-round-2 checkpoint?); "
+            "pass the architecture flags explicitly instead"
+        )
+    return cfg.replace_flat({
+        f"model.{k}": saved[k] for k in CKPT_MODEL_FIELDS if k in saved
+    })
+
+
 def restore_or_init(
     ckpt_dir: str,
     cfg: Config,

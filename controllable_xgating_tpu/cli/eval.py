@@ -30,8 +30,18 @@ def main(argv=None) -> None:
     p.add_argument("--beam_size", type=int, default=None,
                    help="beam width; 1 or unset = greedy")
     p.add_argument("--ckpt_name", default="best")
+    p.add_argument("--use_ckpt_config", action="store_true",
+                   help="adopt the checkpoint's saved architecture knobs "
+                        "(dims/fusion/pos_guidance) instead of flags")
     p.add_argument("--out", default=None, help="output JSON path")
     args, cfg = parse_with_overrides(p, argv)
+    if args.use_ckpt_config:
+        from controllable_xgating_tpu.cli.common import (
+            adopt_ckpt_model_config,
+        )
+
+        cfg = adopt_ckpt_model_config(args.checkpoint_dir, cfg,
+                                      args.ckpt_name)
     apply_runtime_flags(args, cfg)
 
     info, labels, store, cfg = load_corpus(args.data_dir, cfg)

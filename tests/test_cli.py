@@ -130,3 +130,38 @@ def test_two_stage_recipe(corpus_dir, tmp_path):
     import os
     assert os.path.exists(ck + "/pos/best.infos.json")
     assert os.path.exists(ck + "/caption/best.infos.json")
+
+
+def test_use_ckpt_config_adopts_ablation_architecture(corpus_dir, tmp_path,
+                                                      capsys):
+    """An ablation checkpoint (fusion=concat, pos_guidance=false) must be
+    usable by eval/caption WITHOUT re-passing the overrides when
+    --use_ckpt_config is set; without either, the restore raises the
+    architecture-mismatch diagnosis (train/state.py)."""
+    ck = str(tmp_path / "abl_ck")
+    abl = ["--model.fusion", "concat", "--model.pos_guidance", "false"]
+    cli_train.main([
+        "--data_dir", corpus_dir, "--checkpoint_dir", ck,
+        "--stage", "joint", "--epochs", "1", *SMALL, *abl,
+    ])
+    # default config + no flags -> loud mismatch
+    with pytest.raises(ValueError, match="model.fusion"):
+        cli_eval.main([
+            "--data_dir", corpus_dir, "--checkpoint_dir", ck + "/joint",
+            *SMALL,
+        ])
+    capsys.readouterr()
+    # --use_ckpt_config adopts fusion/pos_guidance (and dims) from infos
+    cli_eval.main([
+        "--data_dir", corpus_dir, "--checkpoint_dir", ck + "/joint",
+        "--use_ckpt_config",
+    ])
+    out = capsys.readouterr().out
+    res = json.loads(out[out.index("{"):])
+    assert "metrics" in res
+    cli_caption.main([
+        "--data_dir", corpus_dir, "--checkpoint_dir", ck + "/joint",
+        "--video", "video0", "--use_ckpt_config",
+    ])
+    cap = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert isinstance(cap["caption"], str)
