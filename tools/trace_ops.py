@@ -102,6 +102,29 @@ def _capture(workload: str, out: str, batch: int, reps: int) -> None:
             outs = [jfn(params, app, mot) for _ in range(reps)]
             for toks, _ in outs:
                 np.asarray(toks)
+    elif workload == "xe":
+        from controllable_xgating_tpu.train.state import (
+            create_train_state, make_optimizer,
+        )
+        from controllable_xgating_tpu.train.xe import make_xe_train_step
+        from controllable_xgating_tpu.utils.config import Config
+
+        full = Config().replace_flat({
+            "model.vocab_size": cfg.model.vocab_size,
+            "model.pos_vocab_size": cfg.model.pos_vocab_size,
+            "model.dropout": 0.5, "train.remat": True,
+        })
+        state = put(create_train_state(params, full, steps_per_epoch=100))
+        tx = make_optimizer(full, steps_per_epoch=100)
+        step = make_xe_train_step(tx, full, stage="joint", donate=False)
+        batch_d = put(bench._bench_train_batch(full, batch, 5))
+        s, mtr = step(state, batch_d)
+        np.asarray(mtr["loss"])
+        with jax.profiler.trace(out):
+            s = state
+            for _ in range(reps):
+                s, mtr = step(s, batch_d)
+            np.asarray(mtr["loss"])
     elif workload == "scst":
         from controllable_xgating_tpu.ops.cider_device import (
             build_reward_tables,
@@ -148,7 +171,7 @@ def _capture(workload: str, out: str, batch: int, reps: int) -> None:
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--workload", choices=("beam", "greedy", "scst"),
+    p.add_argument("--workload", choices=("beam", "greedy", "scst", "xe"),
                    default="beam")
     p.add_argument("--out", default=None, help="trace logdir (capture mode)")
     p.add_argument("--parse", default=None,
