@@ -70,14 +70,23 @@ def knob_flags(fusion: str, psi: bool) -> list[str]:
             "--model.pos_guidance", "true" if psi else "false"]
 
 
-def run(cmd: list[str], log_path: str) -> None:
+def run(cmd: list[str], log_path: str, retries: int = 1) -> None:
     print(f"[grid] $ {' '.join(cmd)}", flush=True)
     t0 = time.time()
-    with open(log_path, "a") as log:
-        log.write(f"\n=== {' '.join(cmd)}\n")
-        log.flush()
-        subprocess.run(cmd, check=True, stdout=log, stderr=subprocess.STDOUT,
-                       cwd=REPO)
+    for attempt in range(retries + 1):
+        with open(log_path, "a") as log:
+            log.write(f"\n=== {' '.join(cmd)}\n")
+            log.flush()
+            res = subprocess.run(cmd, stdout=log, stderr=subprocess.STDOUT,
+                                 cwd=REPO)
+        if res.returncode == 0:
+            break
+        # transient relay/compile failures are real in this environment;
+        # one retry (training stages resume from their own 'last' slot)
+        if attempt == retries:
+            raise subprocess.CalledProcessError(res.returncode, cmd)
+        print(f"[grid]   rc={res.returncode}; retrying", flush=True)
+        time.sleep(30)
     print(f"[grid]   done in {time.time() - t0:.0f}s", flush=True)
 
 
