@@ -40,20 +40,43 @@ def main(argv=None) -> None:
     p.add_argument("--fixture_frames", type=int, default=26)
     p.add_argument("--fixture_app_dim", type=int, default=1536)
     p.add_argument("--fixture_motion_dim", type=int, default=1024)
+    p.add_argument("--fixture_msvd_videos", type=int, default=0,
+                   help="with --fixtures: add this many MSVD-shaped videos "
+                        "(variable clip lengths, 'msvdN' ids) to the "
+                        "MSR-VTT-shaped part — the joint corpus of BASELINE "
+                        "config 5")
     args = p.parse_args(argv)
 
     if args.fixtures:
-        from controllable_xgating_tpu.data.fixtures import make_fixture_corpus
+        if args.fixture_msvd_videos > 0:
+            from controllable_xgating_tpu.data.fixtures import (
+                make_joint_fixture_corpus,
+            )
 
-        info = make_fixture_corpus(
-            args.out,
-            num_videos=args.fixture_videos,
-            num_frames=args.fixture_frames,
-            app_dim=args.fixture_app_dim,
-            motion_dim=args.fixture_motion_dim,
-            max_caption_len=args.max_caption_len,
-            seqs_per_video=args.seqs_per_video,
-        )
+            info = make_joint_fixture_corpus(
+                args.out,
+                num_msrvtt=args.fixture_videos,
+                num_msvd=args.fixture_msvd_videos,
+                num_frames=args.fixture_frames,
+                app_dim=args.fixture_app_dim,
+                motion_dim=args.fixture_motion_dim,
+                max_caption_len=args.max_caption_len,
+                seqs_per_video=args.seqs_per_video,
+            )
+        else:
+            from controllable_xgating_tpu.data.fixtures import (
+                make_fixture_corpus,
+            )
+
+            info = make_fixture_corpus(
+                args.out,
+                num_videos=args.fixture_videos,
+                num_frames=args.fixture_frames,
+                app_dim=args.fixture_app_dim,
+                motion_dim=args.fixture_motion_dim,
+                max_caption_len=args.max_caption_len,
+                seqs_per_video=args.seqs_per_video,
+            )
     else:
         from controllable_xgating_tpu.data.corpus import preprocess_corpus
 

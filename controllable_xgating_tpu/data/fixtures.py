@@ -119,6 +119,48 @@ def _render_captions(scene: Scene, rng: np.random.Generator, n: int) -> list[str
     return caps
 
 
+def _concept_embeddings(app_dim: int, motion_dim: int, seed: int) -> dict:
+    """Deterministic concept->feature banks shared by all fixture parts.
+
+    Appearance sees subject+object+place, motion sees the verb — mirroring
+    what IRv2 (frames) vs I3D/C3D (clips) would encode. Joint corpora must
+    share one bank (one real feature extractor serves both datasets)."""
+    emb_rng = np.random.default_rng(seed + 1)
+    return {
+        "subj": emb_rng.normal(size=(len(SUBJECTS), app_dim)).astype(np.float32),
+        "place": emb_rng.normal(size=(len(PLACES), app_dim)).astype(np.float32),
+        "act_app": emb_rng.normal(size=(len(ACTIONS), app_dim)).astype(np.float32),
+        "act_mot": emb_rng.normal(size=(len(ACTIONS), motion_dim)).astype(np.float32),
+    }
+
+
+def _render_features(
+    scenes: list[Scene],
+    nframes: np.ndarray,
+    num_frames: int,
+    embs: dict,
+    rng: np.random.Generator,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-video [T, D] features from latent scenes; pad frames stay zero."""
+    app_dim = embs["subj"].shape[1]
+    motion_dim = embs["act_mot"].shape[1]
+    app = np.zeros((len(scenes), num_frames, app_dim), np.float32)
+    motion = np.zeros((len(scenes), num_frames, motion_dim), np.float32)
+    for i, sc in enumerate(scenes):
+        base_app = embs["subj"][sc.subject] + 0.7 * embs["act_app"][sc.action]
+        if PLACES[sc.place]:
+            base_app = base_app + 0.5 * embs["place"][sc.place]
+        base_mot = embs["act_mot"][sc.action]
+        n = int(nframes[i])
+        app[i, :n] = base_app[None, :] + 0.1 * rng.normal(
+            size=(n, app_dim)
+        ).astype(np.float32)
+        motion[i, :n] = base_mot[None, :] + 0.1 * rng.normal(
+            size=(n, motion_dim)
+        ).astype(np.float32)
+    return app, motion
+
+
 def make_fixture_corpus(
     out_dir: str,
     num_videos: int = 120,
@@ -151,38 +193,20 @@ def make_fixture_corpus(
         for _ in range(num_videos)
     ]
 
-    # Concept embeddings: appearance sees subject+object+place, motion sees
-    # the verb — mirroring what IRv2 (frames) vs I3D (clips) would encode.
-    emb_rng = np.random.default_rng(seed + 1)
-    subj_emb = emb_rng.normal(size=(len(SUBJECTS), app_dim)).astype(np.float32)
-    place_emb = emb_rng.normal(size=(len(PLACES), app_dim)).astype(np.float32)
-    act_app_emb = emb_rng.normal(size=(len(ACTIONS), app_dim)).astype(np.float32)
-    act_mot_emb = emb_rng.normal(size=(len(ACTIONS), motion_dim)).astype(np.float32)
+    embs = _concept_embeddings(app_dim, motion_dim, seed)
 
-    app = np.zeros((num_videos, num_frames, app_dim), np.float32)
-    motion = np.zeros((num_videos, num_frames, motion_dim), np.float32)
     if variable_frames and num_frames >= 2:
         nframes = rng.integers(
             max(num_frames // 2, 1), num_frames + 1, num_videos
         ).astype(np.int32)
     else:
         nframes = np.full((num_videos,), num_frames, np.int32)
+    # temporal jitter so frames differ but stay on-manifold; frames past
+    # the video's true length stay zero (pad)
+    app, motion = _render_features(scenes, nframes, num_frames, embs, rng)
     captions: dict[str, list[str]] = {}
     video_ids = [f"video{i}" for i in range(num_videos)]
     for i, sc in enumerate(scenes):
-        base_app = subj_emb[sc.subject] + 0.7 * act_app_emb[sc.action]
-        if PLACES[sc.place]:
-            base_app = base_app + 0.5 * place_emb[sc.place]
-        base_mot = act_mot_emb[sc.action]
-        # temporal jitter so frames differ but stay on-manifold; frames
-        # past the video's true length stay zero (pad)
-        n = int(nframes[i])
-        app[i, :n] = base_app[None, :] + 0.1 * rng.normal(
-            size=(n, app_dim)
-        ).astype(np.float32)
-        motion[i, :n] = base_mot[None, :] + 0.1 * rng.normal(
-            size=(n, motion_dim)
-        ).astype(np.float32)
         captions[video_ids[i]] = _render_captions(sc, rng, caps_per_video)
 
     write_feature_file(
@@ -196,6 +220,94 @@ def make_fixture_corpus(
         "val": video_ids[n_train : n_train + n_val],
         "test": video_ids[n_train + n_val :],
     }
+    return preprocess_corpus(
+        captions,
+        splits,
+        out_dir,
+        min_word_freq=1,
+        max_caption_len=max_caption_len,
+        seqs_per_video=seqs_per_video,
+    )
+
+
+def make_joint_fixture_corpus(
+    out_dir: str,
+    num_msrvtt: int = 600,
+    num_msvd: int = 300,
+    num_frames: int = 26,
+    app_dim: int = 1536,
+    motion_dim: int = 1024,
+    caps_msrvtt: int = 5,
+    caps_msvd: int = 8,
+    seqs_per_video: int = 8,
+    max_caption_len: int = 20,
+    seed: int = 0,
+    train_frac: float = 0.7,
+    val_frac: float = 0.15,
+) -> CorpusInfo:
+    """Joint two-domain corpus for BASELINE config 5 ("MSVD+MSR-VTT joint
+    corpus", scaled variant).
+
+    Two parts with the real datasets' distinguishing length/reference
+    statistics, one shared feature space and ONE vocab/POS-vocab/df-table:
+
+      * `videoN` ids — MSR-VTT-shaped: every clip exactly `num_frames`
+        uniform frames (fixed-length), `caps_msrvtt` references;
+      * `msvdN` ids — MSVD-shaped: variable clip lengths in
+        [num_frames//3, num_frames] with true `nframes` recorded (pad
+        frames masked downstream), more references per video
+        (`caps_msvd`, MSVD averages ~2x MSR-VTT's).
+
+    Splits are stratified per part so train/val/test each mix domains.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    num_videos = num_msrvtt + num_msvd
+    scenes = [
+        Scene(
+            subject=int(rng.integers(len(SUBJECTS))),
+            action=int(rng.integers(len(ACTIONS))),
+            place=int(rng.integers(len(PLACES))),
+        )
+        for _ in range(num_videos)
+    ]
+    embs = _concept_embeddings(app_dim, motion_dim, seed)
+
+    nframes = np.full((num_videos,), num_frames, np.int32)
+    if num_frames >= 3:
+        nframes[num_msrvtt:] = rng.integers(
+            max(num_frames // 3, 1), num_frames + 1, num_msvd
+        ).astype(np.int32)
+    app, motion = _render_features(scenes, nframes, num_frames, embs, rng)
+
+    video_ids = [f"video{i}" for i in range(num_msrvtt)] + [
+        f"msvd{i}" for i in range(num_msvd)
+    ]
+    captions: dict[str, list[str]] = {}
+    for i, sc in enumerate(scenes):
+        n_caps = caps_msrvtt if i < num_msrvtt else caps_msvd
+        captions[video_ids[i]] = _render_captions(sc, rng, n_caps)
+
+    splits = {"train": [], "val": [], "test": []}
+    for part in (video_ids[:num_msrvtt], video_ids[num_msrvtt:]):
+        n_train = int(len(part) * train_frac)
+        n_val = int(len(part) * val_frac)
+        splits["train"] += part[:n_train]
+        splits["val"] += part[n_train : n_train + n_val]
+        splits["test"] += part[n_train + n_val :]
+
+    # features.h5 rows must follow info.json's video order, which
+    # preprocess_corpus defines as train+val+test concatenation — permute
+    # the generation-order arrays to match (the stratified splits
+    # interleave the two parts, so the orders differ here, unlike the
+    # single-domain fixture's contiguous slices).
+    gen_index = {vid: i for i, vid in enumerate(video_ids)}
+    ordered = splits["train"] + splits["val"] + splits["test"]
+    perm = np.asarray([gen_index[vid] for vid in ordered])
+    write_feature_file(
+        os.path.join(out_dir, "features.h5"),
+        app[perm], motion[perm], nframes=nframes[perm],
+    )
     return preprocess_corpus(
         captions,
         splits,

@@ -17,11 +17,57 @@ from controllable_xgating_tpu.train.state import create_train_state, make_optimi
 from controllable_xgating_tpu.train.xe import make_xe_train_step
 from controllable_xgating_tpu.utils.config import Config
 
-# compile-heavy end-to-end module: excluded from the default fast run
-
-pytestmark = pytest.mark.slow
+from controllable_xgating_tpu.data.fixtures import make_joint_fixture_corpus
 
 
+def test_joint_fixture_corpus_two_domain_shape(tmp_path):
+    """Config 5's joint corpus: MSR-VTT part fixed-length, MSVD part
+    variable-length with more references, one shared vocab, stratified
+    splits."""
+    out = str(tmp_path / "joint2")
+    info = make_joint_fixture_corpus(
+        out, num_msrvtt=20, num_msvd=12, num_frames=9, app_dim=16,
+        motion_dim=10, caps_msrvtt=3, caps_msvd=6, seqs_per_video=4,
+        max_caption_len=12, seed=3,
+    )
+    assert len(info.video_ids) == 32
+    msrvtt = [v for v in info.video_ids if v.startswith("video")]
+    msvd = [v for v in info.video_ids if v.startswith("msvd")]
+    assert len(msrvtt) == 20 and len(msvd) == 12
+
+    store = FeatureStore(out + "/features.h5", num_frames=9)
+    idx = {v: i for i, v in enumerate(info.video_ids)}
+    nf = store.frame_counts
+    assert all(nf[idx[v]] == 9 for v in msrvtt)  # fixed-length part
+    assert nf[[idx[v] for v in msvd]].min() < 9  # variable-length part
+    assert nf[[idx[v] for v in msvd]].min() >= 3
+
+    # both domains present in every split (stratified)
+    for split, vids in info.splits.items():
+        names = [info.video_ids[i] for i in vids]
+        assert any(n.startswith("video") for n in names), split
+        assert any(n.startswith("msvd") for n in names), split
+
+    # MSVD part carries more references per video
+    labels = load_labels(out)
+    ncaps = labels["ncaps"]
+    assert ncaps[[idx[v] for v in msvd]].mean() > ncaps[
+        [idx[v] for v in msrvtt]
+    ].mean()
+
+    # the loader round-trips the joint corpus
+    it = TrainBatchIterator(
+        store, labels["caps"], labels["pos"], labels["ncaps"],
+        np.asarray(info.splits["train"]), 8, 2, seed=0,
+    )
+    b = next(iter(it))
+    assert b["app"].shape == (8, 9, 16)
+    assert b["frame_mask"].shape == (8, 9)
+    assert (b["frame_mask"].sum(axis=1) >= 3).all()
+
+
+# compile-heavy: excluded from the default fast run
+@pytest.mark.slow
 def test_scaled_2x_decoder_dp8(tmp_path):
     out = str(tmp_path / "joint")
     # "joint corpus": one fixture standing in for MSVD+MSR-VTT merged
