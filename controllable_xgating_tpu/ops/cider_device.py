@@ -65,6 +65,22 @@ class CiderRewardTables(struct.PyTreeNode):
     ref_idf: jax.Array = None    # [N, S, 4, L] f32
     ref_norm: jax.Array = None   # [N, S, 4] f32 tf-idf vector norms
     ref_wordlen: jax.Array = None  # [N, S] f32
+    # Search acceleration (r3 SCST perf closure; tools/gather_cost_probe*):
+    # the log2(M)-round binary search was 8.9 ms of a 41 ms SCST step at
+    # B=256 — rounds are sequentially dependent and random element gathers
+    # cost ~0.2 ms/round at [256,4,28] queries, while ROW gathers from a
+    # [M, 4] table are ~5-10x cheaper (contiguous minor dim). So:
+    #   * table_rows packs (h1, h2, bitcast(df), 0) per n-gram — each
+    #     bisection round is ONE row gather;
+    #   * table_dir[b] = (start, end) of the run of keys whose top
+    #     `dir_bits` bits of h1 equal b (the table is sorted, so the run
+    #     bounds every lookup) — the search needs only
+    #     ceil(log2(max_bucket+1)) rounds (~3) instead of log2(M) (~20).
+    table_dir: jax.Array = None  # [2^dir_bits, 2] int32 (start, end) rows
+    table_rows: jax.Array = None  # [M, 4] uint32 (h1, h2, df bits, 0)
+    dir_bits: int = struct.field(pytree_node=False, default=0)
+    # static worst-case in-bucket bisection rounds (from build)
+    bucket_steps: int = struct.field(pytree_node=False, default=0)
 
 
 # --------------------------------------------------------------- host build
@@ -96,6 +112,34 @@ def _host_hashes(tokens: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray
     return h1, h2, valid
 
 
+def _bucket_directory(
+    h1s: np.ndarray, h2s: np.ndarray, dfs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """(dir [2^k,2], rows [M,4], k, bucket_steps) for a sorted table.
+
+    k targets ~1 key/bucket (capped at 22 -> 32 MB directory at the
+    22M-ngram MSR-VTT scale, where buckets average ~5 keys)."""
+    m = len(h1s)
+    k = int(np.clip(math.ceil(math.log2(m + 1)), 4, 22))
+    buckets = (h1s >> np.uint32(32 - k)).astype(np.int64)
+    counts = np.bincount(buckets, minlength=1 << k)
+    edges = np.zeros((1 << k) + 1, np.int64)
+    np.cumsum(counts, out=edges[1:])
+    dir_rows = np.stack([edges[:-1], edges[1:]], axis=1).astype(np.int32)
+    max_bucket = int(counts.max(initial=0))
+    steps = max(math.ceil(math.log2(max_bucket + 1)), 1)
+    rows = np.stack(
+        [
+            h1s.astype(np.uint32),
+            h2s.astype(np.uint32),
+            np.ascontiguousarray(dfs.astype(np.float32)).view(np.uint32),
+            np.zeros(m, np.uint32),
+        ],
+        axis=1,
+    )
+    return dir_rows, rows, k, steps
+
+
 def build_reward_tables(
     caps: np.ndarray,    # [N, S, L] int32
     ncaps: np.ndarray,   # [N]
@@ -115,6 +159,8 @@ def build_reward_tables(
             h1s = np.zeros((1,), np.uint32)
             h2s = np.zeros((1,), np.uint32)
             dfs = np.zeros((1,), np.float32)
+        dir_rows, rows, dir_bits, steps = _bucket_directory(
+            np.asarray(h1s), np.asarray(h2s), np.asarray(dfs))
         return _precompute_ref_stats(CiderRewardTables(
             table_h1=jnp.asarray(h1s),
             table_h2=jnp.asarray(h2s),
@@ -122,6 +168,10 @@ def build_reward_tables(
             log_n=jnp.float32(math.log(max(len(df_video_indices), 1))),
             ref_caps=jnp.asarray(caps, jnp.int32),
             ref_counts=jnp.asarray(ncaps, jnp.int32),
+            table_dir=jnp.asarray(dir_rows),
+            table_rows=jnp.asarray(rows),
+            dir_bits=dir_bits,
+            bucket_steps=steps,
         ))
 
     df: dict[tuple[int, int], float] = {}
@@ -144,6 +194,7 @@ def build_reward_tables(
         h1s = np.zeros((1,), np.uint32)
         h2s = np.zeros((1,), np.uint32)
         dfs = np.zeros((1,), np.float32)
+    dir_rows, rows, dir_bits, steps = _bucket_directory(h1s, h2s, dfs)
     return _precompute_ref_stats(CiderRewardTables(
         table_h1=jnp.asarray(h1s),
         table_h2=jnp.asarray(h2s),
@@ -151,6 +202,10 @@ def build_reward_tables(
         log_n=jnp.float32(math.log(max(len(df_video_indices), 1))),
         ref_caps=jnp.asarray(caps, jnp.int32),
         ref_counts=jnp.asarray(ncaps, jnp.int32),
+        table_dir=jnp.asarray(dir_rows),
+        table_rows=jnp.asarray(rows),
+        dir_bits=dir_bits,
+        bucket_steps=steps,
     ))
 
 
@@ -218,21 +273,53 @@ def _device_hashes(tokens: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
 def _idf_lookup(
     tables: CiderRewardTables, h1: jax.Array, h2: jax.Array, valid: jax.Array
 ) -> jax.Array:
-    """idf = log_n - log(max(df, 1)) via 64-bit lexicographic binary search."""
+    """idf = log_n - log(max(df, 1)) via 64-bit lexicographic binary search.
+
+    The search cost is gather-bound and the rounds are sequentially
+    dependent, so the dominant term is rounds x (random accesses/round).
+    The fast path (tables from build_reward_tables) cuts both factors
+    (measured on v5e, tools/gather_cost_probe*.py):
+
+      * the bucket directory bounds the bisection to one h1-prefix run:
+        ceil(log2(max_bucket+1)) rounds (~3) instead of log2(M) (~20);
+      * each round is ONE row gather from the packed [M, 4]
+        (h1, h2, df-bits, 0) table — row gathers are ~5-10x cheaper than
+        two element gathers — and df rides along for free at the end.
+
+    Tables built without the packed fields (hand-constructed in tests)
+    fall back to the full-range two-array bisection; results are
+    bit-identical (pinned by tests/test_ops.py)."""
     m = tables.table_h1.shape[0]
-    steps = max(int(math.ceil(math.log2(m + 1))), 1)
-    lo = jnp.zeros(h1.shape, jnp.int32)
-    hi = jnp.full(h1.shape, m, jnp.int32)
-    for _ in range(steps):
-        mid = (lo + hi) // 2
-        t1 = tables.table_h1[jnp.clip(mid, 0, m - 1)]
-        t2 = tables.table_h2[jnp.clip(mid, 0, m - 1)]
-        less = (t1 < h1) | ((t1 == h1) & (t2 < h2))
-        lo = jnp.where(less, mid + 1, lo)
-        hi = jnp.where(less, hi, mid)
-    idx = jnp.clip(lo, 0, m - 1)
-    found = (tables.table_h1[idx] == h1) & (tables.table_h2[idx] == h2)
-    df = jnp.where(found, tables.table_df[idx], 0.0)
+    fast = tables.table_dir is not None and tables.table_rows is not None \
+        and tables.dir_bits > 0
+    if fast:
+        b = (h1 >> jnp.uint32(32 - tables.dir_bits)).astype(jnp.int32)
+        se = tables.table_dir[b]                   # [..., 2] (start, end)
+        lo, hi = se[..., 0], se[..., 1]
+        for _ in range(tables.bucket_steps):
+            mid = (lo + hi) // 2
+            row = tables.table_rows[jnp.clip(mid, 0, m - 1)]
+            t1, t2 = row[..., 0], row[..., 1]
+            less = (t1 < h1) | ((t1 == h1) & (t2 < h2))
+            lo = jnp.where(less, mid + 1, lo)
+            hi = jnp.where(less, hi, mid)
+        row = tables.table_rows[jnp.clip(lo, 0, m - 1)]
+        found = (row[..., 0] == h1) & (row[..., 1] == h2)
+        df = jax.lax.bitcast_convert_type(row[..., 2], jnp.float32)
+        df = jnp.where(found, df, 0.0)
+    else:
+        lo = jnp.zeros(h1.shape, jnp.int32)
+        hi = jnp.full(h1.shape, m, jnp.int32)
+        for _ in range(max(int(math.ceil(math.log2(m + 1))), 1)):
+            mid = (lo + hi) // 2
+            t1 = tables.table_h1[jnp.clip(mid, 0, m - 1)]
+            t2 = tables.table_h2[jnp.clip(mid, 0, m - 1)]
+            less = (t1 < h1) | ((t1 == h1) & (t2 < h2))
+            lo = jnp.where(less, mid + 1, lo)
+            hi = jnp.where(less, hi, mid)
+        idx = jnp.clip(lo, 0, m - 1)
+        found = (tables.table_h1[idx] == h1) & (tables.table_h2[idx] == h2)
+        df = jnp.where(found, tables.table_df[idx], 0.0)
     idf = tables.log_n - jnp.log(jnp.maximum(df, 1.0))
     return jnp.where(valid, idf, 0.0)
 

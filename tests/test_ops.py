@@ -108,3 +108,59 @@ def test_xgate_cross_dependence():
     o1 = xgate_fuse(w_zeroed, app, mot1)
     o2 = xgate_fuse(w_zeroed, app, mot2)
     assert not np.allclose(o1, o2)
+
+
+def test_cider_idf_bucket_directory_bit_identical():
+    """The bucket-directory idf search (the r3 SCST perf fix: ~4 gather
+    rounds instead of log2(M)) must return BIT-identical idf to the
+    full-range bisection for present keys, absent keys, and invalid
+    positions — including hashes landing in empty or boundary buckets."""
+    from controllable_xgating_tpu.ops import cider_device as cd
+
+    rng = np.random.default_rng(7)
+    caps = np.zeros((40, 5, 16), np.int32)
+    caps[:, :, 0] = 1
+    caps[:, :, 1:-1] = rng.integers(4, 300, (40, 5, 14))
+    caps[:, :, -1] = 2
+    ncaps = np.full((40,), 5, np.int64)
+    tables = cd.build_reward_tables(caps, ncaps, list(range(40)))
+    assert tables.table_dir is not None and tables.dir_bits > 0
+    m = int(np.asarray(tables.table_h1).shape[0])
+    # directory invariants: contiguous (start, end) runs covering [0, m]
+    d = np.asarray(tables.table_dir)
+    assert d.shape == (1 << tables.dir_bits, 2)
+    assert d[0, 0] == 0 and d[-1, 1] == m
+    assert (d[:, 1] >= d[:, 0]).all()
+    assert (d[1:, 0] == d[:-1, 1]).all()
+    # packed rows mirror the column tables exactly (df bit-identical)
+    rows = np.asarray(tables.table_rows)
+    np.testing.assert_array_equal(rows[:, 0], np.asarray(tables.table_h1))
+    np.testing.assert_array_equal(rows[:, 1], np.asarray(tables.table_h2))
+    np.testing.assert_array_equal(
+        rows[:, 2].view(np.float32), np.asarray(tables.table_df))
+
+    # queries: real table keys, near-miss keys (+1 on h2), random keys,
+    # and extreme hashes (first/last buckets)
+    idx = rng.integers(0, m, 128)
+    q1 = np.asarray(tables.table_h1)[idx]
+    q2 = np.asarray(tables.table_h2)[idx]
+    near2 = q2 + np.uint32(1)
+    r1 = rng.integers(0, 2**32, 128, dtype=np.uint64).astype(np.uint32)
+    r2 = rng.integers(0, 2**32, 128, dtype=np.uint64).astype(np.uint32)
+    ext1 = np.array([0, 0, 2**32 - 1, 2**32 - 1], np.uint32)
+    ext2 = np.array([0, 2**32 - 1, 0, 2**32 - 1], np.uint32)
+    h1 = np.concatenate([q1, q1, r1, ext1]).astype(np.uint32)
+    h2 = np.concatenate([q2, near2, r2, ext2]).astype(np.uint32)
+    valid = np.ones(h1.shape, bool)
+    valid[::7] = False  # invalid positions must zero out identically
+
+    legacy = tables.replace(
+        table_dir=None, table_rows=None, dir_bits=0, bucket_steps=0)
+    got = np.asarray(cd._idf_lookup(tables, jnp.asarray(h1),
+                                    jnp.asarray(h2), jnp.asarray(valid)))
+    want = np.asarray(cd._idf_lookup(legacy, jnp.asarray(h1),
+                                     jnp.asarray(h2), jnp.asarray(valid)))
+    np.testing.assert_array_equal(got, want)
+    # sanity: the present keys actually resolve to a found df (idf < log_n)
+    present = got[: len(q1)][valid[: len(q1)]]
+    assert (present < float(np.asarray(tables.log_n))).any()
