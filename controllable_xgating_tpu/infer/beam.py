@@ -61,11 +61,22 @@ def beam_search(
     fused: Optional[bool] = None,
     block_unk: bool = False,
     early_stop: bool = False,
+    grouped_topk: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (tokens [B, max_len], scores [B]) for the best beam.
 
     `early_stop=True` uses a while_loop that exits once every beam of every
-    video has finished (identical results; big win on trained models)."""
+    video has finished (identical results; big win on trained models).
+
+    `grouped_topk=True` selects candidates in two stages — per-beam-row
+    `top_k([B*K, V], K)` then a tiny `top_k([B, K*K], K)` merge — instead
+    of one `top_k([B, K*V], K)` over the flattened pool. Identical results
+    (pinned by test: ties resolve to the same lower-beam/lower-token
+    candidate in both forms). The flat form forces XLA into a layout
+    round-trip on the [B*K, V] candidate matrix (copy {0,1}→{1,0} →
+    reshape → copy back, ~128 µs/step at bench shapes — named by the
+    round-3 op-level device trace, docs/RESULTS.md); the grouped form
+    consumes the matmul-layout candidates directly."""
     b = summary.shape[0]
     k = beam_size
     v = params.vocab_size
@@ -115,18 +126,30 @@ def beam_search(
         # finished handled by an iota-compare where): 7.3k vs 8.9k
         # captions/s (-18%). XLA fuses this exact chain into its top_k
         # custom call better than the hand-folded variants.
-        logp = jax.nn.log_softmax(logits, -1).reshape(b, k, v)
+        logp = jax.nn.log_softmax(logits, -1)          # [B*K, V]
 
         # finished beams: only PAD continuation, at zero cost
-        pad_onehot = (jnp.arange(v)[None, None, :] == PAD)
+        pad_onehot = (jnp.arange(v)[None, :] == PAD)
         cont = jnp.where(pad_onehot, 0.0, NEG_INF)
-        logp = jnp.where(finished[:, :, None], cont, logp)
+        logp = jnp.where(finished.reshape(b * k)[:, None], cont, logp)
+        cand = cum.reshape(b * k)[:, None] + logp      # [B*K, V]
 
-        cand = cum[:, :, None] + logp            # [B, K, V]
-        flat = cand.reshape(b, k * v)
-        top_scores, top_idx = jax.lax.top_k(flat, k)   # [B, K]
-        beam_idx = top_idx // v
-        new_tok = (top_idx % v).astype(jnp.int32)
+        if grouped_topk:
+            # stage 1: row-local top-K on the candidate matrix as the
+            # matmul produced it — no [B, K*V] reshape, no layout copies
+            s1_scores, s1_idx = jax.lax.top_k(cand, k)        # [B*K, K]
+            # stage 2: merge the K*K survivors per video (tiny)
+            top_scores, m_idx = jax.lax.top_k(
+                s1_scores.reshape(b, k * k), k)               # [B, K]
+            beam_idx = m_idx // k
+            new_tok = jnp.take_along_axis(
+                s1_idx.reshape(b, k * k), m_idx, axis=1
+            ).astype(jnp.int32)
+        else:
+            flat = cand.reshape(b, k * v)
+            top_scores, top_idx = jax.lax.top_k(flat, k)      # [B, K]
+            beam_idx = top_idx // v
+            new_tok = (top_idx % v).astype(jnp.int32)
 
         def gather_bk(x):
             return jnp.take_along_axis(x, beam_idx, axis=1)
@@ -207,6 +230,7 @@ def make_beam_caption_fn(
     fused: Optional[bool] = None,
     block_unk: bool = False,
     early_stop: bool = True,
+    grouped_topk: bool = True,
 ):
     """Jitted (params, app, motion) -> (tokens [B, L], pos_tags [B, Lp])."""
 
@@ -228,6 +252,7 @@ def make_beam_caption_fn(
         tokens, _ = beam_search(
             params.decoder, ctx, summary, beam_size, max_len, length_penalty,
             fused=fused, block_unk=block_unk, early_stop=early_stop,
+            grouped_topk=grouped_topk,
         )
         return tokens, tags
 

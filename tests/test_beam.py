@@ -123,3 +123,45 @@ def test_length_penalty_changes_selection_shape(setup):
     t0, s0 = beam_search(params.decoder, ctx, summary, 4, 8, length_penalty=0.0)
     t1, s1 = beam_search(params.decoder, ctx, summary, 4, 8, length_penalty=1.0)
     assert t0.shape == t1.shape
+
+
+def test_grouped_topk_matches_flat(setup):
+    """The two-stage (per-beam-row + merge) candidate selection must be
+    output-identical to the flat [B, K*V] top_k pool, including score and
+    tie resolution — both scan and early-stop forms, several widths."""
+    cfg, params, app, mot, ctx, summary = setup
+    for k in (1, 3, 5):
+        for early in (False, True):
+            tg, sg = beam_search(
+                params.decoder, ctx, summary, k, 8,
+                early_stop=early, grouped_topk=True)
+            tf, sf = beam_search(
+                params.decoder, ctx, summary, k, 8,
+                early_stop=early, grouped_topk=False)
+            np.testing.assert_array_equal(np.asarray(tg), np.asarray(tf))
+            np.testing.assert_allclose(
+                np.asarray(sg), np.asarray(sf), rtol=0, atol=0)
+
+
+def test_grouped_topk_tie_resolution():
+    """Construct explicit score ties across beams and within a beam and
+    check both selection forms agree element-for-element (the stability
+    argument in beam_search's docstring, exercised)."""
+    b, k, v = 2, 3, 7
+    # candidate matrix with deliberate ties: same score in multiple beams
+    # and multiple vocab slots
+    cand = jnp.zeros((b, k, v), jnp.float32)
+    cand = cand.at[0, 0, 2].set(1.0).at[0, 1, 2].set(1.0)  # cross-beam tie
+    cand = cand.at[1, 2, 3].set(2.0).at[1, 2, 5].set(2.0)  # in-beam tie
+
+    flat_s, flat_i = jax.lax.top_k(cand.reshape(b, k * v), k)
+    f_beam, f_tok = flat_i // v, flat_i % v
+
+    s1s, s1i = jax.lax.top_k(cand.reshape(b * k, v), k)
+    g_s, m_idx = jax.lax.top_k(s1s.reshape(b, k * k), k)
+    g_beam = m_idx // k
+    g_tok = jnp.take_along_axis(s1i.reshape(b, k * k), m_idx, axis=1)
+
+    np.testing.assert_array_equal(np.asarray(flat_s), np.asarray(g_s))
+    np.testing.assert_array_equal(np.asarray(f_beam), np.asarray(g_beam))
+    np.testing.assert_array_equal(np.asarray(f_tok), np.asarray(g_tok))
