@@ -51,6 +51,66 @@ def _tile_beam(x: jax.Array, k: int) -> jax.Array:
     return jnp.repeat(x, k, axis=0)
 
 
+_BLOCK = 128  # one TPU lane tile
+
+
+def row_topk_block(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact per-row `lax.top_k(x, k)` via a block-max prescreen.
+
+    Pass 1 reduces non-overlapping 128-wide windows to per-block maxima
+    (one streaming read — reduce_window pads the tail virtually). Only a
+    row's k best blocks can contain a top-k element: k distinct blocks
+    witness k distinct elements, so the k-th largest block max
+    lower-bounds the true k-th value, and any block whose max falls below
+    it is out. Pass 2 gathers those k blocks as contiguous
+    `vmap(dynamic_slice)` slices and runs the exact top-k over the k*128
+    survivors.
+
+    Status: measured REJECTED as a beam default on v5e (-91% end to end).
+    The prescreen reduce is near-roofline (57 us at [1280,10000]) but the
+    pass-2 gather costs ~10 ms however formulated (dynamic_slice vmap and
+    take_along_axis alike), and XLA top-k extraction is row-overhead-
+    bound, not bandwidth-bound ([1280,640] -> 182 us vs [1280,10000] ->
+    324 us), so there is nothing for the prescreen to save. Numbers in
+    docs/RESULTS.md (round 3). Kept because it is exact (incl. tie
+    order), pinned by tests, and the tradeoff may differ off-TPU.
+
+    Tie resolution is identical to `lax.top_k` (lower index wins): kept
+    blocks are sorted ascending so the gathered pool is in original index
+    order, and an excluded tied block's elements are always preceded by
+    at least as many same-valued elements in kept lower-index blocks.
+    Tail-window clamping is masked to -inf (never duplicates an element
+    into the pool).
+    """
+    r, v = x.shape
+    nb = -(-v // _BLOCK)
+    if nb < k or v <= 4 * k * _BLOCK:
+        return jax.lax.top_k(x, k)  # small rows: prescreen can't pay
+    pad = nb * _BLOCK - v
+    bm = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, _BLOCK), window_strides=(1, _BLOCK),
+        padding=((0, 0), (0, pad)),
+    )                                                    # [r, nb]
+    _, blk = jax.lax.top_k(bm, k)                        # [r, k]
+    blk = jnp.sort(blk, axis=1)                          # original order
+    starts = blk * _BLOCK                                # [r, k]
+    vals = jax.vmap(                                     # [r, k, _BLOCK]
+        lambda row, ss: jax.vmap(
+            lambda s: jax.lax.dynamic_slice(row, (s,), (_BLOCK,))
+        )(ss)
+    )(x, starts)
+    # dynamic_slice clamps the tail window's start; mask the columns that
+    # slid in from the previous block (and any virtual-pad positions)
+    clamped = jnp.minimum(starts, v - _BLOCK)            # [r, k]
+    cols = clamped[:, :, None] + jnp.arange(_BLOCK)[None, None, :]
+    valid = cols >= starts[:, :, None]
+    vals = jnp.where(valid, vals, -jnp.inf)
+    scores, pos = jax.lax.top_k(vals.reshape(r, k * _BLOCK), k)
+    idx = jnp.take_along_axis(cols.reshape(r, k * _BLOCK), pos, axis=1)
+    return scores, idx
+
+
 def beam_search(
     params: DecoderParams,
     ctx: DecodeContext,
@@ -61,22 +121,32 @@ def beam_search(
     fused: Optional[bool] = None,
     block_unk: bool = False,
     early_stop: bool = False,
-    grouped_topk: bool = True,
+    topk_mode: str = "grouped",
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (tokens [B, max_len], scores [B]) for the best beam.
 
     `early_stop=True` uses a while_loop that exits once every beam of every
     video has finished (identical results; big win on trained models).
 
-    `grouped_topk=True` selects candidates in two stages — per-beam-row
-    `top_k([B*K, V], K)` then a tiny `top_k([B, K*K], K)` merge — instead
-    of one `top_k([B, K*V], K)` over the flattened pool. Identical results
-    (pinned by test: ties resolve to the same lower-beam/lower-token
-    candidate in both forms). The flat form forces XLA into a layout
-    round-trip on the [B*K, V] candidate matrix (copy {0,1}→{1,0} →
-    reshape → copy back, ~128 µs/step at bench shapes — named by the
-    round-3 op-level device trace, docs/RESULTS.md); the grouped form
-    consumes the matmul-layout candidates directly."""
+    `topk_mode` picks the candidate-selection lowering; all three are
+    output-identical including tie resolution (pinned by tests):
+
+    * `"flat"` — one `top_k([B, K*V], K)` over the flattened pool (the
+      reference-shaped form). Forces XLA into a layout round-trip on the
+      [B*K, V] candidate matrix (copy {0,1}→{1,0} → reshape → copy back,
+      ~128 µs/step at bench shapes — named by the round-3 op-level device
+      trace, docs/RESULTS.md).
+    * `"grouped"` — per-beam-row `top_k([B*K, V], K)` then a tiny
+      `top_k([B, K*K], K)` merge; consumes the candidates in the matmul's
+      own layout (+13% on chip vs flat).
+    * `"block"` — grouped, with the per-row stage additionally
+      prescreened by 128-wide block maxima (`row_topk_block`). Measured
+      REJECTED on v5e at bench shapes (-91%): XLA's gathers cost ~10 ms
+      at [1280, 5x128] regardless of formulation, and top-k extraction
+      is row-overhead-bound, so shrinking the scanned bytes doesn't pay
+      (docs/RESULTS.md round 3). Kept exact + parity-tested as the
+      recorded experiment.
+    """
     b = summary.shape[0]
     k = beam_size
     v = params.vocab_size
@@ -134,10 +204,13 @@ def beam_search(
         logp = jnp.where(finished.reshape(b * k)[:, None], cont, logp)
         cand = cum.reshape(b * k)[:, None] + logp      # [B*K, V]
 
-        if grouped_topk:
+        if topk_mode in ("grouped", "block"):
             # stage 1: row-local top-K on the candidate matrix as the
             # matmul produced it — no [B, K*V] reshape, no layout copies
-            s1_scores, s1_idx = jax.lax.top_k(cand, k)        # [B*K, K]
+            if topk_mode == "block":
+                s1_scores, s1_idx = row_topk_block(cand, k)   # [B*K, K]
+            else:
+                s1_scores, s1_idx = jax.lax.top_k(cand, k)    # [B*K, K]
             # stage 2: merge the K*K survivors per video (tiny)
             top_scores, m_idx = jax.lax.top_k(
                 s1_scores.reshape(b, k * k), k)               # [B, K]
@@ -145,11 +218,13 @@ def beam_search(
             new_tok = jnp.take_along_axis(
                 s1_idx.reshape(b, k * k), m_idx, axis=1
             ).astype(jnp.int32)
-        else:
+        elif topk_mode == "flat":
             flat = cand.reshape(b, k * v)
             top_scores, top_idx = jax.lax.top_k(flat, k)      # [B, K]
             beam_idx = top_idx // v
             new_tok = (top_idx % v).astype(jnp.int32)
+        else:
+            raise ValueError(f"unknown topk_mode {topk_mode!r}")
 
         def gather_bk(x):
             return jnp.take_along_axis(x, beam_idx, axis=1)
@@ -230,7 +305,7 @@ def make_beam_caption_fn(
     fused: Optional[bool] = None,
     block_unk: bool = False,
     early_stop: bool = True,
-    grouped_topk: bool = True,
+    topk_mode: str = "grouped",
 ):
     """Jitted (params, app, motion) -> (tokens [B, L], pos_tags [B, Lp])."""
 
@@ -252,7 +327,7 @@ def make_beam_caption_fn(
         tokens, _ = beam_search(
             params.decoder, ctx, summary, beam_size, max_len, length_penalty,
             fused=fused, block_unk=block_unk, early_stop=early_stop,
-            grouped_topk=grouped_topk,
+            topk_mode=topk_mode,
         )
         return tokens, tags
 

@@ -125,22 +125,23 @@ def test_length_penalty_changes_selection_shape(setup):
     assert t0.shape == t1.shape
 
 
-def test_grouped_topk_matches_flat(setup):
-    """The two-stage (per-beam-row + merge) candidate selection must be
-    output-identical to the flat [B, K*V] top_k pool, including score and
-    tie resolution — both scan and early-stop forms, several widths."""
+def test_topk_modes_match_flat(setup):
+    """Every candidate-selection lowering must be output-identical to the
+    flat [B, K*V] top_k pool, including score and tie resolution — both
+    scan and early-stop forms, several widths."""
     cfg, params, app, mot, ctx, summary = setup
     for k in (1, 3, 5):
         for early in (False, True):
-            tg, sg = beam_search(
-                params.decoder, ctx, summary, k, 8,
-                early_stop=early, grouped_topk=True)
             tf, sf = beam_search(
                 params.decoder, ctx, summary, k, 8,
-                early_stop=early, grouped_topk=False)
-            np.testing.assert_array_equal(np.asarray(tg), np.asarray(tf))
-            np.testing.assert_allclose(
-                np.asarray(sg), np.asarray(sf), rtol=0, atol=0)
+                early_stop=early, topk_mode="flat")
+            for mode in ("grouped", "block"):
+                tg, sg = beam_search(
+                    params.decoder, ctx, summary, k, 8,
+                    early_stop=early, topk_mode=mode)
+                np.testing.assert_array_equal(np.asarray(tg), np.asarray(tf))
+                np.testing.assert_allclose(
+                    np.asarray(sg), np.asarray(sf), rtol=0, atol=0)
 
 
 def test_grouped_topk_tie_resolution():
@@ -165,3 +166,69 @@ def test_grouped_topk_tie_resolution():
     np.testing.assert_array_equal(np.asarray(flat_s), np.asarray(g_s))
     np.testing.assert_array_equal(np.asarray(f_beam), np.asarray(g_beam))
     np.testing.assert_array_equal(np.asarray(f_tok), np.asarray(g_tok))
+
+
+def test_row_topk_block_exact():
+    """row_topk_block must equal lax.top_k exactly — values AND indices
+    (tie resolution) — on adversarial inputs: cross-block ties, in-block
+    ties, ties spanning the clamped tail window, duplicated maxima, and a
+    vocab width that is not a multiple of the block."""
+    import jax.numpy as jnp
+
+    from controllable_xgating_tpu.infer.beam import row_topk_block
+
+    rng = np.random.default_rng(3)
+    r, v, k = 64, 2600 + 72, 5  # 20.9 blocks -> tail window exercised
+    x = rng.normal(size=(r, v)).astype(np.float32)
+    # adversarial structure:
+    x[0, :] = 0.0                          # a fully tied row
+    x[1, 5] = x[1, 200] = x[1, 1500] = 7.0  # cross-block tie
+    x[2, 130:135] = 9.0                    # in-block tie run
+    x[3, v - 3] = x[3, 10] = 11.0          # tie with the tail window
+    x[4, ::131] = 3.0                      # many tied blocks
+    x[5, v - 1] = 100.0                    # max in the very last column
+    xs = jnp.asarray(x)
+    want_s, want_i = jax.lax.top_k(xs, k)
+    got_s, got_i = row_topk_block(xs, k)
+    np.testing.assert_array_equal(np.asarray(want_s), np.asarray(got_s))
+    np.testing.assert_array_equal(np.asarray(want_i), np.asarray(got_i))
+
+    # randomized quantized sweep: heavy accidental ties everywhere
+    for seed in range(4):
+        q = np.round(
+            np.random.default_rng(seed).normal(size=(32, 1400)) * 3
+        ).astype(np.float32)
+        qs = jnp.asarray(q)
+        ws, wi = jax.lax.top_k(qs, k)
+        gs, gi = row_topk_block(qs, k)
+        np.testing.assert_array_equal(np.asarray(ws), np.asarray(gs))
+        np.testing.assert_array_equal(np.asarray(wi), np.asarray(gi))
+
+    # small-vocab fallback path
+    small = jnp.asarray(rng.normal(size=(8, 40)).astype(np.float32))
+    ws, wi = jax.lax.top_k(small, 3)
+    gs, gi = row_topk_block(small, 3)
+    np.testing.assert_array_equal(np.asarray(ws), np.asarray(gs))
+    np.testing.assert_array_equal(np.asarray(wi), np.asarray(gi))
+
+
+def test_block_topk_through_full_beam_large_vocab():
+    """vocab 3000 clears row_topk_block's small-row fallback (4*k*128 =
+    2560 at k=5), so this drives the prescreen path through the whole
+    beam scan and pins it against the flat pool."""
+    cfg = ModelConfig(
+        app_dim=10, motion_dim=8, hidden_dim=12, embed_dim=8, attn_dim=10,
+        pos_embed_dim=10, vocab_size=3000, pos_vocab_size=12, num_frames=4,
+        max_caption_len=8, max_pos_len=8,
+    )
+    key = jax.random.PRNGKey(1)
+    params = init_captioner(key, cfg)
+    app = jax.random.normal(key, (2, 4, 10))
+    mot = jax.random.normal(key, (2, 4, 8))
+    ctx, summary, _ = encode_for_inference(params, app, mot, max_pos_len=6)
+    tf, sf = beam_search(params.decoder, ctx, summary, 5, 8,
+                         topk_mode="flat")
+    tb, sb = beam_search(params.decoder, ctx, summary, 5, 8,
+                         topk_mode="block")
+    np.testing.assert_array_equal(np.asarray(tf), np.asarray(tb))
+    np.testing.assert_allclose(np.asarray(sf), np.asarray(sb), rtol=0, atol=0)

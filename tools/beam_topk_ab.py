@@ -30,17 +30,16 @@ def main() -> None:
     dev = jax.devices()[0]
     batch = bench.random_batch(cfg, bench.BATCH)
     out = {}
-    for grouped in (True, False):
+    for mode in ("block", "grouped", "flat"):
         fn = make_beam_caption_fn(
             bench.BEAM, cfg.model.max_pos_len, bench.MAX_LEN,
-            early_stop=False, grouped_topk=grouped)
+            early_stop=False, topk_mode=mode)
         cps = bench.time_caption_sustained(fn, params, batch, dev)
-        out["grouped" if grouped else "flat"] = cps
-        print(f"{'grouped' if grouped else 'flat':>8}: "
-              f"{cps:.0f} captions/s  "
+        out[mode] = cps
+        print(f"{mode:>8}: {cps:.0f} captions/s  "
               f"({bench.BATCH / cps * 1e3:.2f} ms/batch)", flush=True)
-    delta = out["grouped"] / out["flat"] - 1.0
-    print(f"grouped vs flat: {delta:+.1%}")
+    for mode in ("block", "grouped"):
+        print(f"{mode} vs flat: {out[mode] / out['flat'] - 1.0:+.1%}")
 
 
 if __name__ == "__main__":
