@@ -122,6 +122,7 @@ def beam_search(
     block_unk: bool = False,
     early_stop: bool = False,
     topk_mode: str = "grouped",
+    vocab_q=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (tokens [B, max_len], scores [B]) for the best beam.
 
@@ -186,7 +187,8 @@ def beam_search(
         # reference dims, so beam uses the XLA tail even when `fused`
         # (which still routes the attention+cell update through Pallas).
         logits, h_new, c_new, _ = decode_step(
-            params, ctx_k, tok.reshape(b * k), h, c, fused=fused
+            params, ctx_k, tok.reshape(b * k), h, c, fused=fused,
+            vocab_q=vocab_q,
         )
         logits = mask_special_tokens(logits.astype(jnp.float32), block_unk)
         # NOTE: the log_softmax form below is the MEASURED-fastest tail.

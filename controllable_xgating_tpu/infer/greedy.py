@@ -52,6 +52,7 @@ def _rollout(
     fused: Optional[bool] = None,
     block_unk: bool = False,
     early_stop: bool = False,
+    vocab_q=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Shared rollout. Returns (tokens [B, L], logprobs [B, L]).
 
@@ -70,7 +71,9 @@ def _rollout(
     )
 
     def one_step(h, c, tok, alive, step_rng):
-        logits, h, c, _ = decode_step(params, ctx, tok, h, c, fused=fused)
+        logits, h, c, _ = decode_step(
+            params, ctx, tok, h, c, fused=fused, vocab_q=vocab_q
+        )
         logits = mask_special_tokens(logits.astype(jnp.float32), block_unk)
         if rng is None:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -127,14 +130,18 @@ def greedy_decode(
     fused: Optional[bool] = None,
     block_unk: bool = False,
     early_stop: bool = False,
+    vocab_q=None,
 ) -> jax.Array:
     """Deterministic argmax rollout -> tokens [B, max_len].
 
     `fused=None` keeps the jnp path (safe under grad for SCST baselines);
-    inference wrappers pass the dispatcher's choice explicitly.
+    inference wrappers pass the dispatcher's choice explicitly. `vocab_q`
+    engages the weight-only int8 vocab projection — an experiments/ hook,
+    measured slower on v5e (see experiments/int8_vocab_matmul.py).
     """
     tokens, _ = _rollout(
-        params, ctx, summary, max_len, None, 1.0, fused, block_unk, early_stop
+        params, ctx, summary, max_len, None, 1.0, fused, block_unk,
+        early_stop, vocab_q
     )
     return tokens
 

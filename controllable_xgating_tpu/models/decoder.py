@@ -160,13 +160,27 @@ def decode_step(
     emb_drop: Optional[jax.Array] = None,   # [B, E] dropout keep-mask (scaled)
     out_drop: Optional[jax.Array] = None,   # [B, Hd]
     fused: Optional[bool] = None,           # None=jnp; True=Pallas kernel
+    vocab_q=None,         # experiments/int8_vocab_matmul.QuantVocabProj
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One decode step. Returns (logits [B, V], h', c', alpha [B, T]).
 
     `fused=True` routes attention+gate+cell through the Pallas kernel
-    (inference only — no VJP); the logit projection always runs in XLA.
+    (inference only — no VJP); the logit projection runs in XLA, or — when
+    `vocab_q` (a `QuantVocabProj`) is given — through the weight-only int8
+    path. That path is an experiments/ hook, not a product mode: on v5e it
+    measured SLOWER at every tested shape because XLA keeps scan-invariant
+    weights VMEM-resident, so there is no per-step HBM weight read for
+    int8 to halve (experiments/int8_vocab_matmul.py, docs/RESULTS.md).
     """
     f32 = jnp.float32
+
+    def project(h_out):
+        if vocab_q is not None:
+            from experiments.int8_vocab_matmul import vocab_proj_int8
+
+            return vocab_proj_int8(h_out, vocab_q)
+        return mm(h_out, params.w_out) + params.b_out.astype(f32)
+
     e = params.embed[token]
     if emb_drop is not None:
         e = e * emb_drop
@@ -191,8 +205,7 @@ def decode_step(
                 ctx.frame_mask,
             )
             h_out = h_new * out_drop if out_drop is not None else h_new
-            logits = mm(h_out, params.w_out) + params.b_out.astype(f32)
-            return logits, h_new, c_new, alpha
+            return project(h_out), h_new, c_new, alpha
         # fall through to the jnp path — loudly, once per trace-time estimate
         if est not in _vmem_fallback_warned:
             _vmem_fallback_warned.add(est)
@@ -214,8 +227,7 @@ def decode_step(
     x = jnp.concatenate([e, guide.astype(e.dtype)], axis=-1)
     h_new, c_new = lstm_cell(params.lstm, x, h, c)
     h_out = h_new * out_drop if out_drop is not None else h_new
-    logits = mm(h_out, params.w_out) + params.b_out.astype(f32)
-    return logits, h_new, c_new, alpha
+    return project(h_out), h_new, c_new, alpha
 
 
 def decoder_forward(
