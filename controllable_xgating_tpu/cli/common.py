@@ -48,6 +48,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"),
                    help="force the JAX platform (config 1 runs captioning "
                         "on CPU; default = environment's device)")
+    p.add_argument("--compile_cache", default="~/.cache/cxg_jax",
+                   metavar="DIR",
+                   help="persistent XLA compile cache directory (keyed by "
+                        "HLO + config, so it is always safe to reuse); "
+                        "cuts serve/eval cold starts to ~0 after the first "
+                        "run. Pass an empty string to disable. "
+                        "$JAX_COMPILATION_CACHE_DIR overrides.")
     return p
 
 
@@ -64,6 +71,18 @@ def apply_runtime_flags(args, cfg: "Config" = None) -> None:
         if platform == "tpu" and os.environ.get("PALLAS_AXON_POOL_IPS"):
             platform = "axon"  # this image exposes the TPU via the axon relay
         jax.config.update("jax_platforms", platform)
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        getattr(args, "compile_cache", None) or "",
+    )
+    if cache:
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir", os.path.expanduser(cache))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception as e:  # never block a run over a cache problem
+            print(f"compile cache unavailable: {e}", file=sys.stderr)
     # multi-host: join the distributed runtime (no-op unless CXG_COORDINATOR
     # is set) BEFORE anything touches the backend/device list
     from controllable_xgating_tpu.parallel.distributed import (

@@ -165,3 +165,27 @@ def test_use_ckpt_config_adopts_ablation_architecture(corpus_dir, tmp_path,
     ])
     cap = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert isinstance(cap["caption"], str)
+
+
+def test_compile_cache_flag_plumbs_into_jax_config(tmp_path):
+    """--compile_cache DIR must land in jax's persistent-cache config (and
+    an empty string must disable the update without crashing)."""
+    import jax
+
+    from controllable_xgating_tpu.cli.common import (
+        apply_runtime_flags, base_parser,
+    )
+
+    p = base_parser("t")
+    d = str(tmp_path / "cache")
+    args = p.parse_args(["--data_dir", str(tmp_path), "--compile_cache", d])
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        apply_runtime_flags(args)
+        assert jax.config.jax_compilation_cache_dir == d
+        args2 = p.parse_args(
+            ["--data_dir", str(tmp_path), "--compile_cache", ""])
+        apply_runtime_flags(args2)  # no-op, still the previous dir
+        assert jax.config.jax_compilation_cache_dir == d
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
