@@ -232,3 +232,20 @@ def test_block_topk_through_full_beam_large_vocab():
                          topk_mode="block")
     np.testing.assert_array_equal(np.asarray(tf), np.asarray(tb))
     np.testing.assert_allclose(np.asarray(sf), np.asarray(sb), rtol=0, atol=0)
+
+
+def test_row_topk_block_exact_divisible_width():
+    """v % 128 == 0 AND above the small-row fallback bound (4*k*128):
+    no tail window, the clamp/mask path must be inert on the real
+    prescreen path."""
+    from controllable_xgating_tpu.infer.beam import row_topk_block
+
+    k, v = 4, 2560  # 4*k*128 = 2048 < v, and v/128 = 20 exactly
+    q = np.round(
+        np.random.default_rng(7).normal(size=(16, v)) * 2
+    ).astype(np.float32)
+    qs = jnp.asarray(q)
+    ws, wi = jax.lax.top_k(qs, k)
+    gs, gi = row_topk_block(qs, k)
+    np.testing.assert_array_equal(np.asarray(ws), np.asarray(gs))
+    np.testing.assert_array_equal(np.asarray(wi), np.asarray(gi))
