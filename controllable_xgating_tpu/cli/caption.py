@@ -20,9 +20,11 @@ import jax
 import numpy as np
 
 from controllable_xgating_tpu.cli.common import (
+    add_ckpt_args,
     base_parser,
     die,
     load_corpus,
+    maybe_adopt_ckpt_config,
     parse_with_overrides,
     restore_params,
 )
@@ -35,10 +37,7 @@ def main(argv=None) -> None:
     p = base_parser(__doc__)
     p.add_argument("--video", required=True,
                    help="video id, comma-separated ids, or 'all' (batch mode)")
-    p.add_argument("--ckpt_name", default="best")
-    p.add_argument("--use_ckpt_config", action="store_true",
-                   help="adopt the checkpoint's saved architecture knobs "
-                        "(dims/fusion/pos_guidance) instead of flags")
+    add_ckpt_args(p)
     p.add_argument("--pos_tags", default=None,
                    help="space-separated Penn tags to control syntax")
     p.add_argument("--sample", type=int, default=0, metavar="N",
@@ -49,13 +48,7 @@ def main(argv=None) -> None:
     args, cfg = parse_with_overrides(p, argv)
     from controllable_xgating_tpu.cli.common import apply_runtime_flags
 
-    if args.use_ckpt_config:
-        from controllable_xgating_tpu.cli.common import (
-            adopt_ckpt_model_config,
-        )
-
-        cfg = adopt_ckpt_model_config(args.checkpoint_dir, cfg,
-                                      args.ckpt_name)
+    cfg = maybe_adopt_ckpt_config(args, cfg)
     apply_runtime_flags(args, cfg)
 
     info, labels, store, cfg = load_corpus(args.data_dir, cfg)

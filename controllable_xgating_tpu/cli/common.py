@@ -142,6 +142,22 @@ CKPT_MODEL_FIELDS = (
 )
 
 
+def add_ckpt_args(p: "argparse.ArgumentParser") -> None:
+    """--ckpt_name / --use_ckpt_config, shared by eval/caption/serve."""
+    p.add_argument("--ckpt_name", default="best")
+    p.add_argument("--use_ckpt_config", action="store_true",
+                   help="adopt the checkpoint's saved architecture knobs "
+                        "(dims/fusion/pos_guidance) instead of flags")
+
+
+def maybe_adopt_ckpt_config(args, cfg: "Config") -> "Config":
+    """Apply --use_ckpt_config if set (one definition for all CLIs)."""
+    if getattr(args, "use_ckpt_config", False):
+        cfg = adopt_ckpt_model_config(args.checkpoint_dir, cfg,
+                                      args.ckpt_name)
+    return cfg
+
+
 def adopt_ckpt_model_config(
     ckpt_dir: str, cfg: Config, name: str = "best"
 ) -> Config:

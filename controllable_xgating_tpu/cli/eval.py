@@ -12,8 +12,10 @@ import json
 import os
 
 from controllable_xgating_tpu.cli.common import (
+    add_ckpt_args,
     apply_runtime_flags,
     base_parser,
+    maybe_adopt_ckpt_config,
     load_corpus,
     parse_with_overrides,
     restore_params,
@@ -29,19 +31,10 @@ def main(argv=None) -> None:
     p.add_argument("--split", default="test", choices=("train", "val", "test"))
     p.add_argument("--beam_size", type=int, default=None,
                    help="beam width; 1 or unset = greedy")
-    p.add_argument("--ckpt_name", default="best")
-    p.add_argument("--use_ckpt_config", action="store_true",
-                   help="adopt the checkpoint's saved architecture knobs "
-                        "(dims/fusion/pos_guidance) instead of flags")
+    add_ckpt_args(p)
     p.add_argument("--out", default=None, help="output JSON path")
     args, cfg = parse_with_overrides(p, argv)
-    if args.use_ckpt_config:
-        from controllable_xgating_tpu.cli.common import (
-            adopt_ckpt_model_config,
-        )
-
-        cfg = adopt_ckpt_model_config(args.checkpoint_dir, cfg,
-                                      args.ckpt_name)
+    cfg = maybe_adopt_ckpt_config(args, cfg)
     apply_runtime_flags(args, cfg)
 
     info, labels, store, cfg = load_corpus(args.data_dir, cfg)

@@ -15,8 +15,10 @@ from __future__ import annotations
 import json
 
 from controllable_xgating_tpu.cli.common import (
+    add_ckpt_args,
     apply_runtime_flags,
     base_parser,
+    maybe_adopt_ckpt_config,
     die,
     load_corpus,
     parse_with_overrides,
@@ -59,10 +61,7 @@ def start(argv=None):
     """Parse args, build the engine, bind the server. Returns
     (httpd, engine) — main() runs serve_forever; tests drive it directly."""
     p = base_parser(__doc__)
-    p.add_argument("--ckpt_name", default="best")
-    p.add_argument("--use_ckpt_config", action="store_true",
-                   help="adopt the checkpoint's saved architecture knobs "
-                        "(dims/fusion/pos_guidance) instead of flags")
+    add_ckpt_args(p)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000,
                    help="0 = pick an ephemeral port (printed at startup)")
@@ -80,13 +79,7 @@ def start(argv=None):
                    help=">0 = shed load: reject requests (HTTP 503) once "
                         "this many are waiting; 0 = queue unboundedly")
     args, cfg = parse_with_overrides(p, argv)
-    if args.use_ckpt_config:
-        from controllable_xgating_tpu.cli.common import (
-            adopt_ckpt_model_config,
-        )
-
-        cfg = adopt_ckpt_model_config(args.checkpoint_dir, cfg,
-                                      args.ckpt_name)
+    cfg = maybe_adopt_ckpt_config(args, cfg)
     apply_runtime_flags(args, cfg)
 
     info, _, store, cfg = load_corpus(args.data_dir, cfg)

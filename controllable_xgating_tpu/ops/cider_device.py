@@ -51,12 +51,18 @@ class CiderRewardTables(struct.PyTreeNode):
     dwarf the candidate side). ~17 bytes/ngram position: ~0.4 GB HBM at
     MSR-VTT scale."""
 
-    table_h1: jax.Array  # [M] uint32, sorted lexicographically by (h1, h2)
-    table_h2: jax.Array  # [M] uint32
-    table_df: jax.Array  # [M] float32 document frequencies
-    log_n: jax.Array     # scalar float32: log(#documents)
-    ref_caps: jax.Array  # [N, S, L] int32 GT caption ids (global video index)
-    ref_counts: jax.Array  # [N] int32 number of real captions per video
+    # Legacy column form of the df table. None on tables from
+    # build_reward_tables — the packed table_rows below carries the same
+    # data bit-for-bit, and holding both on device would waste ~12 B/ngram
+    # (~264 MB at the 22M-ngram MSR-VTT scale). Only hand-built tables
+    # (tests, external constructions without the packed fields) set these;
+    # `unpack_table_columns` derives them from table_rows when needed.
+    table_h1: jax.Array = None  # [M] uint32, sorted lexicographically
+    table_h2: jax.Array = None  # [M] uint32
+    table_df: jax.Array = None  # [M] float32 document frequencies
+    log_n: jax.Array = None     # scalar float32: log(#documents)
+    ref_caps: jax.Array = None  # [N, S, L] int32 GT captions (global video idx)
+    ref_counts: jax.Array = None  # [N] int32 number of real captions per video
     # precomputed per-reference stats (None only transiently during build)
     ref_h1: jax.Array = None     # [N, S, 4, L] uint32
     ref_h2: jax.Array = None     # [N, S, 4, L] uint32
@@ -162,9 +168,6 @@ def build_reward_tables(
         dir_rows, rows, dir_bits, steps = _bucket_directory(
             np.asarray(h1s), np.asarray(h2s), np.asarray(dfs))
         return _precompute_ref_stats(CiderRewardTables(
-            table_h1=jnp.asarray(h1s),
-            table_h2=jnp.asarray(h2s),
-            table_df=jnp.asarray(dfs),
             log_n=jnp.float32(math.log(max(len(df_video_indices), 1))),
             ref_caps=jnp.asarray(caps, jnp.int32),
             ref_counts=jnp.asarray(ncaps, jnp.int32),
@@ -196,9 +199,6 @@ def build_reward_tables(
         dfs = np.zeros((1,), np.float32)
     dir_rows, rows, dir_bits, steps = _bucket_directory(h1s, h2s, dfs)
     return _precompute_ref_stats(CiderRewardTables(
-        table_h1=jnp.asarray(h1s),
-        table_h2=jnp.asarray(h2s),
-        table_df=jnp.asarray(dfs),
         log_n=jnp.float32(math.log(max(len(df_video_indices), 1))),
         ref_caps=jnp.asarray(caps, jnp.int32),
         ref_counts=jnp.asarray(ncaps, jnp.int32),
@@ -207,6 +207,22 @@ def build_reward_tables(
         dir_bits=dir_bits,
         bucket_steps=steps,
     ))
+
+
+def unpack_table_columns(tables: CiderRewardTables) -> CiderRewardTables:
+    """Fill the legacy column fields from the packed rows (host-side).
+
+    For consumers of the column form — the native scorer\'s df arguments
+    and the legacy-bisection parity tests. The unpacking is exact:
+    table_rows packs (h1, h2, bitcast(df), 0) per n-gram."""
+    if tables.table_h1 is not None or tables.table_rows is None:
+        return tables
+    rows = np.asarray(tables.table_rows)
+    return tables.replace(
+        table_h1=jnp.asarray(rows[:, 0]),
+        table_h2=jnp.asarray(rows[:, 1]),
+        table_df=jnp.asarray(rows[:, 2].view(np.float32)),
+    )
 
 
 def _precompute_ref_stats(tables: CiderRewardTables) -> CiderRewardTables:
@@ -289,9 +305,9 @@ def _idf_lookup(
     Tables built without the packed fields (hand-constructed in tests)
     fall back to the full-range two-array bisection; results are
     bit-identical (pinned by tests/test_ops.py)."""
-    m = tables.table_h1.shape[0]
     fast = tables.table_dir is not None and tables.table_rows is not None \
         and tables.dir_bits > 0
+    m = (tables.table_rows if fast else tables.table_h1).shape[0]
     if fast:
         b = (h1 >> jnp.uint32(32 - tables.dir_bits)).astype(jnp.int32)
         se = tables.table_dir[b]                   # [..., 2] (start, end)

@@ -46,6 +46,7 @@ import threading
 import time
 from collections import deque
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FutureTimeoutError
 from dataclasses import dataclass
 from queue import Empty, Full, Queue
 from typing import Optional, Sequence
@@ -323,13 +324,19 @@ class ServingEngine:
         """Synchronous convenience wrapper around submit().
 
         `timeout` doubles as the queue deadline: a caller that would stop
-        waiting must not consume a device-batch row after the fact."""
-        deadline_ms = timeout * 1e3 if timeout is not None else None
+        waiting must not consume a device-batch row after the fact.
+        `timeout=0` is the non-blocking poll form: enqueue, then raise
+        TimeoutError immediately unless already done (no queue deadline —
+        submit() rejects deadline_ms <= 0)."""
+        deadline_ms = timeout * 1e3 if timeout else None
         fut = self.submit(app, motion, nframes, pos_tags,
                           deadline_ms=deadline_ms)
         try:
             return fut.result(timeout)
-        except TimeoutError:
+        # concurrent.futures.TimeoutError is a DISTINCT class on py3.10
+        # (aliased to the builtin only from 3.11); catch both or a timed-
+        # out request stays queued and consumes a device-batch row
+        except (TimeoutError, FutureTimeoutError):
             fut.cancel()  # frees the row if still queued; no-op if running
             raise
 

@@ -20,6 +20,7 @@ is sufficient for a JSON API at these request sizes).
 from __future__ import annotations
 
 import json
+from concurrent.futures import TimeoutError as FutureTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -136,7 +137,9 @@ def make_handler(engine: ServingEngine, store: Optional[FeatureStore],
                 })
             except EngineOverloaded as e:
                 self._send(503, {"error": str(e), "retry": True})
-            except TimeoutError:
+            # concurrent.futures.TimeoutError is a distinct class on
+            # py3.10 (aliased to the builtin only from 3.11)
+            except (TimeoutError, FutureTimeoutError):
                 # deadline passed while the request was queued or running;
                 # engine.caption() already cancelled the queued row
                 self._send(503, {"error": "deadline exceeded",

@@ -77,10 +77,11 @@ def test_native_ciderd_matches_device_path():
     dev = np.asarray(
         cd.cider_d_device(tables, jnp.asarray(cands), jnp.arange(n))
     )
+    cols = cd.unpack_table_columns(tables)
     nat = native.cider_d(
         cands, np.arange(n, dtype=np.int32), caps, ncaps,
-        np.asarray(tables.table_h1), np.asarray(tables.table_h2),
-        np.asarray(tables.table_df), float(tables.log_n),
+        np.asarray(cols.table_h1), np.asarray(cols.table_h2),
+        np.asarray(cols.table_df), float(cols.log_n),
     )
     np.testing.assert_allclose(nat, dev, rtol=1e-4, atol=1e-5)
 
@@ -100,12 +101,9 @@ def test_build_reward_tables_uses_native_and_matches_python():
     finally:
         native.build_df = orig
 
-    np.testing.assert_array_equal(
-        np.asarray(t_native.table_h1), np.asarray(t_py.table_h1)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(t_native.table_h2), np.asarray(t_py.table_h2)
-    )
-    np.testing.assert_allclose(
-        np.asarray(t_native.table_df), np.asarray(t_py.table_df)
-    )
+    rn = np.asarray(t_native.table_rows)
+    rp = np.asarray(t_py.table_rows)
+    np.testing.assert_array_equal(rn[:, 0], rp[:, 0])  # h1
+    np.testing.assert_array_equal(rn[:, 1], rp[:, 1])  # h2
+    np.testing.assert_array_equal(rn[:, 2], rp[:, 2])  # df bits
+    assert t_native.table_h1 is None and t_py.table_h1 is None

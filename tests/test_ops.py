@@ -125,25 +125,28 @@ def test_cider_idf_bucket_directory_bit_identical():
     ncaps = np.full((40,), 5, np.int64)
     tables = cd.build_reward_tables(caps, ncaps, list(range(40)))
     assert tables.table_dir is not None and tables.dir_bits > 0
-    m = int(np.asarray(tables.table_h1).shape[0])
+    # built tables carry ONLY the packed form on device; columns unpack
+    assert tables.table_h1 is None and tables.table_df is None
+    cols = cd.unpack_table_columns(tables)
+    m = int(np.asarray(cols.table_h1).shape[0])
     # directory invariants: contiguous (start, end) runs covering [0, m]
     d = np.asarray(tables.table_dir)
     assert d.shape == (1 << tables.dir_bits, 2)
     assert d[0, 0] == 0 and d[-1, 1] == m
     assert (d[:, 1] >= d[:, 0]).all()
     assert (d[1:, 0] == d[:-1, 1]).all()
-    # packed rows mirror the column tables exactly (df bit-identical)
+    # unpacked columns mirror the packed rows exactly (df bit-identical)
     rows = np.asarray(tables.table_rows)
-    np.testing.assert_array_equal(rows[:, 0], np.asarray(tables.table_h1))
-    np.testing.assert_array_equal(rows[:, 1], np.asarray(tables.table_h2))
+    np.testing.assert_array_equal(rows[:, 0], np.asarray(cols.table_h1))
+    np.testing.assert_array_equal(rows[:, 1], np.asarray(cols.table_h2))
     np.testing.assert_array_equal(
-        rows[:, 2].view(np.float32), np.asarray(tables.table_df))
+        rows[:, 2].view(np.float32), np.asarray(cols.table_df))
 
     # queries: real table keys, near-miss keys (+1 on h2), random keys,
     # and extreme hashes (first/last buckets)
     idx = rng.integers(0, m, 128)
-    q1 = np.asarray(tables.table_h1)[idx]
-    q2 = np.asarray(tables.table_h2)[idx]
+    q1 = np.asarray(cols.table_h1)[idx]
+    q2 = np.asarray(cols.table_h2)[idx]
     near2 = q2 + np.uint32(1)
     r1 = rng.integers(0, 2**32, 128, dtype=np.uint64).astype(np.uint32)
     r2 = rng.integers(0, 2**32, 128, dtype=np.uint64).astype(np.uint32)
@@ -154,7 +157,7 @@ def test_cider_idf_bucket_directory_bit_identical():
     valid = np.ones(h1.shape, bool)
     valid[::7] = False  # invalid positions must zero out identically
 
-    legacy = tables.replace(
+    legacy = cols.replace(
         table_dir=None, table_rows=None, dir_bits=0, bucket_steps=0)
     got = np.asarray(cd._idf_lookup(tables, jnp.asarray(h1),
                                     jnp.asarray(h2), jnp.asarray(valid)))

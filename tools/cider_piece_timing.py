@@ -158,7 +158,7 @@ def main(argv=None) -> None:
     report = {
         "batch": B,
         "device": str(dev),
-        "df_table_size": int(np.asarray(tables.table_h1).shape[0]),
+        "df_table_size": int(np.asarray(tables.table_rows).shape[0]),
         "timings_ms": timings,
     }
     print(json.dumps(report, indent=2))
