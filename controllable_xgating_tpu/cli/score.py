@@ -1,0 +1,187 @@
+"""Standalone metric scorer CLI — the vendored coco-caption toolkit's
+standalone surface (SURVEY.md §2 "coco-caption equivalents"): score a file
+of candidate captions against references with BLEU-1..4 / METEOR / ROUGE-L
+/ CIDEr / CIDEr-D. Pure host code — no model, checkpoint, or accelerator.
+
+Candidate JSON (--candidates) is accepted in any of these shapes:
+
+  {"video1": "a man plays guitar", ...}
+  {"video1": ["a man plays guitar"], ...}          # single-item lists
+  {"metrics": ..., "captions": {...}}              # a cxg-eval output file
+  [{"image_id": "video1", "caption": "..."}, ...]  # COCO results format
+
+References come from --references (``{id: [refs...]}``, ``{id: "ref"}``,
+or COCO annotation format ``{"annotations": [{"image_id", "caption"}]}``)
+or from a prepared corpus directory (--data_dir [--split]).
+
+Raw-text inputs are PTB-tokenized before scoring (coco-caption behavior);
+corpus ground truths and cxg-eval outputs are already tokenized, so
+--retokenize defaults to "auto": on iff --references is used. CIDEr idf
+statistics are computed over exactly the scored reference set, matching
+the reference toolkit's behavior on an eval split.
+
+  cxg-score --candidates ckpt/eval_test.json --data_dir data/flagship --split test
+  cxg-score --candidates results.json --references refs.json --per_video per.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _load_json(path: str):
+    with open(path) as f:
+        return json.load(f)
+
+
+def load_candidates(path: str) -> dict[str, list[str]]:
+    """Normalize any accepted candidate shape to {key: [one caption]}."""
+    d = _load_json(path)
+    if isinstance(d, list):  # COCO results format
+        out: dict[str, list[str]] = {}
+        for row in d:
+            key = str(row["image_id"])
+            if key in out:
+                raise ValueError(f"duplicate candidate for {key!r}")
+            out[key] = [str(row["caption"])]
+        return out
+    if not isinstance(d, dict):
+        raise ValueError(f"{path}: expected a JSON object or list")
+    if isinstance(d.get("captions"), dict) and "metrics" in d:
+        d = d["captions"]  # cxg-eval output file
+    out = {}
+    for k, v in d.items():
+        if isinstance(v, str):
+            out[str(k)] = [v]
+        elif isinstance(v, list) and len(v) == 1 and isinstance(v[0], str):
+            out[str(k)] = [v[0]]
+        else:
+            raise ValueError(
+                f"{path}: candidate for {k!r} must be one string "
+                f"(got {type(v).__name__} of len "
+                f"{len(v) if isinstance(v, list) else 'n/a'}); metrics "
+                "score exactly one candidate per video"
+            )
+    return out
+
+
+def load_reference_file(path: str) -> dict[str, list[str]]:
+    d = _load_json(path)
+    if not isinstance(d, dict):
+        raise ValueError(f"{path}: expected a JSON object")
+    if isinstance(d.get("annotations"), list):  # COCO annotation format
+        out: dict[str, list[str]] = {}
+        for row in d["annotations"]:
+            out.setdefault(str(row["image_id"]), []).append(
+                str(row["caption"])
+            )
+        return out
+    return {
+        str(k): ([v] if isinstance(v, str) else [str(s) for s in v])
+        for k, v in d.items()
+    }
+
+
+def load_corpus_references(
+    data_dir: str, split: str | None
+) -> dict[str, list[str]]:
+    """Ground truths from a prepared corpus dir (info.json + labels.npz)."""
+    import numpy as np
+
+    from controllable_xgating_tpu.data.corpus import CorpusInfo, load_labels
+    from controllable_xgating_tpu.metrics.harness import gts_from_label_array
+
+    info = CorpusInfo.load(os.path.join(data_dir, "info.json"))
+    labels = load_labels(data_dir)
+    if split:
+        if split not in info.splits:
+            raise ValueError(
+                f"unknown split {split!r}; corpus has {sorted(info.splits)}"
+            )
+        idx = np.asarray(info.splits[split], np.int64)
+    else:
+        idx = np.arange(len(info.video_ids), dtype=np.int64)
+    keys = [info.video_ids[int(i)] for i in idx]
+    return gts_from_label_array(
+        info.vocab, labels["caps"][idx], labels["ncaps"][idx], keys
+    )
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument("--candidates", required=True,
+                   help="candidate captions JSON (see accepted shapes above)")
+    p.add_argument("--references", default=None,
+                   help="reference captions JSON; mutually exclusive with "
+                        "--data_dir")
+    p.add_argument("--data_dir", default=None,
+                   help="prepared corpus dir to pull ground truths from")
+    p.add_argument("--split", default=None,
+                   choices=("train", "val", "test"),
+                   help="restrict corpus ground truths to one split "
+                        "(default: whole corpus)")
+    p.add_argument("--metrics", default=None,
+                   help="comma list, e.g. 'Bleu_4,CIDEr' (default: all)")
+    p.add_argument("--retokenize", default="auto",
+                   choices=("auto", "yes", "no"),
+                   help="PTB-tokenize both sides before scoring "
+                        "(auto: yes iff --references)")
+    p.add_argument("--per_video", default=None, metavar="PATH",
+                   help="also write per-video scores (coco-caption's "
+                        "imgToEval) to PATH")
+    p.add_argument("--out", default=None, help="write the metric dict here "
+                                               "in addition to stdout")
+    args = p.parse_args(argv)
+
+    if bool(args.references) == bool(args.data_dir):
+        p.error("exactly one of --references / --data_dir is required")
+    if args.split and not args.data_dir:
+        p.error("--split only applies with --data_dir")
+
+    res = load_candidates(args.candidates)
+    if not res:
+        p.error(f"{args.candidates}: no candidates")
+    if args.references:
+        gts = load_reference_file(args.references)
+    else:
+        gts = load_corpus_references(args.data_dir, args.split)
+
+    missing = [k for k in res if k not in gts]
+    if missing:
+        sys.exit(
+            f"error: {len(missing)} candidate id(s) have no references "
+            f"(first few: {missing[:5]}); check --split / the id scheme"
+        )
+    # idf statistics must come from exactly the scored set (the reference
+    # toolkit computes CIDEr df over the eval split's gts)
+    gts = {k: gts[k] for k in res}
+
+    retok = args.retokenize == "yes" or (
+        args.retokenize == "auto" and bool(args.references)
+    )
+
+    from controllable_xgating_tpu.metrics.harness import language_eval
+
+    scored = language_eval(
+        gts, res, retokenize=retok, metrics=args.metrics,
+        per_key=bool(args.per_video),
+    )
+    if args.per_video:
+        scored, detail = scored
+        with open(args.per_video, "w") as f:
+            json.dump(detail, f, indent=2)
+    out = {"n_scored": len(res), "metrics": scored}
+    print(json.dumps(out, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

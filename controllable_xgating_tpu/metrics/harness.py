@@ -43,7 +43,8 @@ def language_eval(
     res: Mapping[str, Sequence[str]],
     retokenize: bool = False,
     metrics: Sequence[str] = None,
-) -> dict[str, float]:
+    per_key: bool = False,
+):
     """Run the scorer suite. Inputs are {key: [caption strings]}.
 
     `retokenize=True` pushes both sides through the PTB tokenizer first
@@ -53,6 +54,9 @@ def language_eval(
     `metrics` selects which scorer families run (cfg.eval.metrics; default
     all). Names match the output keys: any of Bleu_4/METEOR/ROUGE_L/CIDEr/
     CIDErD — BLEU always yields all four orders when selected.
+
+    `per_key=True` additionally returns {key: {metric: score}} (the
+    reference's coco-caption `imgToEval` surface) as a second value.
     """
     if retokenize:
         tok = PTBTokenizer()
@@ -70,17 +74,32 @@ def language_eval(
     def on(name: str) -> bool:
         return want is None or any(name in m for m in want)
 
+    keys = list(res.keys())
+    detail: dict[str, dict[str, float]] = {k: {} for k in keys}
+
+    def record(name: str, per: Sequence[float]) -> None:
+        if per_key:
+            for k, v in zip(keys, per):
+                detail[k][name] = float(v)
+
     out: dict[str, float] = {}
     if on("bleu"):
-        bleu, _ = BleuScorer(4).score(gts, res)
+        bleu, per = BleuScorer(4).score(gts, res)  # per is [order][key]
         for i, b in enumerate(bleu, 1):
             out[f"Bleu_{i}"] = b
+            record(f"Bleu_{i}", per[i - 1])
     if on("meteor"):
-        out["METEOR"], _ = MeteorScorer().score(gts, res)
+        out["METEOR"], per = MeteorScorer().score(gts, res)
+        record("METEOR", per)
     if on("rouge"):
-        out["ROUGE_L"], _ = RougeScorer().score(gts, res)
+        out["ROUGE_L"], per = RougeScorer().score(gts, res)
+        record("ROUGE_L", per)
     if on("cider"):  # plain CIDEr ("cider" also selects CIDErD below)
-        out["CIDEr"], _ = CiderScorer().score(gts, res)
+        out["CIDEr"], per = CiderScorer().score(gts, res)
+        record("CIDEr", per)
     if on("cider"):
-        out["CIDErD"], _ = CiderDScorer().score(gts, res)
+        out["CIDErD"], per = CiderDScorer().score(gts, res)
+        record("CIDErD", per)
+    if per_key:
+        return out, detail
     return out

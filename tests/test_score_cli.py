@@ -1,0 +1,141 @@
+"""cxg-score: the standalone scorer surface (coco-caption's standalone
+use case — score a candidates file against references, no model)."""
+
+import json
+
+import pytest
+
+from controllable_xgating_tpu.cli import prepro as cli_prepro
+from controllable_xgating_tpu.cli import score as cli_score
+from controllable_xgating_tpu.metrics.harness import language_eval
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("score_corpus"))
+    cli_prepro.main([
+        "--out", d, "--fixtures", "--fixture_videos", "12",
+        "--fixture_frames", "4", "--fixture_app_dim", "8",
+        "--fixture_motion_dim", "6", "--max_caption_len", "12",
+        "--seqs_per_video", "4",
+    ])
+    return d
+
+
+@pytest.fixture(scope="module")
+def gts(corpus_dir):
+    return cli_score.load_corpus_references(corpus_dir, "test")
+
+
+def run(argv, capsys):
+    cli_score.main(argv)
+    return json.loads(capsys.readouterr().out)
+
+
+def test_self_score_is_perfect_bleu1(corpus_dir, gts, tmp_path, capsys):
+    """Each candidate = its own first reference -> Bleu_1 == 1."""
+    cand = {k: v[0] for k, v in gts.items()}
+    cpath = str(tmp_path / "cand.json")
+    json.dump(cand, open(cpath, "w"))
+    out = run(["--candidates", cpath, "--data_dir", corpus_dir,
+               "--split", "test"], capsys)
+    assert out["n_scored"] == len(gts)
+    m = out["metrics"]
+    assert m["Bleu_1"] == pytest.approx(1.0)
+    assert set(m) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR",
+                      "ROUGE_L", "CIDEr", "CIDErD"}
+    assert m["CIDEr"] > 1.0  # self-match scores high
+
+
+def test_input_shapes_agree(corpus_dir, gts, tmp_path, capsys):
+    """dict-of-str, dict-of-list, COCO list, and eval-output shapes all
+    produce identical metrics; refs file == corpus refs."""
+    cand = {k: v[0] for k, v in gts.items()}
+    shapes = {
+        "plain": cand,
+        "lists": {k: [v] for k, v in cand.items()},
+        "coco": [{"image_id": k, "caption": v} for k, v in cand.items()],
+        "evalout": {"metrics": {}, "split": "test", "captions": cand},
+    }
+    outs = {}
+    for name, obj in shapes.items():
+        path = str(tmp_path / f"{name}.json")
+        json.dump(obj, open(path, "w"))
+        outs[name] = run(
+            ["--candidates", path, "--data_dir", corpus_dir,
+             "--split", "test", "--metrics", "Bleu_4,CIDEr"], capsys,
+        )["metrics"]
+    assert outs["plain"] == outs["lists"] == outs["coco"] == outs["evalout"]
+    assert set(outs["plain"]) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4",
+                                  "CIDEr", "CIDErD"}
+
+    # a references FILE (already-tokenized strings, --retokenize no)
+    rpath = str(tmp_path / "refs.json")
+    json.dump(gts, open(rpath, "w"))
+    from_file = run(
+        ["--candidates", str(tmp_path / "plain.json"), "--references",
+         rpath, "--retokenize", "no", "--metrics", "Bleu_4,CIDEr"], capsys,
+    )["metrics"]
+    assert from_file == outs["plain"]
+
+
+def test_retokenize_auto_normalizes_raw_text(tmp_path, capsys):
+    """Raw-cased punctuated candidates match refs after PTB tokenization
+    (the auto default for --references)."""
+    cpath, rpath = str(tmp_path / "c.json"), str(tmp_path / "r.json")
+    json.dump({"v0": "A man, plays GUITAR."}, open(cpath, "w"))
+    json.dump({"v0": ["a man plays guitar"]}, open(rpath, "w"))
+    out = run(["--candidates", cpath, "--references", rpath,
+               "--metrics", "Bleu_4"], capsys)
+    assert out["metrics"]["Bleu_1"] == pytest.approx(1.0)
+
+
+def test_missing_reference_errors(corpus_dir, tmp_path, capsys):
+    cpath = str(tmp_path / "c.json")
+    json.dump({"no_such_video": "a man plays guitar"}, open(cpath, "w"))
+    with pytest.raises(SystemExit):
+        cli_score.main(["--candidates", cpath, "--data_dir", corpus_dir,
+                        "--split", "test"])
+    capsys.readouterr()
+
+
+def test_per_video_scores(corpus_dir, gts, tmp_path, capsys):
+    """--per_video emits the imgToEval dict; per-key CIDEr means equal the
+    corpus score, and exact matches score higher than shuffled ones."""
+    keys = sorted(gts)
+    cand = {k: gts[k][0] for k in keys}
+    cand[keys[0]] = gts[keys[1]][0]  # one deliberately wrong caption
+    cpath = str(tmp_path / "c.json")
+    json.dump(cand, open(cpath, "w"))
+    per_path = str(tmp_path / "per.json")
+    out = run(["--candidates", cpath, "--data_dir", corpus_dir,
+               "--split", "test", "--per_video", per_path], capsys)
+    detail = json.load(open(per_path))
+    assert set(detail) == set(gts)
+    mean_cider = sum(d["CIDEr"] for d in detail.values()) / len(detail)
+    assert mean_cider == pytest.approx(out["metrics"]["CIDEr"], abs=1e-9)
+    good = [k for k in keys[1:]]
+    assert detail[keys[0]]["CIDEr"] < min(detail[k]["CIDEr"] for k in good)
+
+    # parity with the library call
+    res = {k: [v] for k, v in cand.items()}
+    lib, lib_detail = language_eval(
+        {k: gts[k] for k in res}, res, per_key=True
+    )
+    assert lib == out["metrics"]
+    assert lib_detail == detail
+
+
+def test_coco_annotation_references(tmp_path, capsys):
+    rpath, cpath = str(tmp_path / "r.json"), str(tmp_path / "c.json")
+    json.dump({"annotations": [
+        {"image_id": "v0", "caption": "a man plays guitar"},
+        {"image_id": "v0", "caption": "a person plays an instrument"},
+        {"image_id": "v1", "caption": "a dog runs"},
+    ]}, open(rpath, "w"))
+    json.dump({"v0": "a man plays guitar", "v1": "a dog runs"},
+              open(cpath, "w"))
+    out = run(["--candidates", cpath, "--references", rpath,
+               "--metrics", "Bleu_4"], capsys)
+    assert out["n_scored"] == 2
+    assert out["metrics"]["Bleu_1"] == pytest.approx(1.0)
