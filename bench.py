@@ -103,6 +103,51 @@ def _diff_time(run, reps, trials=3) -> float:
     return max((ts[hi] - ts[lo]) / (hi - lo), 1e-9)
 
 
+def enable_compile_cache(stream=None) -> None:
+    """Persistent XLA compile cache (shared by bench and the probe tools).
+
+    Compile latency through this environment's remote-compile relay is
+    large and HIGHLY variable (same program: 60 s to 4 min); caching makes
+    repeat runs compile-free."""
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_cxg_bench"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        if stream is not None:
+            print(f"compile cache unavailable: {e}", file=stream)
+
+
+def make_timed(timings: dict, device=None, reps=(2, 8), tag="timed",
+               ndigits=3):
+    """Shared micro-timing harness for the probe tools
+    (tools/{scst_breakdown,cider_piece_timing,gather_cost_probe*}.py).
+
+    Returns `timed(name, make_body, *arrays)`: device_puts the arrays,
+    wraps `make_body(carry, *arrays)` in a fori loop with a f32 scalar
+    carry, and records the loop-length-differenced per-call milliseconds
+    into `timings[name]`. The body must fold a data-dependent function of
+    the carry into its inputs (so iterations cannot be constant-folded)
+    and return a small scalar folded into the next carry."""
+    device = device if device is not None else jax.devices()[0]
+
+    def timed(name, make_body, *arrays):
+        arrays = tuple(jax.device_put(a, device) for a in arrays)
+
+        @jax.jit
+        def run_impl(n, *arrs):
+            return jax.lax.fori_loop(
+                0, n, lambda _, c: make_body(c, *arrs), jnp.float32(0))
+
+        per = _diff_time(lambda n: run_impl(n, *arrays), reps)
+        timings[name] = round(per * 1e3, ndigits)
+        print(f"[{tag}] {name}: {per * 1e3:.{ndigits}f} ms",
+              file=sys.stderr, flush=True)
+        return per
+
+    return timed
+
+
 def time_caption_sustained(fn, params, batch, device, reps=(2, 10),
                            form="fori") -> float:
     """Sustained captions/sec of a (params, app, motion) -> (tokens, tags)
@@ -277,15 +322,7 @@ def main() -> None:
     from controllable_xgating_tpu.ops.precision import set_compute_dtype
     from controllable_xgating_tpu.utils import roofline
 
-    # persistent compile cache: compile latency through this environment's
-    # remote-compile relay is large and HIGHLY variable (same program: 60 s
-    # to 4 min); caching makes repeat bench runs compile-free
-    try:
-        cache_dir = os.path.expanduser("~/.cache/jax_cxg_bench")
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:
-        print(f"compile cache unavailable: {e}", file=sys.stderr)
+    enable_compile_cache(stream=sys.stderr)
 
     # bf16 matmul operands / f32 accumulation: the MXU-native policy.
     # Fused Pallas kernels engage automatically on TPU (ops/dispatch.py).

@@ -168,20 +168,19 @@ def adopt_ckpt_model_config(
     wrong flags, eval/caption/serve can adopt the checkpoint's own model
     config (--use_ckpt_config) so an ablation checkpoint evaluates
     correctly without re-passing every override."""
-    path = os.path.join(os.path.abspath(ckpt_dir), name + ".infos.json")
-    if not os.path.exists(path):
+    try:
+        infos = CheckpointManager.load_infos(ckpt_dir, name)
+    except FileNotFoundError:
         raise FileNotFoundError(
-            f"no checkpoint infos at {path!r}; cannot adopt its config"
-        )
-    import json
-
-    with open(path) as f:
-        infos = json.load(f)
+            f"no checkpoint infos for {name!r} in {ckpt_dir!r}; cannot "
+            "adopt its config"
+        ) from None
     saved = (infos.get("config") or {}).get("model")
     if not saved:
         raise ValueError(
-            f"{path!r} carries no model config (pre-round-2 checkpoint?); "
-            "pass the architecture flags explicitly instead"
+            f"checkpoint {name!r} in {ckpt_dir!r} carries no model config "
+            "(pre-round-2 checkpoint?); pass the architecture flags "
+            "explicitly instead"
         )
     return cfg.replace_flat({
         f"model.{k}": saved[k] for k in CKPT_MODEL_FIELDS if k in saved

@@ -325,10 +325,17 @@ class ServingEngine:
 
         `timeout` doubles as the queue deadline: a caller that would stop
         waiting must not consume a device-batch row after the fact.
-        `timeout=0` is the non-blocking poll form: enqueue, then raise
-        TimeoutError immediately unless already done (no queue deadline —
-        submit() rejects deadline_ms <= 0)."""
-        deadline_ms = timeout * 1e3 if timeout else None
+        `timeout<=0` is rejected: this wrapper enqueues and then waits, so
+        a zero-wait request could never be already done — it would only
+        enqueue work and immediately shed it. Use submit() for
+        asynchronous polling."""
+        if timeout is not None and timeout <= 0:
+            raise ValueError(
+                "timeout must be positive (a just-enqueued request can "
+                "never complete in zero time); use submit() for "
+                "asynchronous use"
+            )
+        deadline_ms = timeout * 1e3 if timeout is not None else None
         fut = self.submit(app, motion, nframes, pos_tags,
                           deadline_ms=deadline_ms)
         try:

@@ -132,6 +132,19 @@ class CheckpointManager:
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
 
+    @staticmethod
+    def load_infos(directory: str, name: str) -> dict:
+        """Read the `<dir>/<name>.infos.json` sidecar.
+
+        The one owner of that layout: restore() and the CLI helpers
+        (cli/common.adopt_ckpt_model_config) both come through here, so a
+        layout or schema change cannot strand one of them. Static because
+        config adoption must not construct an orbax checkpointer (or
+        mkdir the directory) just to peek at a sidecar."""
+        path = os.path.join(os.path.abspath(directory), name + ".infos.json")
+        with open(path) as f:
+            return json.load(f)
+
     def save(self, name: str, state: TrainState, infos: dict) -> None:
         if self._saver is None:
             raise RuntimeError(
@@ -146,8 +159,7 @@ class CheckpointManager:
 
     def restore(self, name: str, template: TrainState) -> tuple[TrainState, dict]:
         path = self._path(name)
-        with open(path + ".infos.json") as f:
-            infos = json.load(f)
+        infos = self.load_infos(self.directory, name)
         # fail with a diagnosis instead of orbax's raw shape error when the
         # checkpoint was written under a different model config (e.g. the
         # corpus/vocab changed under a reused checkpoint_dir)

@@ -143,6 +143,13 @@ def test_stats_and_validation(setup):
             eng.submit(feats[0][0][:2], feats[0][1][:3])  # mismatched T
         with pytest.raises(ValueError, match="feature dims"):
             eng.submit(feats[0][0][:, :5], feats[0][1])  # wrong Da
+        # timeout<=0 can never succeed on the synchronous wrapper (the
+        # request is enqueued first); it must be rejected, not enqueued
+        # and immediately shed
+        with pytest.raises(ValueError, match="timeout must be positive"):
+            eng.caption(*feats[0], timeout=0)
+        with pytest.raises(ValueError, match="timeout must be positive"):
+            eng.caption(*feats[0], timeout=-1)
         eng.caption(*feats[0], timeout=120)
         s = eng.stats()
         assert s["requests"] == 1 and s["batches"] == 1

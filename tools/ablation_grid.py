@@ -70,15 +70,20 @@ def knob_flags(fusion: str, psi: bool) -> list[str]:
             "--model.pos_guidance", "true" if psi else "false"]
 
 
-def run(cmd: list[str], log_path: str, retries: int = 1) -> None:
+def run(cmd: list[str], log_path: str, retries: int = 1,
+        capture_stdout: bool = False) -> str | None:
+    """Run one stage command; stderr (and stdout unless captured) append to
+    the cell's grid_log.txt. Returns stdout when capture_stdout=True."""
     print(f"[grid] $ {' '.join(cmd)}", flush=True)
     t0 = time.time()
     for attempt in range(retries + 1):
         with open(log_path, "a") as log:
             log.write(f"\n=== {' '.join(cmd)}\n")
             log.flush()
-            res = subprocess.run(cmd, stdout=log, stderr=subprocess.STDOUT,
-                                 cwd=REPO)
+            res = subprocess.run(
+                cmd, cwd=REPO, text=capture_stdout,
+                stdout=subprocess.PIPE if capture_stdout else log,
+                stderr=log if capture_stdout else subprocess.STDOUT)
         if res.returncode == 0:
             break
         # transient relay/compile failures are real in this environment;
@@ -88,6 +93,7 @@ def run(cmd: list[str], log_path: str, retries: int = 1) -> None:
         print(f"[grid]   rc={res.returncode}; retrying", flush=True)
         time.sleep(30)
     print(f"[grid]   done in {time.time() - t0:.0f}s", flush=True)
+    return res.stdout if capture_stdout else None
 
 
 def stage(marker_dir: str, name: str, cmd: list[str], log_path: str) -> None:
@@ -140,11 +146,12 @@ def run_cell(data_dir: str, out: str, fusion: str, psi: bool) -> dict:
                "--data_dir", data_dir,
                "--checkpoint_dir", os.path.join(ck, "scst"),
                *common, *knobs]
-        print(f"[grid] $ {' '.join(cmd)}", flush=True)
-        res = subprocess.run(cmd, check=True, capture_output=True,
-                             text=True, cwd=REPO)
+        # same retry + grid_log stderr capture as every other stage: this
+        # runs AFTER hours of training, so a transient relay failure must
+        # not kill the cell silently
+        stdout = run(cmd, log_path, capture_stdout=True)
         with open(ctrl_path, "w") as f:
-            f.write(res.stdout)
+            f.write(stdout)
 
     cell = {"fusion": fusion, "pos_guidance": psi}
     for ckpt_stage in ("caption", "scst"):

@@ -38,13 +38,7 @@ def main(argv=None) -> None:
         build_reward_tables, cider_d_device,
     )
 
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.expanduser("~/.cache/jax_cxg_bench"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    bench.enable_compile_cache()
 
     B = args.batch
     reps = tuple(int(r) for r in args.reps.split(","))
@@ -66,19 +60,7 @@ def main(argv=None) -> None:
     tables_d, cand_d, vidx_d = put(tables), put(cand), put(vidx)
 
     timings = {}
-
-    def timed(name, make_body, *arrays):
-        arrays = tuple(put(a) for a in arrays)
-
-        @jax.jit
-        def run_impl(n, *arrs):
-            return jax.lax.fori_loop(
-                0, n, lambda _, c: make_body(c, *arrs), jnp.float32(0))
-
-        per = bench._diff_time(lambda n: run_impl(n, *arrays), reps)
-        timings[name] = round(per * 1e3, 3)
-        print(f"[cider] {name}: {per*1e3:.3f} ms", file=sys.stderr, flush=True)
-        return per
+    timed = bench.make_timed(timings, dev, reps, tag="cider")
 
     def perturb(c, x):
         # data-dependent no-op so iterations cannot fold

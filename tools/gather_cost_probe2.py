@@ -25,31 +25,13 @@ import numpy as np
 def main() -> None:
     import bench
 
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.expanduser("~/.cache/jax_cxg_bench"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    bench.enable_compile_cache()
 
     Q = 256 * 4 * 28
     rng = np.random.default_rng(5)
     dev = jax.devices()[0]
-    put = lambda t: jax.device_put(t, dev)
     timings = {}
-
-    def timed(name, make_body, *arrays):
-        arrays = tuple(put(a) for a in arrays)
-
-        @jax.jit
-        def run_impl(n, *arrs):
-            return jax.lax.fori_loop(
-                0, n, lambda _, c: make_body(c, *arrs), jnp.float32(0))
-
-        per = bench._diff_time(lambda n: run_impl(n, *arrays), (2, 10))
-        timings[name] = round(per * 1e3, 4)
-        print(f"[g2] {name}: {per*1e3:.4f} ms", file=sys.stderr, flush=True)
+    timed = bench.make_timed(timings, dev, (2, 10), tag="g2", ndigits=4)
 
     # VMEM cliff scan
     for m in (65_536, 131_072, 262_144, 524_288):

@@ -72,13 +72,7 @@ def main(argv=None) -> None:
     )
     from controllable_xgating_tpu.utils.config import Config
 
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.expanduser("~/.cache/jax_cxg_bench"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    bench.enable_compile_cache()
 
     dev = jax.devices()[0]
     on_tpu = jax.default_backend() != "cpu"
@@ -113,21 +107,7 @@ def main(argv=None) -> None:
     key = jax.random.PRNGKey(3)
 
     timings = {}
-
-    def timed(name, make_body, *arrays):
-        """Scan-differenced per-call seconds of body(carry, *arrays)."""
-        arrays = tuple(put(a) for a in arrays)
-
-        @jax.jit
-        def run_impl(n, *arrs):
-            return jax.lax.fori_loop(
-                0, n, lambda _, c: make_body(c, *arrs), jnp.float32(0))
-
-        per = bench._diff_time(lambda n: run_impl(n, *arrays), reps)
-        timings[name] = round(per * 1e3, 3)
-        print(f"[breakdown] {name}: {per*1e3:.3f} ms", file=sys.stderr,
-              flush=True)
-        return per
+    timed = bench.make_timed(timings, dev, reps, tag="breakdown")
 
     # ---- pieces -----------------------------------------------------------
     def encode_psi_body(c, params, app, motion):
