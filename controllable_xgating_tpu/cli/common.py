@@ -170,10 +170,13 @@ def adopt_ckpt_model_config(
     correctly without re-passing every override."""
     try:
         infos = CheckpointManager.load_infos(ckpt_dir, name)
-    except FileNotFoundError:
+    # OSError, not just FileNotFoundError: --checkpoint_dir pointing at a
+    # file raises NotADirectoryError, which deserves the same friendly
+    # message rather than a raw traceback
+    except OSError as e:
         raise FileNotFoundError(
-            f"no checkpoint infos for {name!r} in {ckpt_dir!r}; cannot "
-            "adopt its config"
+            f"no checkpoint infos for {name!r} in {ckpt_dir!r} ({e}); "
+            "cannot adopt its config"
         ) from None
     saved = (infos.get("config") or {}).get("model")
     if not saved:

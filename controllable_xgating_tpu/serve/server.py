@@ -125,6 +125,14 @@ def make_handler(engine: ServingEngine, store: Optional[FeatureStore],
                 deadline_ms = req.get("deadline_ms")
                 timeout = (float(deadline_ms) / 1e3
                            if deadline_ms is not None else None)
+                if timeout is not None and timeout <= 0:
+                    # a deadline-propagating client's budget already ran
+                    # out (e.g. deadline_ms: 0) — that is the retryable
+                    # deadline-exceeded outcome, not a malformed request;
+                    # engine.caption(timeout<=0) would raise ValueError
+                    self._send(503, {"error": "deadline exceeded",
+                                     "retry": True})
+                    return
                 res = engine.caption(app, motion, nframes, tags,
                                      timeout=timeout)
                 self._send(200, {

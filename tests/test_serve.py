@@ -207,6 +207,24 @@ def test_http_server_roundtrip(setup):
             except urllib.error.HTTPError as e:
                 raised = e.code == 400
             assert raised
+
+            # an already-expired budget (deadline_ms: 0) is the RETRYABLE
+            # deadline-exceeded outcome (503), not a malformed request —
+            # deadline-propagating clients key retry logic on 503
+            expired = json.dumps({
+                "app": app.tolist(), "motion": mot.tolist(),
+                "deadline_ms": 0,
+            }).encode()
+            req0 = urllib.request.Request(
+                base + "/caption", data=expired,
+                headers={"Content-Type": "application/json"})
+            try:
+                urllib.request.urlopen(req0, timeout=30)
+                code = 200
+            except urllib.error.HTTPError as e:
+                code = e.code
+                detail = json.loads(e.read())
+            assert code == 503 and detail["retry"] is True
         finally:
             httpd.shutdown()
 

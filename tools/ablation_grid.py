@@ -86,10 +86,17 @@ def run(cmd: list[str], log_path: str, retries: int = 1,
                 stderr=log if capture_stdout else subprocess.STDOUT)
         if res.returncode == 0:
             break
+        if capture_stdout and res.stdout:
+            # a failed attempt's stdout is diagnostic, not a result —
+            # preserve it in the grid log (and on the final error below)
+            with open(log_path, "a") as log:
+                log.write(res.stdout)
         # transient relay/compile failures are real in this environment;
         # one retry (training stages resume from their own 'last' slot)
         if attempt == retries:
-            raise subprocess.CalledProcessError(res.returncode, cmd)
+            raise subprocess.CalledProcessError(
+                res.returncode, cmd,
+                output=res.stdout if capture_stdout else None)
         print(f"[grid]   rc={res.returncode}; retrying", flush=True)
         time.sleep(30)
     print(f"[grid]   done in {time.time() - t0:.0f}s", flush=True)
