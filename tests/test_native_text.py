@@ -96,3 +96,63 @@ def test_rouge_native_matches_python():
         got = native.rouge_l(hyp, refs, scorer.beta)
         want = scorer.score_single(refs, hyp)
         assert got == pytest.approx(want, rel=1e-9), (hyp, refs)
+
+
+@needs_native
+def test_tokenizer_and_stemmer_native_fuzz():
+    """Seeded character-level fuzz: arbitrary strings (random word shapes,
+    PTB-relevant punctuation, contraction suffixes, odd whitespace) must
+    tokenize identically in C++ and Python, and random words must stem
+    identically. A 27k-case heavier sweep of the same generator passed
+    clean (2026-08-17); this pins a reduced seeded slice."""
+    tok = PTBTokenizer()
+    rng = np.random.default_rng(42)
+    alpha = list("abcdefghijklmnopqrstuvwxyz"
+                 "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
+    punct = list(".,;:!?\"'()[]{}<>-/\\&%$#@*+=~`^_|") + [
+        "...", "--", "''", "``", "n't", "'s", "'re", "'ll", "'ve", "'d",
+        "'m",
+    ]
+    ws = [" ", "  ", "\t"]
+    for _ in range(800):
+        parts = []
+        for _ in range(int(rng.integers(0, 25))):
+            r = rng.random()
+            if r < 0.5:
+                parts.append("".join(
+                    rng.choice(alpha)
+                    for _ in range(int(rng.integers(1, 9)))))
+            elif r < 0.8:
+                parts.append(str(rng.choice(punct)))
+            else:
+                parts.append(str(rng.choice(ws)))
+            if rng.random() < 0.7:
+                parts.append(" ")
+        s = "".join(parts)
+        assert native.ptb_tokenize(s) == tok.tokenize_python(s), repr(s)
+    letters = list("abcdefghijklmnopqrstuvwxyz'")
+    for _ in range(4000):
+        w = "".join(rng.choice(letters)
+                    for _ in range(int(rng.integers(1, 14))))
+        assert native.porter_stem(w) == stem(w), repr(w)
+
+
+@needs_native
+def test_meteor_rouge_native_fuzz_word_soup():
+    """METEOR/ROUGE py-vs-C++ on random word soups (morphological
+    variants, OOV junk, empty hyps/refs) — not just fixture sentences."""
+    vocab = ["cat", "cats", "run", "running", "ran", "dog", "dogs", "play",
+             "played", "playing", "a", "the", "is", "was", "happy",
+             "happiness", "xqz", "qq"]
+    scorer = RougeScorer()
+    rng = np.random.default_rng(7)
+    for _ in range(300):
+        hyp = " ".join(str(rng.choice(vocab))
+                       for _ in range(int(rng.integers(0, 15))))
+        refs = [" ".join(str(rng.choice(vocab))
+                         for _ in range(int(rng.integers(0, 15))))
+                for _ in range(int(rng.integers(1, 4)))]
+        assert native.meteor(hyp, refs) == pytest.approx(
+            meteor_single(hyp, refs), rel=1e-9, abs=1e-12), (hyp, refs)
+        assert native.rouge_l(hyp, refs, scorer.beta) == pytest.approx(
+            scorer.score_single(refs, hyp), rel=1e-9, abs=1e-12), (hyp, refs)
