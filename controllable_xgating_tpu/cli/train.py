@@ -72,7 +72,11 @@ def main(argv=None) -> None:
         state = create_train_state(state.params, cfg, spe)
         mgr = CheckpointManager(ckpt_dir)
     else:
-        state, infos, mgr = restore_or_init(ckpt_dir, cfg, spe, name="last")
+        # fresh-init follows train.seed so --train.seed N produces a
+        # genuinely different run (seed ensembles / checkpoint souping);
+        # restores ignore init values, so resuming is unaffected
+        state, infos, mgr = restore_or_init(ckpt_dir, cfg, spe, name="last",
+                                            init_seed=cfg.train.seed)
         if infos:
             log.info("resuming from %s at step %d", ckpt_dir, int(state.step))
 

@@ -73,6 +73,8 @@ class TrainConfig:
     # equivalent (parity-tested); the default follows the measured winner
     # on TPU (docs/RESULTS.md round 3).
     scst_paired_rollout: bool = False
+    # seeds parameter init (fresh runs), dropout and SCST sampling; vary
+    # it across runs for seed ensembles (tools/average_checkpoints.py)
     seed: int = 1234
     eval_every_epochs: int = 1
     checkpoint_dir: str = "checkpoints"

@@ -134,3 +134,89 @@ def test_controllability_eval_single_and_multi_template(tmp_path, capsys):
     assert (multi["per_template"][0]["controlled_tag_agreement"]
             == single["controlled_tag_agreement"])
     assert 0.0 <= multi["mean_controlled_tag_agreement"] <= 1.0
+
+
+@pytest.mark.slow  # trains two tiny 1-epoch checkpoints first (~60 s)
+def test_average_checkpoints_soup(tmp_path, capsys):
+    """Souping: the tool writes a checkpoint whose every parameter is the
+    (weighted) mean of its members', adopting the members' architecture,
+    and the result drives the caption CLI end-to-end."""
+    import jax
+
+    from controllable_xgating_tpu.cli import caption as cli_caption
+    from controllable_xgating_tpu.cli import prepro as cli_prepro
+    from controllable_xgating_tpu.cli import train as cli_train
+    from controllable_xgating_tpu.cli.common import (
+        adopt_ckpt_model_config, load_corpus, restore_params,
+    )
+    from controllable_xgating_tpu.utils.config import Config
+
+    import average_checkpoints
+
+    d = str(tmp_path / "corpus")
+    cli_prepro.main([
+        "--out", d, "--fixtures", "--fixture_videos", "12",
+        "--fixture_frames", "4", "--fixture_app_dim", "12",
+        "--fixture_motion_dim", "8", "--max_caption_len", "10",
+        "--seqs_per_video", "3",
+    ])
+    small = [
+        "--model.hidden_dim", "16", "--model.embed_dim", "10",
+        "--model.attn_dim", "10", "--model.pos_embed_dim", "10",
+        "--model.num_frames", "4", "--model.dropout", "0.0",
+        "--data.batch_size", "4", "--data.caps_per_video_train", "2",
+        "--eval.max_decode_len", "10",
+    ]
+    for seed, ck in (("0", "a"), ("1", "b")):
+        cli_train.main(["--platform", "cpu", "--data_dir", d,
+                        "--checkpoint_dir", str(tmp_path / ck),
+                        "--stage", "joint", "--epochs", "1",
+                        "--train.seed", seed, *small])
+    capsys.readouterr()
+
+    a = str(tmp_path / "a" / "joint")
+    b = str(tmp_path / "b" / "joint")
+    soup = str(tmp_path / "soup")
+    # NO --model.* flags: architecture must be adopted from member a
+    average_checkpoints.main(
+        ["--data_dir", d, "--inputs", a, f"{b}:best", "--out", soup])
+    report = json.loads(capsys.readouterr().out)
+    assert report["n_inputs"] == 2 and report["weights"] == [0.5, 0.5]
+
+    def leaves(ck_dir):
+        cfg = adopt_ckpt_model_config(ck_dir, Config())
+        _, _, _, cfg = load_corpus(d, cfg)
+        return jax.tree_util.tree_leaves(restore_params(ck_dir, cfg))
+
+    la = leaves(a)
+    lb = leaves(b)
+    ls = leaves(soup)
+    assert any(not np.allclose(x, y) for x, y in zip(la, lb))  # members differ
+    for x, y, s in zip(la, lb, ls):
+        np.testing.assert_allclose(
+            np.asarray(s, np.float32),
+            (np.asarray(x, np.float32) + np.asarray(y, np.float32)) / 2,
+            rtol=1e-6, atol=1e-7)
+
+    # weighted form: soup = 0.25*a + 0.75*b
+    soup_w = str(tmp_path / "soup_w")
+    average_checkpoints.main(
+        ["--data_dir", d, "--inputs", a, b, "--weights", "1,3",
+         "--out", soup_w])
+    capsys.readouterr()
+    lw = leaves(soup_w)
+    np.testing.assert_allclose(
+        np.asarray(lw[0], np.float32),
+        0.25 * np.asarray(la[0], np.float32)
+        + 0.75 * np.asarray(lb[0], np.float32), rtol=1e-6, atol=1e-7)
+
+    # the soup is a first-class checkpoint: caption CLI end-to-end
+    cli_caption.main(["--platform", "cpu", "--data_dir", d,
+                      "--checkpoint_dir", soup, "--video", "video0",
+                      "--use_ckpt_config"])
+    out = json.loads(capsys.readouterr().out)
+    assert isinstance(out["caption"], str)
+
+    with pytest.raises(SystemExit):
+        average_checkpoints.main(
+            ["--data_dir", d, "--inputs", a, "--out", soup])
