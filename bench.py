@@ -317,11 +317,43 @@ def _bench_train_batch(cfg, batch, k, seed=7):
     }
 
 
+def _probe_backend(timeout_s: int = 300) -> None:
+    """Fail fast if the device backend cannot be acquired.
+
+    The axon TPU relay can wedge irrecoverably (observed 2026-08-17:
+    every new client hangs forever inside jax.devices()). Probing in a
+    subprocess with a hard timeout turns an infinite bench hang into a
+    diagnosable one-line failure. The probe is skipped for explicit CPU
+    runs (JAX_PLATFORMS=cpu), which cannot wedge."""
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "beam5_captions_per_sec_per_chip", "value": None,
+            "error": f"device backend unreachable: jax.devices() hung "
+                     f">{timeout_s}s (axon relay wedge — see SURVEY.md "
+                     "§9b); rerun when the relay recovers",
+        }))
+        raise SystemExit(2)
+    except subprocess.CalledProcessError:
+        # backend import errors surface fine in-process; let the real
+        # run produce the actual traceback
+        pass
+
+
 def main() -> None:
     from controllable_xgating_tpu.ops.dispatch import fused_enabled
     from controllable_xgating_tpu.ops.precision import set_compute_dtype
     from controllable_xgating_tpu.utils import roofline
 
+    _probe_backend()
     enable_compile_cache(stream=sys.stderr)
 
     # bf16 matmul operands / f32 accumulation: the MXU-native policy.
