@@ -15,6 +15,14 @@ member at zero inference cost. All inputs must share one architecture
   python tools/average_checkpoints.py --data_dir D \
       --inputs ck/caption:best ck/scst:best --weights 0.7,0.3 --out ck/mix
 
+Averaging is only meaningful for checkpoints that share a training
+trajectory (fine-tunes of one init: XE<->SCST stages, an epoch window,
+same-init runs differing in data order via `--data.shuffle_seed`).
+Independently-initialized runs live in different loss basins and their
+average is WORSE than every member — measured on the fixture corpus
+(docs/RESULTS.md "Checkpoint averaging"); the tool does not try to
+detect this, since infos carry no init fingerprint.
+
 Each input is `<checkpoint_dir>[:<name>]` (name defaults to `best`).
 Architecture knobs are adopted from the FIRST input's saved config, so
 ablation/scaled checkpoints average correctly without re-passing flags;
