@@ -47,6 +47,7 @@ def train_loop(
     jsonl = jsonl or JsonlLogger(echo=False)
     track_metric = track_metric or cfg.train.keep_best_metric
     best_score = -float("inf")
+    epochs_since_improve = 0
     history = []
     # host-side step counter: pulling int(state.step) every step would force
     # a D2H sync that serializes dispatch with device compute and defeats
@@ -82,7 +83,28 @@ def train_loop(
             )
 
             entry = {"epoch": epoch, "loss": mean_loss, "samples_per_sec": samples / dt}
-            if (epoch + 1) % cfg.train.eval_every_epochs == 0 and _is_primary():
+
+            # per-epoch snapshot window ('epoch_<n>' slots, absolute epoch
+            # numbering so resumed runs don't collide) for trajectory
+            # souping via tools/average_checkpoints.py
+            if (ckpt is not None and cfg.train.keep_epoch_snapshots > 0
+                    and _is_primary()):
+                abs_epoch = epoch + start_step // max(steps_per_epoch, 1)
+                snap_state = (
+                    _host_state(state) if _is_multiprocess() else state
+                )
+                ckpt.save(f"epoch_{abs_epoch}", snap_state, {
+                    "epoch": abs_epoch, "step": global_step,
+                    "best_score": None, "metric": track_metric,
+                    **(infos_extra or {}),
+                })
+                drop = abs_epoch - cfg.train.keep_epoch_snapshots
+                if drop >= 0:
+                    ckpt.delete(f"epoch_{drop}")
+
+            stop = False
+            is_eval_epoch = (epoch + 1) % cfg.train.eval_every_epochs == 0
+            if is_eval_epoch and _is_primary():
                 # multi-host: eval + checkpointing are primary-only side
                 # effects; decode runs locally on the primary's devices with
                 # a host copy of the (fully replicated) params. No
@@ -120,6 +142,7 @@ def train_loop(
                     "metric": track_metric,
                     **(infos_extra or {}),
                 }
+                improved = score > best_score
                 if ckpt is not None:
                     # multi-host: orbax writes happen on the primary alone,
                     # from host arrays (a global-array save would demand
@@ -129,10 +152,34 @@ def train_loop(
                         _host_state(state) if _is_multiprocess() else state
                     )
                     ckpt.save_last(save_state, infos)
-                    if score > best_score:
-                        best_score = score
+                    if improved:
                         ckpt.save_best(save_state, infos)
+                if improved:
+                    best_score = score
+                    epochs_since_improve = 0
+                else:
+                    epochs_since_improve += 1
+                stop = (
+                    cfg.train.early_stop_patience > 0
+                    and epochs_since_improve >= cfg.train.early_stop_patience
+                )
+            if (is_eval_epoch and cfg.train.early_stop_patience > 0
+                    and _is_multiprocess()):
+                # the stop decision is made from the primary's eval; every
+                # process must agree or the peers would hang in the next
+                # epoch's collective train steps
+                from jax.experimental import multihost_utils
+
+                stop = bool(multihost_utils.broadcast_one_to_all(
+                    np.asarray(stop)))
             history.append(entry)
+            if stop:
+                log.info(
+                    "early stop at epoch %d: no %s improvement in %d "
+                    "consecutive eval epochs",
+                    epoch, track_metric, cfg.train.early_stop_patience,
+                )
+                break
     finally:
         prefetch.close()
 

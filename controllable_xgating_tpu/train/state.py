@@ -200,6 +200,21 @@ class CheckpointManager:
     def exists(self, name: str) -> bool:
         return os.path.exists(self._path(name) + ".infos.json")
 
+    def delete(self, name: str) -> None:
+        """Remove slot `name` (orbax tree + infos sidecar) if present.
+
+        Used by the train loop's epoch-snapshot retention window; missing
+        slots are a no-op so pruning is idempotent."""
+        import shutil
+
+        path = self._path(name)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        try:
+            os.remove(path + ".infos.json")
+        except FileNotFoundError:
+            pass
+
     def save_best(self, state: TrainState, infos: dict) -> None:
         self.save("best", state, infos)
 

@@ -76,6 +76,12 @@ class TrainConfig:
     # seeds parameter init (fresh runs), dropout and SCST sampling; vary
     # it across runs for seed ensembles (tools/average_checkpoints.py)
     seed: int = 1234
+    # 0 = off; keep the K most recent per-epoch snapshots as 'epoch_<n>'
+    # slots — the trajectory window tools/average_checkpoints.py soups
+    keep_epoch_snapshots: int = 0
+    # 0 = off; stop when the tracked val metric has not improved for N
+    # consecutive eval epochs (counted at eval_every_epochs cadence)
+    early_stop_patience: int = 0
     eval_every_epochs: int = 1
     checkpoint_dir: str = "checkpoints"
     keep_best_metric: str = "CIDEr"

@@ -94,3 +94,60 @@ def test_evaluate_split_mesh_matches_single_device(env):
     with pytest.raises(ValueError, match="divisible"):
         evaluate_split(params, store, labels, info, mesh=mesh,
                        split="val", batch_size=7, max_len=12, max_pos_len=12)
+
+
+def test_epoch_snapshots_and_early_stop(env, tmp_path, monkeypatch):
+    """train.keep_epoch_snapshots retains exactly the last-K 'epoch_<n>'
+    slots (absolute numbering across resumes) and train.early_stop_patience
+    halts the loop once the tracked metric stops improving — with the
+    scripted eval making both behaviors deterministic."""
+    import controllable_xgating_tpu.train.loop as loop_mod
+
+    out, info, labels, store, cfg = env
+    cfg = cfg.replace_flat({"train.keep_epoch_snapshots": 2,
+                            "train.early_stop_patience": 2})
+    params = init_captioner(jax.random.PRNGKey(3), cfg.model)
+    it = TrainBatchIterator(
+        store, labels["caps"], labels["pos"], labels["ncaps"],
+        np.asarray(info.splits["train"]), cfg.data.batch_size,
+        cfg.data.caps_per_video_train, seed=3,
+    )
+    spe = it.steps_per_epoch()
+    state = create_train_state(params, cfg, spe)
+
+    def step_fn(state, batch):  # trivial: no compile, no param change
+        return state, {"loss": np.float32(1.0)}
+
+    scores = iter([1.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0])
+    monkeypatch.setattr(
+        loop_mod, "evaluate_split",
+        lambda *a, **k: ({"CIDEr": next(scores)}, {}))
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    state, result = train_loop(
+        state, step_fn, it, store, labels, info, cfg, epochs=8, ckpt=ckpt)
+    # improves at epochs 0,1; flat at 2,3 -> patience 2 stops after epoch 3
+    assert len(result["history"]) == 4
+    assert result["best"] == 2.0
+    assert not ckpt.exists("epoch_0") and not ckpt.exists("epoch_1")
+    assert ckpt.exists("epoch_2") and ckpt.exists("epoch_3")
+    # a snapshot is a first-class checkpoint
+    template = create_train_state(params, cfg, spe)
+    _, infos3 = ckpt.restore("epoch_3", template)
+    assert infos3["epoch"] == 3
+
+    # resume: absolute epoch numbering continues, window keeps pruning
+    import jax.numpy as jnp
+
+    scores2 = iter([3.0, 3.0, 3.0, 3.0])
+    monkeypatch.setattr(
+        loop_mod, "evaluate_split",
+        lambda *a, **k: ({"CIDEr": next(scores2)}, {}))
+    resumed = state.replace(step=jnp.asarray(4 * spe, jnp.int32))
+    _, result2 = train_loop(
+        resumed, step_fn, it, store, labels, info, cfg, epochs=4, ckpt=ckpt)
+    # improves once (fresh best=-inf), flat twice -> stops after 3 epochs
+    assert len(result2["history"]) == 3
+    for name, present in [("epoch_2", False), ("epoch_3", False),
+                          ("epoch_4", False), ("epoch_5", True),
+                          ("epoch_6", True)]:
+        assert ckpt.exists(name) is present, name
