@@ -139,3 +139,58 @@ def test_coco_annotation_references(tmp_path, capsys):
                "--metrics", "Bleu_4"], capsys)
     assert out["n_scored"] == 2
     assert out["metrics"]["Bleu_1"] == pytest.approx(1.0)
+
+
+def test_bootstrap_ci_and_paired_compare(corpus_dir, tmp_path, capsys):
+    # whole corpus (12 videos), not the tiny test split: a 2-video split
+    # makes same-video-twice resamples common, and a single-video ref
+    # multiset has degenerate idf (CIDEr=0 for everyone, delta 0)
+    gts = cli_score.load_corpus_references(corpus_dir, None)
+    """--bootstrap yields 95% CIs bracketing the point estimate;
+    --compare yields paired deltas with p=1-ish for an identical file and
+    a decisive small p when the comparison is uniformly worse."""
+    cand = {k: v[0] for k, v in gts.items()}
+    cpath = str(tmp_path / "cand.json")
+    json.dump(cand, open(cpath, "w"))
+
+    out = run(["--candidates", cpath, "--data_dir", corpus_dir,
+               "--bootstrap", "60",
+               "--metrics", "CIDEr"], capsys)
+    bs = out["bootstrap"]
+    assert bs["n"] == 60
+    lo, hi = bs["ci95"]["CIDEr"]
+    assert lo <= out["metrics"]["CIDEr"] <= hi and lo < hi
+
+    # identical comparison: every resample delta is exactly 0
+    out = run(["--candidates", cpath, "--data_dir", corpus_dir,
+               "--bootstrap", "40",
+               "--compare", cpath, "--metrics", "CIDEr"], capsys)
+    d = out["compare"]["delta"]["CIDEr"]
+    assert d["mean"] == 0.0 and d["ci95"] == [0.0, 0.0]
+    assert d["p_value"] == pytest.approx(1.0, abs=0.05)
+
+    # uniformly-worse comparison: positive delta, small smoothed p
+    worse = {k: "zzz qqq xxx" for k in cand}
+    wpath = str(tmp_path / "worse.json")
+    json.dump(worse, open(wpath, "w"))
+    out = run(["--candidates", cpath, "--data_dir", corpus_dir,
+               "--bootstrap", "40",
+               "--compare", wpath, "--metrics", "CIDEr"], capsys)
+    d = out["compare"]["delta"]["CIDEr"]
+    assert d["mean"] > 0 and d["ci95"][0] > 0
+    assert d["p_value"] == pytest.approx(2.0 / 41.0, abs=1e-6)
+    assert out["compare"]["metrics"]["CIDEr"] == pytest.approx(0.0, abs=1e-9)
+
+    # key-set mismatch is a loud error
+    partial = dict(list(cand.items())[:-1])
+    ppath = str(tmp_path / "partial.json")
+    json.dump(partial, open(ppath, "w"))
+    with pytest.raises(SystemExit, match="same video ids"):
+        run(["--candidates", cpath, "--data_dir", corpus_dir,
+             "--bootstrap", "5", "--compare", ppath],
+            capsys)
+
+    # --compare without --bootstrap is a usage error
+    with pytest.raises(SystemExit):
+        run(["--candidates", cpath, "--data_dir", corpus_dir,
+             "--compare", cpath], capsys)
