@@ -21,11 +21,14 @@ import numpy as np
 
 from controllable_xgating_tpu.cli.common import (
     add_ckpt_args,
+    add_ensemble_arg,
+    adopt_first_member_config,
     base_parser,
     die,
     load_corpus,
     maybe_adopt_ckpt_config,
     parse_with_overrides,
+    restore_ensemble_params,
     restore_params,
 )
 from controllable_xgating_tpu.data.vocab import pad_encode
@@ -45,10 +48,17 @@ def main(argv=None) -> None:
                         "(multinomial; default is deterministic greedy)")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
+    add_ensemble_arg(p)
     args, cfg = parse_with_overrides(p, argv)
     from controllable_xgating_tpu.cli.common import apply_runtime_flags
 
-    cfg = maybe_adopt_ckpt_config(args, cfg)
+    if args.ensemble:
+        if args.sample:
+            die("--ensemble supports deterministic decoding only "
+                "(drop --sample)")
+        cfg = adopt_first_member_config(args.ensemble, cfg)
+    else:
+        cfg = maybe_adopt_ckpt_config(args, cfg)
     apply_runtime_flags(args, cfg)
 
     info, labels, store, cfg = load_corpus(args.data_dir, cfg)
@@ -60,7 +70,10 @@ def main(argv=None) -> None:
         if unknown:
             die(f"unknown video id(s) {unknown}")
     vidx_list = [info.video_ids.index(v) for v in vids]
-    params = restore_params(args.checkpoint_dir, cfg, name=args.ckpt_name)
+    if args.ensemble:
+        params, _ = restore_ensemble_params(args.ensemble, cfg)
+    else:
+        params = restore_params(args.checkpoint_dir, cfg, name=args.ckpt_name)
 
     app, motion = store.get_batch(np.array(vidx_list))
     frame_mask = store.frame_mask(np.array(vidx_list))
@@ -109,7 +122,17 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
 
     rng = jax.random.PRNGKey(args.seed)
-    tokens, tags_out = run(params, app, motion, frame_mask, pos_tags, rng)
+    if args.ensemble:
+        from controllable_xgating_tpu.infer.ensemble import (
+            make_ensemble_caption_fn,
+        )
+
+        ens_fn = make_ensemble_caption_fn(
+            1, cfg.model.max_pos_len, cfg.eval.max_decode_len
+        )
+        tokens, tags_out = ens_fn(params, app, motion, frame_mask, pos_tags)
+    else:
+        tokens, tags_out = run(params, app, motion, frame_mask, pos_tags, rng)
     tokens = np.asarray(tokens)
     tags_out = np.asarray(tags_out)
     per_vid = n_samples or 1
@@ -125,6 +148,7 @@ def main(argv=None) -> None:
             "controlled": args.pos_tags is not None,
             **({"sampled": True, "temperature": args.temperature}
                if n_samples else {}),
+            **({"ensemble": len(args.ensemble)} if args.ensemble else {}),
         }))
 
 

@@ -228,6 +228,42 @@ def restore_params(ckpt_dir: str, cfg: Config, name: str = "best") -> CaptionerP
     return state.params
 
 
+def add_ensemble_arg(p: "argparse.ArgumentParser") -> None:
+    p.add_argument(
+        "--ensemble", nargs="+", default=None, metavar="CKPT_DIR[:NAME]",
+        help="decode with a log-prob ensemble of 2+ same-architecture "
+             "checkpoints (NAME defaults to 'best'); the first member's "
+             "saved model config is adopted and --checkpoint_dir is "
+             "ignored",
+    )
+
+
+def restore_ensemble_params(specs: list, cfg: Config):
+    """Restore and stack >=2 `<ckpt_dir>[:<name>]` checkpoints into one
+    member-stacked CaptionerParams (infer/ensemble.py). Call after
+    load_corpus; every member goes through the same restore cross-checks
+    (vocab/fusion/pos_guidance) as a single-model run, so an architecture
+    mismatch fails loudly naming the offending member."""
+    from controllable_xgating_tpu.infer.ensemble import stack_params
+
+    if len(specs) < 2:
+        raise SystemExit("error: --ensemble needs at least two checkpoints")
+    members = []
+    for spec in specs:
+        d, _, name = spec.partition(":")
+        members.append(restore_params(d, cfg, name=name or "best"))
+    return stack_params(members), len(members)
+
+
+def adopt_first_member_config(specs: list, cfg: Config) -> Config:
+    """Ensemble runs adopt the first member's saved architecture (like
+    tools/average_checkpoints.py) so dims/fusion/pos_guidance are right
+    without re-passing flags. This replaces any --model.* flags — the
+    members' saved shapes are the only thing that can restore anyway."""
+    d, _, name = specs[0].partition(":")
+    return adopt_ckpt_model_config(d, cfg, name or "best")
+
+
 def die(msg: str) -> None:
     print(f"error: {msg}", file=sys.stderr)
     raise SystemExit(1)

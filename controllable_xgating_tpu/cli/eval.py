@@ -13,11 +13,14 @@ import os
 
 from controllable_xgating_tpu.cli.common import (
     add_ckpt_args,
+    add_ensemble_arg,
+    adopt_first_member_config,
     apply_runtime_flags,
     base_parser,
     maybe_adopt_ckpt_config,
     load_corpus,
     parse_with_overrides,
+    restore_ensemble_params,
     restore_params,
 )
 from controllable_xgating_tpu.infer.evaluator import evaluate_split
@@ -32,24 +35,40 @@ def main(argv=None) -> None:
     p.add_argument("--beam_size", type=int, default=None,
                    help="beam width; 1 or unset = greedy")
     add_ckpt_args(p)
+    add_ensemble_arg(p)
     p.add_argument("--out", default=None, help="output JSON path")
     args, cfg = parse_with_overrides(p, argv)
-    cfg = maybe_adopt_ckpt_config(args, cfg)
+    if args.ensemble:
+        cfg = adopt_first_member_config(args.ensemble, cfg)
+    else:
+        cfg = maybe_adopt_ckpt_config(args, cfg)
     apply_runtime_flags(args, cfg)
 
     info, labels, store, cfg = load_corpus(args.data_dir, cfg)
-    params = restore_params(args.checkpoint_dir, cfg, name=args.ckpt_name)
-
     beam = args.beam_size if args.beam_size is not None else cfg.eval.beam_size
-    caption_fn = None
-    if beam and beam > 1:
-        from controllable_xgating_tpu.infer.beam import make_beam_caption_fn
+    if args.ensemble:
+        from controllable_xgating_tpu.infer.ensemble import (
+            make_ensemble_caption_fn,
+        )
 
-        caption_fn = make_beam_caption_fn(
-            beam, cfg.model.max_pos_len, cfg.eval.max_decode_len,
+        params, n_members = restore_ensemble_params(args.ensemble, cfg)
+        caption_fn = make_ensemble_caption_fn(
+            beam or 1, cfg.model.max_pos_len, cfg.eval.max_decode_len,
             length_penalty=cfg.eval.length_penalty,
             block_unk=cfg.eval.block_unk,
         )
+        log.info("ensemble decode over %d members", n_members)
+    else:
+        params = restore_params(args.checkpoint_dir, cfg, name=args.ckpt_name)
+        caption_fn = None
+        if beam and beam > 1:
+            from controllable_xgating_tpu.infer.beam import make_beam_caption_fn
+
+            caption_fn = make_beam_caption_fn(
+                beam, cfg.model.max_pos_len, cfg.eval.max_decode_len,
+                length_penalty=cfg.eval.length_penalty,
+                block_unk=cfg.eval.block_unk,
+            )
 
     # config 5 for evaluation: shard eval batches over all devices when the
     # batch divides (mirrors cli/train's automatic DP engagement). Guards:
@@ -84,10 +103,16 @@ def main(argv=None) -> None:
             mesh=mesh,
         )
     result = {"split": args.split, "beam_size": beam, "metrics": metrics}
+    if args.ensemble:
+        result["ensemble"] = args.ensemble
     print(json.dumps(result, indent=2))
-    out = args.out or os.path.join(
-        args.checkpoint_dir, f"eval_{args.split}.json"
-    )
+    if args.out:
+        out = args.out
+    elif args.ensemble:
+        first_dir = args.ensemble[0].partition(":")[0]
+        out = os.path.join(first_dir, f"eval_{args.split}_ensemble.json")
+    else:
+        out = os.path.join(args.checkpoint_dir, f"eval_{args.split}.json")
     with open(out, "w") as f:
         json.dump({**result, "captions": captions}, f, indent=2)
     log.info("wrote %s", out)

@@ -46,11 +46,6 @@ from controllable_xgating_tpu.models.decoder import (
 NEG_INF = -1e30
 
 
-def _tile_beam(x: jax.Array, k: int) -> jax.Array:
-    """[B, ...] -> [B*K, ...] repeating each row K times."""
-    return jnp.repeat(x, k, axis=0)
-
-
 _BLOCK = 128  # one TPU lane tile
 
 
@@ -123,11 +118,19 @@ def beam_search(
     early_stop: bool = False,
     topk_mode: str = "grouped",
     vocab_q=None,
+    n_members: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (tokens [B, max_len], scores [B]) for the best beam.
 
     `early_stop=True` uses a while_loop that exits once every beam of every
     video has finished (identical results; big win on trained models).
+
+    `n_members > 0` = ensemble decoding (infer/ensemble.py): `params`,
+    `ctx` and `summary` carry a leading member axis M == n_members; each
+    step vmaps the decoder over members, averages their log-probs, and
+    runs the beam bookkeeping ONCE on the combined distribution — every
+    member's LSTM state is reordered with the same gather indices. The
+    single-model path (n_members=0) is untouched.
 
     `topk_mode` picks the candidate-selection lowering; all three are
     output-identical including tie resolution (pinned by tests):
@@ -148,17 +151,28 @@ def beam_search(
       (docs/RESULTS.md round 3). Kept exact + parity-tested as the
       recorded experiment.
     """
-    b = summary.shape[0]
+    ens = int(n_members or 0)
+    if ens and vocab_q is not None:
+        raise ValueError("vocab_q is not supported for ensemble decoding")
+    b = summary.shape[1] if ens else summary.shape[0]
     k = beam_size
-    v = params.vocab_size
+    # w_out.shape[-1], not params.vocab_size: that property reads shape[1],
+    # which is the hidden dim once a member axis is stacked in front
+    v = params.w_out.shape[-1]
 
+    # tile each video's rows K times; for an ensemble the batch axis is
+    # axis 1 (axis 0 is the member axis)
+    tile = lambda x: jnp.repeat(x, k, axis=1 if ens else 0)
     ctx_k = DecodeContext(
-        enc_proj=_tile_beam(ctx.enc_proj, k),
-        keys=_tile_beam(ctx.keys, k),
-        frame_mask=None if ctx.frame_mask is None else _tile_beam(ctx.frame_mask, k),
-        psi_g=_tile_beam(ctx.psi_g, k),
+        enc_proj=tile(ctx.enc_proj),
+        keys=tile(ctx.keys),
+        frame_mask=None if ctx.frame_mask is None else tile(ctx.frame_mask),
+        psi_g=tile(ctx.psi_g),
     )
-    h, c = init_decoder_state(params, _tile_beam(summary, k))  # [B*K, Hd]
+    if ens:
+        h, c = jax.vmap(init_decoder_state)(params, tile(summary))  # [M, B*K, Hd]
+    else:
+        h, c = init_decoder_state(params, tile(summary))  # [B*K, Hd]
 
     tokens0 = jnp.full((b, k), BOS, jnp.int32)
     # only beam 0 live initially so step 0 yields K distinct first words
@@ -186,19 +200,29 @@ def beam_search(
         # ~4x SLOWER than XLA's fused logits/log_softmax/top_k chain at
         # reference dims, so beam uses the XLA tail even when `fused`
         # (which still routes the attention+cell update through Pallas).
-        logits, h_new, c_new, _ = decode_step(
-            params, ctx_k, tok.reshape(b * k), h, c, fused=fused,
-            vocab_q=vocab_q,
-        )
-        logits = mask_special_tokens(logits.astype(jnp.float32), block_unk)
-        # NOTE: the log_softmax form below is the MEASURED-fastest tail.
-        # Two "fewer-passes" rewrites lost to it on real v5e hardware:
-        # round 1's lse-fold with a PAD-column scatter (-15%), and round
-        # 2's scatter-free lse-fold (cand = logits + (cum - logsumexp),
-        # finished handled by an iota-compare where): 7.3k vs 8.9k
-        # captions/s (-18%). XLA fuses this exact chain into its top_k
-        # custom call better than the hand-folded variants.
-        logp = jax.nn.log_softmax(logits, -1)          # [B*K, V]
+        if ens:
+            from controllable_xgating_tpu.infer.ensemble import combine_logp
+
+            logits_m, h_new, c_new, _ = jax.vmap(
+                lambda p, cx, hh, cc: decode_step(
+                    p, cx, tok.reshape(b * k), hh, cc, fused=fused
+                )
+            )(params, ctx_k, h, c)                     # [M, B*K, V]
+            logp = combine_logp(logits_m, block_unk)   # [B*K, V]
+        else:
+            logits, h_new, c_new, _ = decode_step(
+                params, ctx_k, tok.reshape(b * k), h, c, fused=fused,
+                vocab_q=vocab_q,
+            )
+            logits = mask_special_tokens(logits.astype(jnp.float32), block_unk)
+            # NOTE: the log_softmax form below is the MEASURED-fastest tail.
+            # Two "fewer-passes" rewrites lost to it on real v5e hardware:
+            # round 1's lse-fold with a PAD-column scatter (-15%), and round
+            # 2's scatter-free lse-fold (cand = logits + (cum - logsumexp),
+            # finished handled by an iota-compare where): 7.3k vs 8.9k
+            # captions/s (-18%). XLA fuses this exact chain into its top_k
+            # custom call better than the hand-folded variants.
+            logp = jax.nn.log_softmax(logits, -1)      # [B*K, V]
 
         # finished beams: only PAD continuation, at zero cost
         pad_onehot = (jnp.arange(v)[None, :] == PAD)
@@ -236,10 +260,11 @@ def beam_search(
         hist_g = jnp.take_along_axis(
             hist, beam_idx[:, :, None], axis=1
         )
-        # reorder decoder state: flat index into [B*K]
+        # reorder decoder state: flat index into [B*K] (every ensemble
+        # member's state follows the same beam reordering)
         flat_src = (jnp.arange(b)[:, None] * k + beam_idx).reshape(b * k)
-        h_new = h_new[flat_src]
-        c_new = c_new[flat_src]
+        h_new = h_new[:, flat_src] if ens else h_new[flat_src]
+        c_new = c_new[:, flat_src] if ens else c_new[flat_src]
 
         now_finished = finished_g | (new_tok == EOS)
         emit = jnp.where(finished_g, PAD, new_tok)
