@@ -9,6 +9,10 @@ generator's own prediction.
       --checkpoint_dir checkpoints/caption --video video7
   python -m controllable_xgating_tpu.cli.caption ... \
       --pos_tags "DT NN VBZ VBG NN"
+  python -m controllable_xgating_tpu.cli.caption ... \
+      --beam_size 5            # deterministic beam decode (best beam)
+  python -m controllable_xgating_tpu.cli.caption ... \
+      --nbest 5                # the reference sample_beam's n-best list
 """
 
 from __future__ import annotations
@@ -48,10 +52,21 @@ def main(argv=None) -> None:
                         "(multinomial; default is deterministic greedy)")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--beam_size", type=int, default=0, metavar="K",
+                   help="K>1: beam decode instead of greedy")
+    p.add_argument("--nbest", type=int, default=0, metavar="N",
+                   help="N>0: print the N best beam hypotheses with "
+                        "scores (beam width = max(--beam_size, N, 2))")
     add_ensemble_arg(p)
     args, cfg = parse_with_overrides(p, argv)
     from controllable_xgating_tpu.cli.common import apply_runtime_flags
 
+    if args.sample and (args.beam_size > 1 or args.nbest):
+        die("--sample is mutually exclusive with --beam_size/--nbest")
+    if args.nbest < 0 or args.beam_size < 0:
+        die("--nbest/--beam_size must be >= 0")
+    beam = max(args.beam_size, args.nbest, 2) \
+        if (args.beam_size > 1 or args.nbest) else 0
     if args.ensemble:
         if args.sample:
             die("--ensemble supports deterministic decoding only "
@@ -103,6 +118,7 @@ def main(argv=None) -> None:
             params, app, motion, frame_mask, pos_tags=pos_tags,
             max_pos_len=cfg.model.max_pos_len,
         )
+        scores = None
         if n_samples:
             # one multinomial rollout per (video, sample): tile rows
             # (ctx is a pytree; None leaves like frame_mask pass through)
@@ -113,41 +129,68 @@ def main(argv=None) -> None:
                 params.decoder, jax.tree.map(rep, ctx), rep(summary),
                 cfg.eval.max_decode_len, rng, args.temperature,
             )
+        elif beam:
+            from controllable_xgating_tpu.infer.beam import beam_search
+
+            tokens, scores = beam_search(
+                params.decoder, ctx, summary, beam,
+                cfg.eval.max_decode_len,
+                length_penalty=cfg.eval.length_penalty,
+                block_unk=cfg.eval.block_unk, early_stop=True,
+                return_all=bool(args.nbest),
+            )
         else:
             tokens = greedy_decode(
                 params.decoder, ctx, summary, cfg.eval.max_decode_len
             )
-        return tokens, tags_out
+        return tokens, scores, tags_out
 
     import jax.numpy as jnp
 
     rng = jax.random.PRNGKey(args.seed)
+    scores = None
     if args.ensemble:
         from controllable_xgating_tpu.infer.ensemble import (
             make_ensemble_caption_fn,
         )
 
         ens_fn = make_ensemble_caption_fn(
-            1, cfg.model.max_pos_len, cfg.eval.max_decode_len
+            beam or 1, cfg.model.max_pos_len, cfg.eval.max_decode_len,
+            length_penalty=cfg.eval.length_penalty,
+            block_unk=cfg.eval.block_unk, return_all=bool(args.nbest),
         )
-        tokens, tags_out = ens_fn(params, app, motion, frame_mask, pos_tags)
+        out = ens_fn(params, app, motion, frame_mask, pos_tags)
+        (tokens, scores, tags_out) = out if args.nbest else (out[0], None, out[1])
     else:
-        tokens, tags_out = run(params, app, motion, frame_mask, pos_tags, rng)
+        tokens, scores, tags_out = run(
+            params, app, motion, frame_mask, pos_tags, rng
+        )
     tokens = np.asarray(tokens)
     tags_out = np.asarray(tags_out)
+    if scores is not None:
+        scores = np.asarray(scores)
     per_vid = n_samples or 1
     for row, vid in enumerate(vids):
-        caps = [
-            info.vocab.decode_str(tokens[row * per_vid + s])
-            for s in range(per_vid)
-        ]
+        if args.nbest:  # tokens [B, K, L], scores [B, K], best-first
+            cap_field = {"captions": [
+                {"caption": info.vocab.decode_str(tokens[row, n]),
+                 "score": round(float(scores[row, n]), 4)}
+                for n in range(args.nbest)
+            ]}
+        else:
+            caps = [
+                info.vocab.decode_str(tokens[row * per_vid + s])
+                for s in range(per_vid)
+            ]
+            cap_field = {"caption": caps[0] if not n_samples else caps}
         print(json.dumps({
             "video": vid,
-            "caption": caps[0] if not n_samples else caps,
+            **cap_field,
             "pos_sequence": " ".join(info.pos_vocab.decode(tags_out[row])),
             "controlled": args.pos_tags is not None,
             **({"sampled": True, "temperature": args.temperature}
                if n_samples else {}),
+            **({"beam_size": beam} if beam else {}),
             **({"ensemble": len(args.ensemble)} if args.ensemble else {}),
         }))
 

@@ -119,8 +119,16 @@ def beam_search(
     topk_mode: str = "grouped",
     vocab_q=None,
     n_members: int = 0,
+    return_all: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (tokens [B, max_len], scores [B]) for the best beam.
+
+    `return_all=True` returns the whole beam instead — (tokens
+    [B, K, max_len], scores [B, K]) sorted best-first per video (the
+    reference's `sample_beam` keeps every done beam; SURVEY.md §3.3).
+    The best-finished register competes as a (K+1)-th candidate, masked
+    out when it duplicates a pool row, so row 0 is always exactly the
+    single-best return (ties prefer the pool in both forms).
 
     `early_stop=True` uses a while_loop that exits once every beam of every
     video has finished (identical results; big win on trained models).
@@ -311,6 +319,19 @@ def beam_search(
          ), _ = jax.lax.scan(step, carry0, jnp.arange(max_len))
 
     final = _final_score(cum, lengths)
+    if return_all:
+        # the register hypothesis joins the pool as candidate K+1 unless it
+        # is literally one of the pool rows (then the pool copy wins ties)
+        dup = (hist == reg_tokens[:, None, :]).all(-1).any(1)     # [B]
+        all_scores = jnp.concatenate(
+            [final, jnp.where(dup, NEG_INF, reg_score)[:, None]], axis=1
+        )                                                          # [B, K+1]
+        all_hist = jnp.concatenate([hist, reg_tokens[:, None, :]], axis=1)
+        sorted_scores, order = jax.lax.top_k(all_scores, k)       # [B, K]
+        sorted_tokens = jnp.take_along_axis(
+            all_hist, order[:, :, None], axis=1
+        )                                                          # [B, K, L]
+        return sorted_tokens, sorted_scores
     best = jnp.argmax(final, axis=1)  # [B]
     best_tokens = jnp.take_along_axis(
         hist, best[:, None, None], axis=1
@@ -333,8 +354,12 @@ def make_beam_caption_fn(
     block_unk: bool = False,
     early_stop: bool = True,
     topk_mode: str = "grouped",
+    return_all: bool = False,
 ):
-    """Jitted (params, app, motion) -> (tokens [B, L], pos_tags [B, Lp])."""
+    """Jitted (params, app, motion) -> (tokens [B, L], pos_tags [B, Lp]).
+
+    `return_all=True` -> (tokens [B, K, L], scores [B, K], pos_tags):
+    the full beam, best-first (n-best surface; `cxg-caption --nbest`)."""
 
     from controllable_xgating_tpu.ops.dispatch import fused_enabled
 
@@ -351,11 +376,13 @@ def make_beam_caption_fn(
             params, app, motion, frame_mask, max_pos_len=max_pos_len,
             fused=fused, early_stop=early_stop,
         )
-        tokens, _ = beam_search(
+        tokens, scores = beam_search(
             params.decoder, ctx, summary, beam_size, max_len, length_penalty,
             fused=fused, block_unk=block_unk, early_stop=early_stop,
-            topk_mode=topk_mode,
+            topk_mode=topk_mode, return_all=return_all,
         )
+        if return_all:
+            return tokens, scores, tags
         return tokens, tags
 
     return fn

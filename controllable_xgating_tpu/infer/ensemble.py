@@ -139,6 +139,7 @@ def make_ensemble_caption_fn(
     length_penalty: float = 0.0,
     block_unk: bool = False,
     early_stop: bool = True,
+    return_all: bool = False,
 ):
     """Jitted (stacked_params, app, motion, frame_mask[, pos_tags]) ->
     (tokens [B, L], pos_tags [B, Lp]).
@@ -148,8 +149,12 @@ def make_ensemble_caption_fn(
     Each member encodes the video and free-runs its own POS rollout (its
     psi must match its decoder); the reported tag sequence is member 0's.
     With `pos_tags` (controllability) every member is guided by the same
-    user tags through its own psi projection."""
+    user tags through its own psi projection. `return_all=True` (beam
+    only) -> (tokens [B, K, L], scores [B, K], tags), best-first."""
     from controllable_xgating_tpu.infer.beam import beam_search
+
+    if return_all and not (beam_size and beam_size > 1):
+        raise ValueError("return_all requires beam_size > 1")
 
     @jax.jit
     def fn(
@@ -167,11 +172,14 @@ def make_ensemble_caption_fn(
             )
         )(params_m)
         if beam_size and beam_size > 1:
-            tokens, _ = beam_search(
+            tokens, scores = beam_search(
                 params_m.decoder, ctx_m, summary_m, beam_size, max_len,
                 length_penalty, fused=False, block_unk=block_unk,
                 early_stop=early_stop, n_members=n_members,
+                return_all=return_all,
             )
+            if return_all:
+                return tokens, scores, tags_m[0]
         else:
             tokens = ensemble_greedy_decode(
                 params_m.decoder, ctx_m, summary_m, max_len,

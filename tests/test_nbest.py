@@ -1,0 +1,172 @@
+"""N-best beam output (`beam_search(return_all=True)` + `cxg-caption
+--nbest/--beam_size`).
+
+Anchor properties: row 0 of the n-best list IS the single-best return
+(tokens and score, ties resolved identically), scores are sorted
+best-first, and every row's score equals an independent recomputation of
+that row's sequence log-prob (the same recomputation oracle
+tests/test_beam.py uses for the single-best path).
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controllable_xgating_tpu.data.vocab import BOS, EOS, PAD
+from controllable_xgating_tpu.infer.beam import beam_search
+from controllable_xgating_tpu.models.captioner import (
+    encode_for_inference,
+    init_captioner,
+)
+from controllable_xgating_tpu.utils.config import ModelConfig
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig(
+        app_dim=10, motion_dim=8, hidden_dim=12, embed_dim=8, attn_dim=10,
+        pos_embed_dim=10, vocab_size=20, pos_vocab_size=12, num_frames=4,
+        max_caption_len=8, max_pos_len=8,
+    )
+    key = jax.random.PRNGKey(7)
+    params = init_captioner(key, cfg)
+    app = jax.random.normal(key, (4, 4, 10))
+    mot = jax.random.normal(jax.random.fold_in(key, 1), (4, 4, 8))
+    ctx, summary, _ = encode_for_inference(params, app, mot, max_pos_len=6)
+    return cfg, params, ctx, summary
+
+
+@pytest.mark.parametrize("early", [False, True])
+@pytest.mark.parametrize("mode", ["grouped", "flat"])
+def test_row0_is_single_best(setup, early, mode):
+    cfg, params, ctx, summary = setup
+    s_toks, s_scores = beam_search(
+        params.decoder, ctx, summary, 4, 8, early_stop=early, topk_mode=mode)
+    a_toks, a_scores = beam_search(
+        params.decoder, ctx, summary, 4, 8, early_stop=early, topk_mode=mode,
+        return_all=True)
+    assert a_toks.shape == (4, 4, 8) and a_scores.shape == (4, 4)
+    np.testing.assert_array_equal(np.asarray(a_toks[:, 0]), np.asarray(s_toks))
+    np.testing.assert_allclose(
+        np.asarray(a_scores[:, 0]), np.asarray(s_scores), rtol=1e-6)
+    # best-first ordering
+    s = np.asarray(a_scores)
+    assert (np.diff(s, axis=1) <= 1e-6).all()
+
+
+def test_every_row_score_recomputes(setup):
+    """Each returned hypothesis' score must equal an independent
+    step-by-step recomputation of its log-prob (no length penalty)."""
+    cfg, params, ctx, summary = setup
+    from controllable_xgating_tpu.infer.greedy import mask_special_tokens
+    from controllable_xgating_tpu.models.decoder import (
+        decode_step,
+        init_decoder_state,
+    )
+
+    k = 4
+    a_toks, a_scores = beam_search(
+        params.decoder, ctx, summary, k, 8, return_all=True)
+    a_toks = np.asarray(a_toks)
+
+    def seq_logprob(tokens):  # tokens [B, L] -> [B]
+        h, c = init_decoder_state(params.decoder, summary)
+        tok = jnp.full((4,), BOS, jnp.int32)
+        total = np.zeros(4)
+        alive = np.ones(4, bool)
+        for t in range(tokens.shape[1]):
+            logits, h, c, _ = decode_step(params.decoder, ctx, tok, h, c)
+            logp = jax.nn.log_softmax(
+                mask_special_tokens(logits.astype(jnp.float32)), -1)
+            nxt = tokens[:, t]
+            step_lp = np.asarray(
+                jnp.take_along_axis(logp, jnp.asarray(nxt)[:, None], 1)[:, 0])
+            total += np.where(alive, step_lp, 0.0)
+            alive = alive & (nxt != EOS) & (nxt != PAD)
+            tok = jnp.asarray(nxt)
+        return total
+
+    for n in range(k):
+        np.testing.assert_allclose(
+            np.asarray(a_scores[:, n]), seq_logprob(a_toks[:, n]), rtol=1e-4,
+            err_msg=f"row {n}")
+
+
+def test_rows_are_distinct_hypotheses(setup):
+    """The K rows of a video's n-best list are pairwise distinct token
+    sequences (the pool never duplicates a hypothesis, and the register
+    merge masks its duplicate)."""
+    cfg, params, ctx, summary = setup
+    a_toks, _ = beam_search(
+        params.decoder, ctx, summary, 4, 8, return_all=True)
+    t = np.asarray(a_toks)
+    for b in range(t.shape[0]):
+        rows = {tuple(r) for r in t[b]}
+        assert len(rows) == t.shape[1], t[b]
+
+
+def test_ensemble_nbest_identity(setup):
+    """Identity ensemble ([p, p]) n-best == single-model n-best."""
+    cfg, params, ctx, summary = setup
+    dup = lambda x: jnp.stack([x] * 2)
+    dec_m = jax.tree.map(dup, params.decoder)
+    ctx_m = jax.tree.map(dup, ctx)
+    s_toks, s_scores = beam_search(
+        params.decoder, ctx, summary, 3, 8, return_all=True)
+    e_toks, e_scores = beam_search(
+        dec_m, ctx_m, dup(summary), 3, 8, n_members=2, return_all=True)
+    np.testing.assert_array_equal(np.asarray(e_toks), np.asarray(s_toks))
+    np.testing.assert_allclose(
+        np.asarray(e_scores), np.asarray(s_scores), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_caption_cli_nbest(tmp_path, capsys):
+    """`cxg-caption --nbest 3` prints 3 scored hypotheses whose first row
+    matches the plain `--beam_size 3` caption; `--sample` conflicts."""
+    from controllable_xgating_tpu.cli import caption as cli_caption
+    from controllable_xgating_tpu.cli import prepro as cli_prepro
+    from controllable_xgating_tpu.cli import train as cli_train
+
+    d = str(tmp_path / "corpus")
+    cli_prepro.main([
+        "--out", d, "--fixtures", "--fixture_videos", "10",
+        "--fixture_frames", "5", "--fixture_app_dim", "18",
+        "--fixture_motion_dim", "10", "--max_caption_len", "12",
+        "--seqs_per_video", "4",
+    ])
+    small = [
+        "--model.hidden_dim", "20", "--model.embed_dim", "12",
+        "--model.attn_dim", "12", "--model.pos_embed_dim", "12",
+        "--model.num_frames", "5", "--model.dropout", "0.0",
+        "--data.batch_size", "5", "--data.caps_per_video_train", "2",
+        "--eval.max_decode_len", "12",
+    ]
+    ck = str(tmp_path / "ck")
+    cli_train.main([
+        "--data_dir", d, "--checkpoint_dir", ck, "--stage", "joint",
+        "--epochs", "1", "--train.log_every_steps", "1000", *small,
+    ])
+    capsys.readouterr()
+
+    cli_caption.main(["--data_dir", d, "--checkpoint_dir", ck + "/joint",
+                      "--video", "video0", "--beam_size", "3", *small])
+    best = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert best["beam_size"] == 3 and isinstance(best["caption"], str)
+
+    cli_caption.main(["--data_dir", d, "--checkpoint_dir", ck + "/joint",
+                      "--video", "video0", "--nbest", "3", *small])
+    nb = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    caps = nb["captions"]
+    assert len(caps) == 3
+    assert caps[0]["caption"] == best["caption"]
+    scores = [c["score"] for c in caps]
+    assert scores == sorted(scores, reverse=True)
+
+    with pytest.raises(SystemExit):
+        cli_caption.main(["--data_dir", d, "--checkpoint_dir", ck + "/joint",
+                          "--video", "video0", "--nbest", "3",
+                          "--sample", "2", *small])
