@@ -8,6 +8,8 @@ requests into bucketed device batches (see that module's docstring).
   python -m controllable_xgating_tpu.cli.serve --data_dir D \
       --checkpoint_dir checkpoints/scst --port 8000 \
       --mode beam --buckets 1,4,16,64 --max_wait_ms 5
+  python -m controllable_xgating_tpu.cli.serve --data_dir D \
+      --ensemble CK1 CK2 ...      # serve a checkpoint ensemble
 """
 
 from __future__ import annotations
@@ -16,12 +18,15 @@ import json
 
 from controllable_xgating_tpu.cli.common import (
     add_ckpt_args,
+    add_ensemble_arg,
+    adopt_first_member_config,
     apply_runtime_flags,
     base_parser,
     maybe_adopt_ckpt_config,
     die,
     load_corpus,
     parse_with_overrides,
+    restore_ensemble_params,
     restore_params,
 )
 
@@ -29,7 +34,11 @@ from controllable_xgating_tpu.cli.common import (
 def build_engine(args, cfg, info, store):
     from controllable_xgating_tpu.serve.engine import ServingEngine
 
-    params = restore_params(args.checkpoint_dir, cfg, name=args.ckpt_name)
+    n_members = 0
+    if getattr(args, "ensemble", None):
+        params, n_members = restore_ensemble_params(args.ensemble, cfg)
+    else:
+        params = restore_params(args.checkpoint_dir, cfg, name=args.ckpt_name)
     buckets = tuple(int(b) for b in args.buckets.split(","))
     mesh = None
     n_dev = args.devices or 1
@@ -53,7 +62,7 @@ def build_engine(args, cfg, info, store):
     return ServingEngine(
         params, cfg, info.vocab, info.pos_vocab,
         mode=args.mode, buckets=buckets, max_wait_ms=args.max_wait_ms,
-        mesh=mesh, max_queue=args.max_queue,
+        mesh=mesh, max_queue=args.max_queue, n_members=n_members,
     )
 
 
@@ -78,8 +87,12 @@ def start(argv=None):
     p.add_argument("--max_queue", type=int, default=0,
                    help=">0 = shed load: reject requests (HTTP 503) once "
                         "this many are waiting; 0 = queue unboundedly")
+    add_ensemble_arg(p)
     args, cfg = parse_with_overrides(p, argv)
-    cfg = maybe_adopt_ckpt_config(args, cfg)
+    if args.ensemble:
+        cfg = adopt_first_member_config(args.ensemble, cfg)
+    else:
+        cfg = maybe_adopt_ckpt_config(args, cfg)
     apply_runtime_flags(args, cfg)
 
     info, _, store, cfg = load_corpus(args.data_dir, cfg)

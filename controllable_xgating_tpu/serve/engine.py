@@ -119,6 +119,7 @@ class ServingEngine:
         max_inflight: int = 2,
         mesh=None,
         max_queue: int = 0,
+        n_members: int = 0,
     ):
         """`mesh`: an optional 1-D `jax.sharding.Mesh` — data-parallel
         serving over multiple chips (config 5 for the online path): each
@@ -129,7 +130,13 @@ class ServingEngine:
         EngineOverloaded once that many requests are waiting (load
         shedding — under sustained overload an unbounded queue just turns
         every caller's latency into the backlog drain time; rejecting
-        early lets clients back off / retry elsewhere). 0 = unbounded."""
+        early lets clients back off / retry elsewhere). 0 = unbounded.
+
+        `n_members` > 0 = ensemble serving: `params` is a member-stacked
+        pytree (`infer.ensemble.stack_params`) and every batch decodes
+        with the mean-log-prob ensemble (one program, vmapped members —
+        same path as `cxg-eval --ensemble`). Composes with `mesh`
+        (members replicated, batch sharded)."""
         if mode not in ("greedy", "beam"):
             raise ValueError(f"mode must be greedy|beam, got {mode!r}")
         if not buckets or sorted(buckets) != list(buckets):
@@ -169,7 +176,11 @@ class ServingEngine:
         from controllable_xgating_tpu.ops.dispatch import fused_enabled
         from controllable_xgating_tpu.ops.precision import compute_dtype
 
-        fused = fused_enabled(fused)
+        ens = int(n_members or 0)
+        self.n_members = ens
+        # ensemble members are vmapped; the member axis already batches the
+        # matmuls, which is the fused Pallas cell's job (infer/ensemble.py)
+        fused = False if ens else fused_enabled(fused)
         m = cfg.model
         ev = cfg.eval
         # feed features in the compute dtype: the encoder's first matmul
@@ -184,23 +195,44 @@ class ServingEngine:
             app = app.astype(jnp.float32)
             motion = motion.astype(jnp.float32)
             # the SAME prolog the offline paths use (per-row use_tags mixes
-            # controlled and free-run requests in one batch)
-            ctx, summary, tags_out = encode_for_inference(
-                params, app, motion, frame_mask, pos_tags=pos_tags,
-                max_pos_len=m.max_pos_len, fused=fused, early_stop=True,
-                use_tags=use_tags,
-            )
-            if mode == "greedy":
-                tokens = greedy_decode(
-                    params.decoder, ctx, summary, ev.max_decode_len,
-                    fused=fused, block_unk=ev.block_unk, early_stop=True,
+            # controlled and free-run requests in one batch); for an
+            # ensemble each member runs its own encode/POS rollout
+            if ens:
+                ctx, summary, tags_out_m = jax.vmap(
+                    lambda p: encode_for_inference(
+                        p, app, motion, frame_mask, pos_tags=pos_tags,
+                        max_pos_len=m.max_pos_len, fused=False,
+                        early_stop=True, use_tags=use_tags,
+                    )
+                )(params)
+                tags_out = tags_out_m[0]
+            else:
+                ctx, summary, tags_out = encode_for_inference(
+                    params, app, motion, frame_mask, pos_tags=pos_tags,
+                    max_pos_len=m.max_pos_len, fused=fused, early_stop=True,
+                    use_tags=use_tags,
                 )
+            if mode == "greedy":
+                if ens:
+                    from controllable_xgating_tpu.infer.ensemble import (
+                        ensemble_greedy_decode,
+                    )
+
+                    tokens = ensemble_greedy_decode(
+                        params.decoder, ctx, summary, ev.max_decode_len,
+                        block_unk=ev.block_unk, early_stop=True,
+                    )
+                else:
+                    tokens = greedy_decode(
+                        params.decoder, ctx, summary, ev.max_decode_len,
+                        fused=fused, block_unk=ev.block_unk, early_stop=True,
+                    )
                 scores = jnp.zeros((tokens.shape[0],), jnp.float32)
             else:
                 tokens, scores = beam_search(
                     params.decoder, ctx, summary, ev.beam_size,
                     ev.max_decode_len, ev.length_penalty, fused=fused,
-                    block_unk=ev.block_unk, early_stop=True,
+                    block_unk=ev.block_unk, early_stop=True, n_members=ens,
                 )
             # one packed int32 output = one D2H transfer at completion
             return jnp.concatenate([
@@ -506,6 +538,7 @@ class ServingEngine:
         rows = n_req + n_pad
         return {
             "mode": self.mode,
+            "ensemble_members": self.n_members,
             "buckets": list(self.buckets),
             "requests": n_req,
             "batches": n_bat,

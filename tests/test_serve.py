@@ -466,3 +466,36 @@ def test_load_shedding(setup):
         assert eng.stats()["rejected"] == rejected
     finally:
         eng.close()
+
+
+def test_ensemble_serving_identity(setup):
+    """An engine serving a [p, p] identity ensemble produces exactly the
+    single-model engine's captions (mean log-prob of identical members is
+    exact), and a genuine 2-member stack serves deterministically."""
+    from controllable_xgating_tpu.infer.ensemble import stack_params
+    from controllable_xgating_tpu.models.captioner import init_captioner
+
+    cfg, params, vocab, pos_vocab, feats = setup
+    reqs = [(feats[0], None), (feats[1], ["DT", "NN", "VBZ"]), (feats[2], None)]
+
+    def run_engine(p, n_members):
+        with ServingEngine(p, cfg, vocab, pos_vocab, mode="greedy",
+                           buckets=(4,), max_wait_ms=30.0,
+                           n_members=n_members) as eng:
+            futs = [eng.submit(a, m, pos_tags=t) for (a, m), t in reqs]
+            out = [f.result(timeout=120) for f in futs]
+            stats = eng.stats()
+        return out, stats
+
+    single, _ = run_engine(params, 0)
+    ens, stats = run_engine(stack_params([params, params]), 2)
+    assert stats["ensemble_members"] == 2
+    for s, e in zip(single, ens):
+        assert e.caption == s.caption
+        assert e.pos_sequence == s.pos_sequence
+
+    p1 = init_captioner(jax.random.PRNGKey(9), cfg.model)
+    two_a, _ = run_engine(stack_params([params, p1]), 2)
+    two_b, _ = run_engine(stack_params([params, p1]), 2)
+    for a, b in zip(two_a, two_b):
+        assert a.caption == b.caption
