@@ -125,6 +125,9 @@ def test_length_penalty_changes_selection_shape(setup):
     assert t0.shape == t1.shape
 
 
+@pytest.mark.slow  # 26 s: full grouped/flat/block cross-mode identity;
+# the fast lane keeps per-mode correctness via test_nbest's parametrized
+# row-0 checks and test_block_topk_* for the block path
 def test_topk_modes_match_flat(setup):
     """Every candidate-selection lowering must be output-identical to the
     flat [B, K*V] top_k pool, including score and tie resolution — both

@@ -113,6 +113,8 @@ def test_identity_ensemble_beam(setup):
         np.asarray(e_scores), np.asarray(s_scores), rtol=1e-5)
 
 
+@pytest.mark.slow  # 12 s of jit; the fast lane keeps the greedy/beam
+# identity anchors (test_identity_ensemble_{greedy,beam})
 def test_identity_full_caption_fn(setup):
     """The end-to-end jitted ensemble fn (vmapped encode + decode) over
     identical members matches the single-model greedy and beam paths."""

@@ -7,6 +7,7 @@ exactly (kernel vs jnp path), the quantization error is bounded by the
 per-column scale, and the `vocab_q` decode hook still works end to end.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -72,6 +73,7 @@ def test_quantized_logits_close_to_f32():
     assert np.mean(np.argmax(quant, -1) == np.argmax(exact, -1)) > 0.9
 
 
+@pytest.mark.slow  # 13 s; exercises the measured-REJECTED int8 experiment
 def test_greedy_decode_hook_quantized_close():
     """The decode_step `vocab_q` hook: quantized greedy agrees with the
     f32 decode on the overwhelming majority of steps (random small model;

@@ -468,6 +468,8 @@ def test_load_shedding(setup):
         eng.close()
 
 
+@pytest.mark.slow  # 16 s: three engine builds; the decode identity is
+# fast-lane-covered in tests/test_ensemble.py
 def test_ensemble_serving_identity(setup):
     """An engine serving a [p, p] identity ensemble produces exactly the
     single-model engine's captions (mean log-prob of identical members is
