@@ -63,6 +63,7 @@ def build_engine(args, cfg, info, store):
         params, cfg, info.vocab, info.pos_vocab,
         mode=args.mode, buckets=buckets, max_wait_ms=args.max_wait_ms,
         mesh=mesh, max_queue=args.max_queue, n_members=n_members,
+        nbest=args.nbest,
     )
 
 
@@ -87,6 +88,9 @@ def start(argv=None):
     p.add_argument("--max_queue", type=int, default=0,
                    help=">0 = shed load: reject requests (HTTP 503) once "
                         "this many are waiting; 0 = queue unboundedly")
+    p.add_argument("--nbest", type=int, default=0,
+                   help="beam mode only: every response carries the N "
+                        "best scored hypotheses (N <= eval.beam_size)")
     add_ensemble_arg(p)
     args, cfg = parse_with_overrides(p, argv)
     if args.ensemble:

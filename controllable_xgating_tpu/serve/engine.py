@@ -74,6 +74,9 @@ class CaptionResult:
     score: Optional[float]  # beam logprob (None for greedy)
     latency_ms: float
     batch_size: int  # bucket the request rode in
+    # engine nbest>0 only: the full scored beam, best-first; nbest[0] is
+    # always (caption, score)
+    nbest: Optional[list] = None
 
 
 class EngineOverloaded(RuntimeError):
@@ -120,6 +123,7 @@ class ServingEngine:
         mesh=None,
         max_queue: int = 0,
         n_members: int = 0,
+        nbest: int = 0,
     ):
         """`mesh`: an optional 1-D `jax.sharding.Mesh` — data-parallel
         serving over multiple chips (config 5 for the online path): each
@@ -136,9 +140,21 @@ class ServingEngine:
         pytree (`infer.ensemble.stack_params`) and every batch decodes
         with the mean-log-prob ensemble (one program, vmapped members —
         same path as `cxg-eval --ensemble`). Composes with `mesh`
-        (members replicated, batch sharded)."""
+        (members replicated, batch sharded).
+
+        `nbest` > 0 (beam mode only, <= eval.beam_size): every result
+        additionally carries the `nbest` best hypotheses with scores
+        (`CaptionResult.nbest`, best-first; the packed D2H transfer grows
+        by (nbest-1) token rows + nbest scores per request)."""
         if mode not in ("greedy", "beam"):
             raise ValueError(f"mode must be greedy|beam, got {mode!r}")
+        if nbest:
+            if mode != "beam":
+                raise ValueError("nbest requires mode='beam'")
+            if not 0 < nbest <= cfg.eval.beam_size:
+                raise ValueError(
+                    f"nbest must be in [1, eval.beam_size={cfg.eval.beam_size}]"
+                )
         if not buckets or sorted(buckets) != list(buckets):
             raise ValueError("buckets must be a non-empty ascending sequence")
         if mesh is not None:
@@ -178,6 +194,7 @@ class ServingEngine:
 
         ens = int(n_members or 0)
         self.n_members = ens
+        self._nbest = int(nbest or 0)
         # ensemble members are vmapped; the member axis already batches the
         # matmuls, which is the fused Pallas cell's job (infer/ensemble.py)
         fused = False if ens else fused_enabled(fused)
@@ -233,13 +250,22 @@ class ServingEngine:
                     params.decoder, ctx, summary, ev.beam_size,
                     ev.max_decode_len, ev.length_penalty, fused=fused,
                     block_unk=ev.block_unk, early_stop=True, n_members=ens,
+                    return_all=bool(nbest),
                 )
+                if nbest:
+                    # [B, K, L] best-first -> keep the nbest rows; flatten
+                    # into the packed row so completion stays one D2H
+                    tokens = tokens[:, :nbest].reshape(
+                        tokens.shape[0], nbest * ev.max_decode_len)
+                    scores = scores[:, :nbest]
             # one packed int32 output = one D2H transfer at completion
+            score_cols = (
+                scores if scores.ndim == 2 else scores[:, None]
+            ).astype(jnp.float32)
             return jnp.concatenate([
                 tokens,
                 tags_out,
-                jax.lax.bitcast_convert_type(
-                    scores.astype(jnp.float32), jnp.int32)[:, None],
+                jax.lax.bitcast_convert_type(score_cols, jnp.int32),
             ], axis=1)
 
         if mesh is None:
@@ -473,6 +499,7 @@ class ServingEngine:
 
     def _completion_loop(self) -> None:
         max_len = self.cfg.eval.max_decode_len
+        nb = max(self._nbest, 1)  # packed row: nb*L tokens | tags | nb scores
         while True:
             item = self._completion.get()
             if item is None:
@@ -480,9 +507,9 @@ class ServingEngine:
             batch, packed, bucket = item
             try:
                 packed = np.asarray(packed)  # the one blocking D2H
-                tokens = packed[:, :max_len]
-                tags_out = packed[:, max_len:-1]
-                scores = packed[:, -1].view(np.float32)
+                tokens = packed[:, : nb * max_len]
+                tags_out = packed[:, nb * max_len:-nb]
+                scores = packed[:, -nb:].view(np.float32)
                 t_done = time.monotonic()
                 n = len(batch)
                 with self._lock:
@@ -492,15 +519,26 @@ class ServingEngine:
                     for r in batch:
                         self._lat.append(t_done - r.t_submit)
                 for i, r in enumerate(batch):
+                    nbest_list = None
+                    if self._nbest:
+                        rows = tokens[i].reshape(nb, max_len)
+                        nbest_list = [
+                            (self.vocab.decode_str(rows[n]),
+                             float(scores[i, n]))
+                            for n in range(nb)
+                        ]
                     r.future.set_result(CaptionResult(
-                        caption=self.vocab.decode_str(tokens[i]),
+                        caption=(nbest_list[0][0] if nbest_list
+                                 else self.vocab.decode_str(tokens[i])),
                         pos_sequence=" ".join(
                             self.pos_vocab.decode(tags_out[i])),
                         controlled=r.pos_tags is not None,
-                        score=(float(scores[i]) if self.mode == "beam"
-                               else None),
+                        score=(float(nbest_list[0][1]) if nbest_list
+                               else float(scores[i, 0])
+                               if self.mode == "beam" else None),
                         latency_ms=(t_done - r.t_submit) * 1e3,
                         batch_size=bucket,
+                        nbest=nbest_list,
                     ))
             except BaseException as e:  # noqa: BLE001 — to the callers
                 for r in batch:
@@ -539,6 +577,7 @@ class ServingEngine:
         return {
             "mode": self.mode,
             "ensemble_members": self.n_members,
+            "nbest": self._nbest,
             "buckets": list(self.buckets),
             "requests": n_req,
             "batches": n_bat,

@@ -6,7 +6,8 @@ Endpoints (JSON in/out):
                   {"app": [[...]], "motion": [[...]],    — raw features
                    "nframes": 12, "pos_tags": "DT NN VBZ"}
                   -> {"caption", "pos_sequence", "controlled", "score",
-                      "latency_ms", "batch_size"}
+                      "latency_ms", "batch_size"[, "nbest": [{caption,
+                      score}...] when the engine runs with nbest>0]}
   GET  /healthz   -> {"ok": true}
   GET  /stats     -> ServingEngine.stats()
 
@@ -142,6 +143,9 @@ def make_handler(engine: ServingEngine, store: Optional[FeatureStore],
                     "score": res.score,
                     "latency_ms": res.latency_ms,
                     "batch_size": res.batch_size,
+                    **({"nbest": [
+                        {"caption": c, "score": s} for c, s in res.nbest
+                    ]} if res.nbest else {}),
                 })
             except EngineOverloaded as e:
                 self._send(503, {"error": str(e), "retry": True})

@@ -501,3 +501,31 @@ def test_ensemble_serving_identity(setup):
     two_b, _ = run_engine(stack_params([params, p1]), 2)
     for a, b in zip(two_a, two_b):
         assert a.caption == b.caption
+
+
+def test_nbest_serving(setup):
+    """Engine nbest=2 (beam mode): results carry 2 scored best-first
+    hypotheses, nbest[0] == (caption, score), and the best caption matches
+    the nbest=0 engine exactly. Greedy+nbest and nbest>beam_size reject."""
+    cfg, params, vocab, pos_vocab, feats = setup
+    with pytest.raises(ValueError, match="beam"):
+        ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy", nbest=2)
+    with pytest.raises(ValueError, match="beam_size"):
+        ServingEngine(params, cfg, vocab, pos_vocab, mode="beam",
+                      nbest=cfg.eval.beam_size + 1)
+
+    def captions(nbest):
+        with ServingEngine(params, cfg, vocab, pos_vocab, mode="beam",
+                           buckets=(2,), max_wait_ms=30.0,
+                           nbest=nbest) as eng:
+            futs = [eng.submit(a, m) for a, m in feats[:2]]
+            return [f.result(timeout=120) for f in futs]
+
+    plain = captions(0)
+    nb = captions(2)
+    for p0, r in zip(plain, nb):
+        assert len(r.nbest) == 2
+        assert r.nbest[0] == (r.caption, r.score)
+        assert r.caption == p0.caption
+        assert abs(r.score - p0.score) < 1e-5
+        assert r.nbest[0][1] >= r.nbest[1][1]
