@@ -26,11 +26,10 @@ import numpy as np
 from controllable_xgating_tpu.cli.common import (
     add_ckpt_args,
     add_ensemble_arg,
-    adopt_first_member_config,
+    adopt_run_config,
     base_parser,
     die,
     load_corpus,
-    maybe_adopt_ckpt_config,
     parse_with_overrides,
     restore_ensemble_params,
     restore_params,
@@ -67,13 +66,10 @@ def main(argv=None) -> None:
         die("--nbest/--beam_size must be >= 0")
     beam = max(args.beam_size, args.nbest, 2) \
         if (args.beam_size > 1 or args.nbest) else 0
-    if args.ensemble:
-        if args.sample:
-            die("--ensemble supports deterministic decoding only "
-                "(drop --sample)")
-        cfg = adopt_first_member_config(args.ensemble, cfg)
-    else:
-        cfg = maybe_adopt_ckpt_config(args, cfg)
+    if args.ensemble and args.sample:
+        die("--ensemble supports deterministic decoding only "
+            "(drop --sample)")
+    cfg = adopt_run_config(args, cfg)
     apply_runtime_flags(args, cfg)
 
     info, labels, store, cfg = load_corpus(args.data_dir, cfg)
@@ -141,7 +137,8 @@ def main(argv=None) -> None:
             )
         else:
             tokens = greedy_decode(
-                params.decoder, ctx, summary, cfg.eval.max_decode_len
+                params.decoder, ctx, summary, cfg.eval.max_decode_len,
+                block_unk=cfg.eval.block_unk,
             )
         return tokens, scores, tags_out
 

@@ -238,6 +238,17 @@ def add_ensemble_arg(p: "argparse.ArgumentParser") -> None:
     )
 
 
+def split_ckpt_spec(spec: str) -> tuple:
+    """`<ckpt_dir>[:<name>]` -> (dir, name). Splits on the LAST colon,
+    and only when the suffix contains no '/' (a path separator after the
+    colon means the colon belongs to the directory path itself, e.g.
+    `runs/2026:aug/ck1`)."""
+    d, sep, name = spec.rpartition(":")
+    if sep and "/" not in name:
+        return d, (name or "best")
+    return spec, "best"
+
+
 def restore_ensemble_params(specs: list, cfg: Config):
     """Restore and stack >=2 `<ckpt_dir>[:<name>]` checkpoints into one
     member-stacked CaptionerParams (infer/ensemble.py). Call after
@@ -247,21 +258,24 @@ def restore_ensemble_params(specs: list, cfg: Config):
     from controllable_xgating_tpu.infer.ensemble import stack_params
 
     if len(specs) < 2:
-        raise SystemExit("error: --ensemble needs at least two checkpoints")
+        die("--ensemble needs at least two checkpoints")
     members = []
     for spec in specs:
-        d, _, name = spec.partition(":")
-        members.append(restore_params(d, cfg, name=name or "best"))
+        d, name = split_ckpt_spec(spec)
+        members.append(restore_params(d, cfg, name=name))
     return stack_params(members), len(members)
 
 
-def adopt_first_member_config(specs: list, cfg: Config) -> Config:
-    """Ensemble runs adopt the first member's saved architecture (like
-    tools/average_checkpoints.py) so dims/fusion/pos_guidance are right
-    without re-passing flags. This replaces any --model.* flags — the
-    members' saved shapes are the only thing that can restore anyway."""
-    d, _, name = specs[0].partition(":")
-    return adopt_ckpt_model_config(d, cfg, name or "best")
+def adopt_run_config(args, cfg: Config) -> Config:
+    """Resolve the run's architecture config: ensemble runs always adopt
+    the FIRST member's saved model config (like
+    tools/average_checkpoints.py — the members' saved shapes are the only
+    thing that can restore anyway, so --model.* flags are replaced);
+    single-checkpoint runs follow --use_ckpt_config as before."""
+    if getattr(args, "ensemble", None):
+        d, name = split_ckpt_spec(args.ensemble[0])
+        return adopt_ckpt_model_config(d, cfg, name)
+    return maybe_adopt_ckpt_config(args, cfg)
 
 
 def die(msg: str) -> None:

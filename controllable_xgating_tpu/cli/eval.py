@@ -14,14 +14,14 @@ import os
 from controllable_xgating_tpu.cli.common import (
     add_ckpt_args,
     add_ensemble_arg,
-    adopt_first_member_config,
+    adopt_run_config,
     apply_runtime_flags,
     base_parser,
-    maybe_adopt_ckpt_config,
     load_corpus,
     parse_with_overrides,
     restore_ensemble_params,
     restore_params,
+    split_ckpt_spec,
 )
 from controllable_xgating_tpu.infer.evaluator import evaluate_split
 from controllable_xgating_tpu.utils.logging import get_logger
@@ -38,10 +38,7 @@ def main(argv=None) -> None:
     add_ensemble_arg(p)
     p.add_argument("--out", default=None, help="output JSON path")
     args, cfg = parse_with_overrides(p, argv)
-    if args.ensemble:
-        cfg = adopt_first_member_config(args.ensemble, cfg)
-    else:
-        cfg = maybe_adopt_ckpt_config(args, cfg)
+    cfg = adopt_run_config(args, cfg)
     apply_runtime_flags(args, cfg)
 
     info, labels, store, cfg = load_corpus(args.data_dir, cfg)
@@ -60,13 +57,23 @@ def main(argv=None) -> None:
         log.info("ensemble decode over %d members", n_members)
     else:
         params = restore_params(args.checkpoint_dir, cfg, name=args.ckpt_name)
-        caption_fn = None
         if beam and beam > 1:
             from controllable_xgating_tpu.infer.beam import make_beam_caption_fn
 
             caption_fn = make_beam_caption_fn(
                 beam, cfg.model.max_pos_len, cfg.eval.max_decode_len,
                 length_penalty=cfg.eval.length_penalty,
+                block_unk=cfg.eval.block_unk,
+            )
+        else:
+            from controllable_xgating_tpu.infer.evaluator import (
+                make_greedy_caption_fn,
+            )
+
+            # explicit (not evaluate_split's default) so eval.block_unk
+            # reaches the greedy path like it does beam/ensemble
+            caption_fn = make_greedy_caption_fn(
+                cfg.model.max_pos_len, cfg.eval.max_decode_len,
                 block_unk=cfg.eval.block_unk,
             )
 
@@ -109,7 +116,7 @@ def main(argv=None) -> None:
     if args.out:
         out = args.out
     elif args.ensemble:
-        first_dir = args.ensemble[0].partition(":")[0]
+        first_dir = split_ckpt_spec(args.ensemble[0])[0]
         out = os.path.join(first_dir, f"eval_{args.split}_ensemble.json")
     else:
         out = os.path.join(args.checkpoint_dir, f"eval_{args.split}.json")

@@ -19,10 +19,9 @@ import json
 from controllable_xgating_tpu.cli.common import (
     add_ckpt_args,
     add_ensemble_arg,
-    adopt_first_member_config,
+    adopt_run_config,
     apply_runtime_flags,
     base_parser,
-    maybe_adopt_ckpt_config,
     die,
     load_corpus,
     parse_with_overrides,
@@ -93,11 +92,16 @@ def start(argv=None):
                         "best scored hypotheses (N <= eval.beam_size)")
     add_ensemble_arg(p)
     args, cfg = parse_with_overrides(p, argv)
-    if args.ensemble:
-        cfg = adopt_first_member_config(args.ensemble, cfg)
-    else:
-        cfg = maybe_adopt_ckpt_config(args, cfg)
+    cfg = adopt_run_config(args, cfg)
     apply_runtime_flags(args, cfg)
+    if args.nbest:
+        # validate HERE (the engine re-checks) so flag errors print the
+        # CLI's uniform "error: ..." instead of a ValueError traceback
+        if args.mode != "beam":
+            die("--nbest requires --mode beam")
+        if args.nbest > cfg.eval.beam_size:
+            die(f"--nbest {args.nbest} exceeds eval.beam_size "
+                f"{cfg.eval.beam_size}")
 
     info, _, store, cfg = load_corpus(args.data_dir, cfg)
     engine = build_engine(args, cfg, info, store)

@@ -29,21 +29,26 @@ from controllable_xgating_tpu.metrics.harness import (
 
 
 def make_greedy_caption_fn(
-    max_pos_len: int, max_len: int, fused=None, early_stop: bool = True
+    max_pos_len: int, max_len: int, fused=None, early_stop: bool = True,
+    block_unk: bool = False,
 ):
     """Jitted (params, app, motion) -> (tokens [B, L], pos_tags [B, Lp]).
 
-    Memoized on the resolved (max_pos_len, max_len, fused, early_stop)
-    tuple so repeated callers (the train loop evaluates every epoch) reuse
-    one jitted closure instead of recompiling the whole decode program.
+    Memoized on the resolved (max_pos_len, max_len, fused, early_stop,
+    block_unk) tuple so repeated callers (the train loop evaluates every
+    epoch) reuse one jitted closure instead of recompiling the whole
+    decode program.
     """
     from controllable_xgating_tpu.ops.dispatch import fused_enabled
 
-    return _cached_greedy_fn(max_pos_len, max_len, fused_enabled(fused), early_stop)
+    return _cached_greedy_fn(
+        max_pos_len, max_len, fused_enabled(fused), early_stop, block_unk
+    )
 
 
 @functools.lru_cache(maxsize=16)
-def _cached_greedy_fn(max_pos_len: int, max_len: int, fused: bool, early_stop: bool):
+def _cached_greedy_fn(max_pos_len: int, max_len: int, fused: bool,
+                      early_stop: bool, block_unk: bool = False):
     @jax.jit
     def fn(
         params: CaptionerParams,
@@ -57,7 +62,7 @@ def _cached_greedy_fn(max_pos_len: int, max_len: int, fused: bool, early_stop: b
         )
         tokens = greedy_decode(
             params.decoder, ctx, summary, max_len, fused=fused,
-            early_stop=early_stop,
+            early_stop=early_stop, block_unk=block_unk,
         )
         return tokens, tags
 

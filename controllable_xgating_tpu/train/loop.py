@@ -229,4 +229,7 @@ def _make_select_caption_fn(cfg: Config):
         )
     from controllable_xgating_tpu.infer.evaluator import make_greedy_caption_fn
 
-    return make_greedy_caption_fn(cfg.model.max_pos_len, cfg.eval.max_decode_len)
+    return make_greedy_caption_fn(
+        cfg.model.max_pos_len, cfg.eval.max_decode_len,
+        block_unk=cfg.eval.block_unk,
+    )

@@ -96,6 +96,14 @@ def test_identity_ensemble_greedy(setup):
         ens = np.asarray(ensemble_greedy_decode(
             dec_m, ctx_m, summary_m, 8, early_stop=early))
         np.testing.assert_array_equal(ens, single)
+    # the identity must also hold under block_unk (review r3: the single
+    # greedy paths used to drop eval.block_unk while the ensemble honored
+    # it, silently breaking this exact contract at the CLI)
+    single_bu = np.asarray(
+        greedy_decode(p0.decoder, ctx, summary, 8, block_unk=True))
+    ens_bu = np.asarray(ensemble_greedy_decode(
+        dec_m, ctx_m, summary_m, 8, block_unk=True))
+    np.testing.assert_array_equal(ens_bu, single_bu)
 
 
 def test_identity_ensemble_beam(setup):
