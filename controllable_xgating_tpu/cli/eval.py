@@ -36,6 +36,13 @@ def main(argv=None) -> None:
                    help="beam width; 1 or unset = greedy")
     add_ckpt_args(p)
     add_ensemble_arg(p)
+    p.add_argument("--nbest", type=int, default=0, metavar="N",
+                   help="N>0: n-best evaluation — score rank-0 AND the "
+                        "per-video oracle over the top-N beam hypotheses "
+                        "(the reranking-headroom diagnostic); beam width "
+                        "= max(--beam_size, N, 2)")
+    p.add_argument("--oracle_metric", default="CIDErD",
+                   help="per-video metric the --nbest oracle maximizes")
     p.add_argument("--out", default=None, help="output JSON path")
     args, cfg = parse_with_overrides(p, argv)
     cfg = adopt_run_config(args, cfg)
@@ -43,6 +50,8 @@ def main(argv=None) -> None:
 
     info, labels, store, cfg = load_corpus(args.data_dir, cfg)
     beam = args.beam_size if args.beam_size is not None else cfg.eval.beam_size
+    if args.nbest:
+        beam = max(beam or 0, args.nbest, 2)
     if args.ensemble:
         from controllable_xgating_tpu.infer.ensemble import (
             make_ensemble_caption_fn,
@@ -52,7 +61,7 @@ def main(argv=None) -> None:
         caption_fn = make_ensemble_caption_fn(
             beam or 1, cfg.model.max_pos_len, cfg.eval.max_decode_len,
             length_penalty=cfg.eval.length_penalty,
-            block_unk=cfg.eval.block_unk,
+            block_unk=cfg.eval.block_unk, return_all=bool(args.nbest),
         )
         log.info("ensemble decode over %d members", n_members)
     else:
@@ -63,7 +72,7 @@ def main(argv=None) -> None:
             caption_fn = make_beam_caption_fn(
                 beam, cfg.model.max_pos_len, cfg.eval.max_decode_len,
                 length_penalty=cfg.eval.length_penalty,
-                block_unk=cfg.eval.block_unk,
+                block_unk=cfg.eval.block_unk, return_all=bool(args.nbest),
             )
         else:
             from controllable_xgating_tpu.infer.evaluator import (
@@ -99,17 +108,38 @@ def main(argv=None) -> None:
     from controllable_xgating_tpu.utils.profiling import profile_trace
 
     with profile_trace(args.profile):
-        metrics, captions = evaluate_split(
-            params, store, labels, info,
-            split=args.split,
-            batch_size=cfg.data.batch_size,
-            max_len=cfg.eval.max_decode_len,
-            max_pos_len=cfg.model.max_pos_len,
-            caption_fn=caption_fn,
-            metrics=cfg.eval.metrics,
-            mesh=mesh,
-        )
+        if args.nbest:
+            from controllable_xgating_tpu.infer.evaluator import (
+                evaluate_split_nbest,
+            )
+
+            metrics, oracle, lists = evaluate_split_nbest(
+                params, store, labels, info, caption_fn, args.nbest,
+                split=args.split,
+                batch_size=cfg.data.batch_size,
+                metrics=cfg.eval.metrics,
+                oracle_metric=args.oracle_metric,
+            )
+            captions = {
+                v: [{"caption": c, "score": s} for c, s in l]
+                for v, l in lists.items()
+            }
+        else:
+            metrics, captions = evaluate_split(
+                params, store, labels, info,
+                split=args.split,
+                batch_size=cfg.data.batch_size,
+                max_len=cfg.eval.max_decode_len,
+                max_pos_len=cfg.model.max_pos_len,
+                caption_fn=caption_fn,
+                metrics=cfg.eval.metrics,
+                mesh=mesh,
+            )
     result = {"split": args.split, "beam_size": beam, "metrics": metrics}
+    if args.nbest:
+        result["nbest"] = args.nbest
+        result["oracle_metric"] = args.oracle_metric
+        result["oracle_metrics"] = oracle
     if args.ensemble:
         result["ensemble"] = args.ensemble
     print(json.dumps(result, indent=2))

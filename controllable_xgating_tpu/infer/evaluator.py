@@ -130,3 +130,81 @@ def evaluate_split(
     )
     scored = language_eval(gts, res, metrics=metrics)
     return scored, {k: v[0] for k, v in res.items()}
+
+
+def evaluate_split_nbest(
+    params: CaptionerParams,
+    store: FeatureStore,
+    labels: dict,
+    info: CorpusInfo,
+    caption_fn,
+    nbest: int,
+    split: str = "val",
+    batch_size: int = 64,
+    metrics=None,
+    oracle_metric: str = "CIDErD",
+) -> tuple[dict, dict, dict]:
+    """N-best evaluation with oracle headroom (the reranking diagnostic).
+
+    `caption_fn` must be a `return_all=True` decoder — (params, app,
+    motion, frame_mask) -> (tokens [B, K, L], scores [B, K], tags) — e.g.
+    `make_beam_caption_fn(..., return_all=True)`. Returns
+    (metrics_of_rank0, oracle_metrics, {video_id: [(caption, score), ...]}).
+
+    The oracle picks, per video, the hypothesis among its top-`nbest` that
+    maximizes the video's own `oracle_metric` against the references, then
+    scores that selection as a corpus — the upper bound a perfect reranker
+    of this n-best list could reach. The gap between the two metric dicts
+    is the list's headroom (reranking literature's standard diagnostic;
+    the reference's sample_beam exposes the same list, it just never
+    measured this).
+    """
+    if nbest < 1:
+        raise ValueError("nbest must be >= 1")
+    indices = np.asarray(info.splits[split], np.int64)
+    if len(indices) == 0:
+        raise ValueError(f"split {split!r} is empty")
+
+    lists: dict[str, list] = {}
+    for batch in eval_batches(store, indices, batch_size):
+        tokens, scores, _ = caption_fn(
+            params, batch["app"], batch["motion"], batch.get("frame_mask"),
+        )
+        tokens = np.asarray(tokens)      # [B, K, L] best-first
+        scores = np.asarray(scores)      # [B, K]
+        if nbest > tokens.shape[1]:
+            raise ValueError(
+                f"nbest {nbest} exceeds the decoded beam {tokens.shape[1]}"
+            )
+        for row in range(batch["num_valid"]):
+            vid = info.video_ids[int(batch["video_indices"][row])]
+            lists[vid] = [
+                (info.vocab.decode_str(tokens[row, n]),
+                 float(scores[row, n]))
+                for n in range(nbest)
+            ]
+
+    keys = [info.video_ids[i] for i in indices]
+    gts = gts_from_label_array(
+        info.vocab, labels["caps"][indices], labels["ncaps"][indices], keys
+    )
+    best = language_eval(
+        gts, {v: [l[0][0]] for v, l in lists.items()}, metrics=metrics
+    )
+    # per-rank per-video oracle_metric, then per-video argmax over ranks
+    per_rank: list[dict] = []
+    for n in range(nbest):
+        _, detail = language_eval(
+            gts, {v: [l[n][0]] for v, l in lists.items()},
+            metrics=[oracle_metric], per_key=True,
+        )
+        per_rank.append(detail)
+    pick = {
+        v: max(range(nbest),
+               key=lambda n: per_rank[n][v].get(oracle_metric, 0.0))
+        for v in lists
+    }
+    oracle = language_eval(
+        gts, {v: [lists[v][pick[v]][0]] for v in lists}, metrics=metrics
+    )
+    return best, oracle, lists

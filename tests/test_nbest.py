@@ -170,3 +170,58 @@ def test_caption_cli_nbest(tmp_path, capsys):
         cli_caption.main(["--data_dir", d, "--checkpoint_dir", ck + "/joint",
                           "--video", "video0", "--nbest", "3",
                           "--sample", "2", *small])
+
+
+@pytest.mark.slow
+def test_eval_cli_nbest_oracle(tmp_path, capsys):
+    """`cxg-eval --nbest 3`: rank-0 metrics match a plain --beam_size 3
+    eval, the oracle dominates rank-0 on the oracle metric (per-video max
+    >= rank-0, and corpus CIDEr-D is the per-video mean), and the captions
+    payload carries scored lists."""
+    from controllable_xgating_tpu.cli import eval as cli_eval
+    from controllable_xgating_tpu.cli import prepro as cli_prepro
+    from controllable_xgating_tpu.cli import train as cli_train
+
+    d = str(tmp_path / "corpus")
+    cli_prepro.main([
+        "--out", d, "--fixtures", "--fixture_videos", "10",
+        "--fixture_frames", "5", "--fixture_app_dim", "18",
+        "--fixture_motion_dim", "10", "--max_caption_len", "12",
+        "--seqs_per_video", "4",
+    ])
+    small = [
+        "--model.hidden_dim", "20", "--model.embed_dim", "12",
+        "--model.attn_dim", "12", "--model.pos_embed_dim", "12",
+        "--model.num_frames", "5", "--model.dropout", "0.0",
+        "--data.batch_size", "5", "--data.caps_per_video_train", "2",
+        "--eval.max_decode_len", "12",
+    ]
+    ck = str(tmp_path / "ck")
+    cli_train.main([
+        "--data_dir", d, "--checkpoint_dir", ck, "--stage", "joint",
+        "--epochs", "1", "--train.log_every_steps", "1000", *small,
+    ])
+    capsys.readouterr()
+
+    cli_eval.main(["--data_dir", d, "--checkpoint_dir", ck + "/joint",
+                   "--split", "test", "--beam_size", "3",
+                   "--out", str(tmp_path / "plain.json"), *small])
+    out = capsys.readouterr().out
+    plain = json.JSONDecoder().raw_decode(out, out.index("{"))[0]
+
+    cli_eval.main(["--data_dir", d, "--checkpoint_dir", ck + "/joint",
+                   "--split", "test", "--beam_size", "3", "--nbest", "3",
+                   "--out", str(tmp_path / "nb.json"), *small])
+    out = capsys.readouterr().out
+    nb = json.JSONDecoder().raw_decode(out, out.index("{"))[0]
+
+    assert nb["nbest"] == 3 and nb["beam_size"] == 3
+    for m, v in plain["metrics"].items():
+        assert abs(nb["metrics"][m] - v) < 1e-9, m
+    assert nb["oracle_metrics"]["CIDErD"] >= nb["metrics"]["CIDErD"] - 1e-9
+    saved = json.load(open(tmp_path / "nb.json"))
+    lists = saved["captions"]
+    row = next(iter(lists.values()))
+    assert len(row) == 3 and {"caption", "score"} <= set(row[0])
+    assert saved["captions"][next(iter(lists))][0]["caption"] == \
+        next(c for c in [row[0]["caption"]])
