@@ -108,6 +108,28 @@ def test_rows_are_distinct_hypotheses(setup):
         assert len(rows) == t.shape[1], t[b]
 
 
+def test_sequence_scorer_matches_beam_scores(setup):
+    """infer/score.sequence_logprob teacher-forces a hypothesis and must
+    reproduce the beam's own cumulative score for every rank (same
+    special-token masking, EOS-inclusive length convention)."""
+    from controllable_xgating_tpu.infer.score import sequence_logprob
+
+    cfg, params, ctx, summary = setup
+    key = jax.random.PRNGKey(7)
+    app = jax.random.normal(key, (4, 4, 10))
+    mot = jax.random.normal(jax.random.fold_in(key, 1), (4, 4, 8))
+    toks, scores = beam_search(
+        params.decoder, ctx, summary, 4, 8, return_all=True)
+    toks, scores = np.asarray(toks), np.asarray(scores)
+    for n in range(4):
+        lp, ln = sequence_logprob(
+            params, app, mot, None, jnp.asarray(toks[:, n]), max_pos_len=6)
+        np.testing.assert_allclose(
+            np.asarray(lp), scores[:, n], rtol=2e-4, err_msg=f"rank {n}")
+        expected_len = [(r != PAD).sum() for r in toks[:, n]]
+        np.testing.assert_array_equal(np.asarray(ln), expected_len)
+
+
 def test_ensemble_nbest_identity(setup):
     """Identity ensemble ([p, p]) n-best == single-model n-best."""
     cfg, params, ctx, summary = setup
@@ -225,3 +247,56 @@ def test_eval_cli_nbest_oracle(tmp_path, capsys):
     assert len(row) == 3 and {"caption", "score"} <= set(row[0])
     assert saved["captions"][next(iter(lists))][0]["caption"] == \
         next(c for c in [row[0]["caption"]])
+
+
+@pytest.mark.slow
+def test_rerank_tool(tmp_path, capsys):
+    """tools/rerank.py end to end on tiny fixtures: tuned val objective
+    never falls below rank-0 (identity weights are in the search), the
+    scorer features flow, and the output JSON carries all three metric
+    dicts with oracle >= rank-0."""
+    import tools.rerank as rerank
+    from controllable_xgating_tpu.cli import prepro as cli_prepro
+    from controllable_xgating_tpu.cli import train as cli_train
+
+    d = str(tmp_path / "corpus")
+    cli_prepro.main([
+        "--out", d, "--fixtures", "--fixture_videos", "12",
+        "--fixture_frames", "5", "--fixture_app_dim", "18",
+        "--fixture_motion_dim", "10", "--max_caption_len", "12",
+        "--seqs_per_video", "4",
+    ])
+    small = [
+        "--model.hidden_dim", "20", "--model.embed_dim", "12",
+        "--model.attn_dim", "12", "--model.pos_embed_dim", "12",
+        "--model.num_frames", "5", "--model.dropout", "0.0",
+        "--data.batch_size", "6", "--data.caps_per_video_train", "2",
+        "--eval.max_decode_len", "12",
+    ]
+    cks = []
+    for seed in ("0", "1"):
+        ck = str(tmp_path / f"ck{seed}")
+        cli_train.main([
+            "--data_dir", d, "--checkpoint_dir", ck, "--stage", "joint",
+            "--epochs", "1", "--train.seed", seed,
+            "--train.log_every_steps", "1000", *small,
+        ])
+        cks.append(ck + "/joint")
+    capsys.readouterr()
+
+    out = tmp_path / "rerank.json"
+    rerank.main([
+        "--data_dir", d, "--checkpoint_dir", cks[0],
+        "--rescore", cks[1], "--nbest", "3", "--trials", "300",
+        "--out", str(out), *small,
+    ])
+    capsys.readouterr()
+    r = json.loads(out.read_text())
+    assert r["features"] == ["beam_logprob", "length", f"rescore:{cks[1]}"]
+    assert len(r["weights"]) == 3
+    assert r["tune_reranked"] >= r["tune_rank0"] - 1e-12
+    assert r["metrics_oracle"]["CIDErD"] >= \
+        r["metrics_rank0"]["CIDErD"] - 1e-9
+    assert 0.0 <= r["picked_nonzero_rank"] <= 1.0
+    for key in ("metrics_rank0", "metrics_reranked", "metrics_oracle"):
+        assert "CIDEr" in r[key]

@@ -43,11 +43,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_inputs(specs: list[str]) -> list[tuple[str, str]]:
-    out = []
-    for spec in specs:
-        d, _, name = spec.partition(":")
-        out.append((d, name or "best"))
-    return out
+    from controllable_xgating_tpu.cli.common import split_ckpt_spec
+
+    return [split_ckpt_spec(spec) for spec in specs]
 
 
 def average_params(params_list, weights):
