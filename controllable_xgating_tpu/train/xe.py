@@ -28,17 +28,29 @@ from controllable_xgating_tpu.train.state import (
 from controllable_xgating_tpu.utils.config import Config
 
 
-def masked_xe_sum(logits: jax.Array, targets: jax.Array) -> jax.Array:
-    """Summed NLL over non-PAD target positions (see masked_xe_loss)."""
+def masked_xe_sum(
+    logits: jax.Array, targets: jax.Array, label_smoothing: float = 0.0
+) -> jax.Array:
+    """Summed NLL over non-PAD target positions (see masked_xe_loss).
+
+    `label_smoothing` eps > 0 mixes in the uniform-target cross entropy:
+    (1-eps)*(lse - logit[target]) + eps*(lse - mean(logits)) — identical
+    to smoothing the one-hot target over the full vocab, still without
+    materializing a [B, L, V] log-prob array."""
     logits = logits.astype(jnp.float32)
     lse = jax.nn.logsumexp(logits, axis=-1)
     tgt = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
     nll = lse - tgt
+    if label_smoothing > 0.0:
+        uniform = lse - logits.mean(axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * uniform
     mask = (targets != PAD).astype(jnp.float32)
     return (nll * mask).sum()
 
 
-def masked_xe_loss(logits: jax.Array, targets: jax.Array) -> jax.Array:
+def masked_xe_loss(
+    logits: jax.Array, targets: jax.Array, label_smoothing: float = 0.0
+) -> jax.Array:
     """Mean NLL over non-PAD target positions.
 
     logits [B, L, V] predicts targets [B, L] (already shifted by caller).
@@ -47,7 +59,9 @@ def masked_xe_loss(logits: jax.Array, targets: jax.Array) -> jax.Array:
     array is ~1.4 GB of HBM write+read per step.
     """
     mask_count = (targets != PAD).sum().astype(jnp.float32)
-    return masked_xe_sum(logits, targets) / jnp.maximum(mask_count, 1.0)
+    return masked_xe_sum(logits, targets, label_smoothing) / jnp.maximum(
+        mask_count, 1.0
+    )
 
 
 def _repeat_k(x: jax.Array, k: int) -> jax.Array:
@@ -62,12 +76,16 @@ def xe_losses(
     dropout_rate: float,
     remat: bool = False,
     reduction: str = "mean",
+    label_smoothing: float = 0.0,
 ) -> tuple[jax.Array, dict]:
     """Caption + POS XE on a train batch with caps [B, K, L].
 
     `reduction="sum"` returns UN-normalized token-NLL sums — the form
     gradient accumulation needs (micro-batch sums divided by the GLOBAL
-    token counts add up exactly to the full-batch mean)."""
+    token counts add up exactly to the full-batch mean).
+    `label_smoothing` applies to the CAPTION term only (the POS tagset is
+    ~35 labels with hard supervision; smoothing it is not the published
+    technique)."""
     app, motion = batch["app"], batch["motion"]
     caps, pos = batch["caps"], batch["pos"]
     frame_mask = batch.get("frame_mask")
@@ -97,7 +115,7 @@ def xe_losses(
         params.decoder, ctx, summary_k, caps_flat, rngs[1], dropout_rate,
         remat=remat,
     )
-    cap_loss = reduce(cap_logits, caps_flat[:, 1:])
+    cap_loss = reduce(cap_logits, caps_flat[:, 1:], label_smoothing)
     return cap_loss, pos_loss
 
 
@@ -117,9 +135,12 @@ def make_xe_train_step(
     dropout_rate = cfg.model.dropout
     remat = cfg.train.remat
     accum = max(int(getattr(cfg.train, "accum_steps", 1)), 1)
+    smooth = float(getattr(cfg.train, "label_smoothing", 0.0))
 
     def loss_fn(params, batch, rng):
-        cap_loss, pos_loss = xe_losses(params, batch, rng, dropout_rate, remat)
+        cap_loss, pos_loss = xe_losses(
+            params, batch, rng, dropout_rate, remat, label_smoothing=smooth
+        )
         total = cap_w * cap_loss + pos_w * pos_loss
         return total, {"cap_loss": cap_loss, "pos_loss": pos_loss}
 
@@ -151,7 +172,8 @@ def make_xe_train_step(
 
         def micro_loss(params, mb, r):
             cap_sum, pos_sum = xe_losses(
-                params, mb, r, dropout_rate, remat, reduction="sum"
+                params, mb, r, dropout_rate, remat, reduction="sum",
+                label_smoothing=smooth,
             )
             total = cap_w * cap_sum / cap_n + pos_w * pos_sum / pos_n
             return total, {"cap_loss": cap_sum / cap_n,

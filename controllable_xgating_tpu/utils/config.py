@@ -73,6 +73,11 @@ class TrainConfig:
     # equivalent (parity-tested); the default follows the measured winner
     # on TPU (docs/RESULTS.md round 3).
     scst_paired_rollout: bool = False
+    # 0 = off (the reference's plain NLL). >0 = uniform label smoothing on
+    # the CAPTION XE term only (extension, not in the reference): loss =
+    # (1-eps)*NLL(target) + eps*mean_v NLL(v), computed in lse form so no
+    # [B, L, V] log-prob array is materialized
+    label_smoothing: float = 0.0
     # seeds parameter init (fresh runs), dropout and SCST sampling; vary
     # it across runs for seed ensembles (tools/average_checkpoints.py)
     seed: int = 1234

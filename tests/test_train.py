@@ -223,3 +223,69 @@ def test_grad_accumulation_divisibility_error(fixture_env):
     step = make_xe_train_step(tx, c, stage="joint", donate=False)
     with pytest.raises(ValueError, match="divisible"):
         step(state, batch)
+
+
+def test_label_smoothing_math():
+    """The lse-form smoothed loss equals the explicit smoothed-one-hot
+    cross entropy -sum_v q_v log p_v with q = (1-eps)*onehot + eps/V."""
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(3, 6, 11)).astype(np.float32))
+    targets = jnp.asarray(rng.integers(1, 11, (3, 6)).astype(np.int32))
+    targets = targets.at[0, 4:].set(PAD).at[1, 2:].set(PAD)
+    eps = 0.2
+    got = masked_xe_loss(logits, targets, label_smoothing=eps)
+
+    logp = np.asarray(jax.nn.log_softmax(logits, -1), np.float64)
+    v = logp.shape[-1]
+    q = np.full_like(logp, eps / v)
+    for b in range(3):
+        for t in range(6):
+            q[b, t, int(targets[b, t])] += 1.0 - eps
+    nll = -(q * logp).sum(-1)
+    mask = np.asarray(targets != PAD, np.float64)
+    want = (nll * mask).sum() / mask.sum()
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+    # eps=0 is the plain NLL
+    np.testing.assert_allclose(
+        float(masked_xe_loss(logits, targets)),
+        float(masked_xe_loss(logits, targets, label_smoothing=0.0)))
+
+
+def test_label_smoothing_train_step(fixture_env):
+    """train.label_smoothing reaches the jitted step (loss shifts but
+    training still reduces it), and accumulation stays exact under it."""
+    out, info, labels, store, cfg = fixture_env
+    batch = next(iter(_make_iter(info, labels, store, cfg)))
+
+    def one_step(cfg):
+        params = init_captioner(jax.random.PRNGKey(0), cfg.model)
+        tx = make_optimizer(cfg, steps_per_epoch=10)
+        state = create_train_state(params, cfg, steps_per_epoch=10)
+        step = make_xe_train_step(tx, cfg, stage="joint")
+        new_state, m = step(state, batch)
+        return new_state, m
+
+    cfg_s = cfg.replace_flat({"train.label_smoothing": 0.1})
+    _, ms = one_step(cfg_s)
+    # the step's loss must equal a direct smoothed recomputation (the knob
+    # actually reaches the jitted step; at init logits are near-uniform so
+    # a direction-of-change assert would be noise)
+    from controllable_xgating_tpu.train.xe import xe_losses
+
+    params0 = init_captioner(jax.random.PRNGKey(0), cfg.model)
+    cap, pos = xe_losses(params0, batch, None, 0.0, label_smoothing=0.1)
+    np.testing.assert_allclose(
+        float(ms["loss"]), float(cap + pos), rtol=2e-5)
+
+    cfg_a = cfg.replace_flat(
+        {"train.label_smoothing": 0.1, "train.accum_steps": 2})
+    sa, ma = one_step(cfg_a)
+    sb, mb = one_step(cfg_s)
+    np.testing.assert_allclose(
+        float(ma["loss"]), float(mb["loss"]), rtol=2e-5)
+    leaves_a = jax.tree_util.tree_leaves(sa.params)
+    leaves_b = jax.tree_util.tree_leaves(sb.params)
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(
+            np.asarray(la, np.float32), np.asarray(lb, np.float32),
+            atol=3e-5)
