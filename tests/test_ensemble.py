@@ -234,3 +234,40 @@ def test_ensemble_cli_surface(tmp_path, capsys):
                       "--ensemble", *cks])
     cap = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert cap["ensemble"] == 2 and isinstance(cap["caption"], str)
+
+
+def test_evaluate_split_mesh_ensemble_matches_single_device(tmp_path):
+    """Ensemble eval over a mesh == unsharded ensemble eval (the cli/eval
+    auto-DP path with stacked params: members replicated, batch sharded)."""
+    from controllable_xgating_tpu.data.corpus import load_labels
+    from controllable_xgating_tpu.data.features import FeatureStore
+    from controllable_xgating_tpu.data.fixtures import make_fixture_corpus
+    from controllable_xgating_tpu.infer.evaluator import evaluate_split
+    from controllable_xgating_tpu.parallel.mesh import make_mesh
+    from controllable_xgating_tpu.utils.config import Config
+
+    out = str(tmp_path / "corpus")
+    info = make_fixture_corpus(
+        out, num_videos=16, num_frames=4, app_dim=10, motion_dim=8,
+        caps_per_video=3, seqs_per_video=4, max_caption_len=10, seed=5,
+    )
+    labels = load_labels(out)
+    store = FeatureStore(out + "/features.h5", num_frames=4)
+    cfg = Config().replace_flat({
+        "model.app_dim": 10, "model.motion_dim": 8, "model.hidden_dim": 12,
+        "model.embed_dim": 8, "model.attn_dim": 10, "model.pos_embed_dim": 10,
+        "model.vocab_size": len(info.vocab),
+        "model.pos_vocab_size": len(info.pos_vocab),
+        "model.num_frames": 4, "model.max_caption_len": 10,
+        "model.max_pos_len": 10, "model.dropout": 0.0,
+    })
+    stacked = stack_params([
+        init_captioner(jax.random.PRNGKey(0), cfg.model),
+        init_captioner(jax.random.PRNGKey(1), cfg.model),
+    ])
+    fn = make_ensemble_caption_fn(3, 10, 10)
+    kw = dict(split="val", batch_size=8, caption_fn=fn)
+    m1, c1 = evaluate_split(stacked, store, labels, info, **kw)
+    m8, c8 = evaluate_split(stacked, store, labels, info,
+                            mesh=make_mesh(8), **kw)
+    assert c8 == c1 and m8 == m1

@@ -529,3 +529,27 @@ def test_nbest_serving(setup):
         assert r.caption == p0.caption
         assert abs(r.score - p0.score) < 1e-5
         assert r.nbest[0][1] >= r.nbest[1][1]
+
+
+def test_mesh_ensemble_serving_matches_single_device(setup):
+    """The claimed composition: ensemble serving over an 8-virtual-device
+    mesh (members replicated, batch sharded) captions identically to the
+    unsharded ensemble engine."""
+    from controllable_xgating_tpu.infer.ensemble import stack_params
+    from controllable_xgating_tpu.models.captioner import init_captioner
+    from controllable_xgating_tpu.parallel.mesh import make_mesh
+
+    cfg, params, vocab, pos_vocab, feats = setup
+    p1 = init_captioner(jax.random.PRNGKey(11), cfg.model)
+    stacked = stack_params([params, p1])
+
+    def run(mesh):
+        with ServingEngine(stacked, cfg, vocab, pos_vocab, mode="greedy",
+                           buckets=(8,), max_wait_ms=40.0, mesh=mesh,
+                           n_members=2) as eng:
+            futs = [eng.submit(*feats[i % len(feats)],
+                               pos_tags=["DT", "NN"] if i == 2 else None)
+                    for i in range(5)]
+            return [f.result(timeout=120).caption for f in futs]
+
+    assert run(make_mesh(8)) == run(None)
