@@ -42,20 +42,53 @@ class TrainState(struct.PyTreeNode):
 def make_optimizer(
     cfg: Config, steps_per_epoch: int, stage: str = "joint"
 ) -> optax.GradientTransformation:
-    """Adam + global-norm clip + epoch-staircase lr decay (reference
-    schedule shape: decay lr by `lr_decay_rate` every
-    `lr_decay_every_epochs`). The POS stage uses its own base lr
+    """Adam + global-norm clip + the configured lr schedule
+    (`make_lr_schedule`). The POS stage uses its own base lr
     (`train.pos_lr`, mirroring the reference's per-stage opts modules)."""
-    schedule = optax.exponential_decay(
-        init_value=cfg.train.pos_lr if stage == "pos" else cfg.train.lr,
-        transition_steps=max(cfg.train.lr_decay_every_epochs * steps_per_epoch, 1),
-        decay_rate=cfg.train.lr_decay_rate,
-        staircase=True,
-    )
     return optax.chain(
         optax.clip_by_global_norm(cfg.train.grad_clip),
-        optax.adam(schedule),
+        optax.adam(make_lr_schedule(cfg, steps_per_epoch, stage)),
     )
+
+
+def make_lr_schedule(
+    cfg: Config, steps_per_epoch: int, stage: str = "joint"
+) -> optax.Schedule:
+    """step -> lr(step). Default `train.lr_schedule='step'` is the
+    reference's shape — epoch-staircase decay by `lr_decay_rate` every
+    `lr_decay_every_epochs`; `'cosine'` anneals over `train.epochs` to
+    `lr * lr_final_frac`. `warmup_epochs > 0` prepends a linear 0 -> lr
+    ramp (both extensions default off = reference behavior)."""
+    base_lr = cfg.train.pos_lr if stage == "pos" else cfg.train.lr
+    kind = getattr(cfg.train, "lr_schedule", "step")
+    if kind == "step":
+        schedule = optax.exponential_decay(
+            init_value=base_lr,
+            transition_steps=max(
+                cfg.train.lr_decay_every_epochs * steps_per_epoch, 1
+            ),
+            decay_rate=cfg.train.lr_decay_rate,
+            staircase=True,
+        )
+    elif kind == "cosine":
+        schedule = optax.cosine_decay_schedule(
+            init_value=base_lr,
+            decay_steps=max(cfg.train.epochs * steps_per_epoch, 1),
+            alpha=float(getattr(cfg.train, "lr_final_frac", 0.01)),
+        )
+    else:
+        raise ValueError(
+            f"train.lr_schedule must be 'step' or 'cosine', got {kind!r}"
+        )
+    warmup = float(getattr(cfg.train, "warmup_epochs", 0.0))
+    if warmup > 0.0:
+        wsteps = max(int(warmup * steps_per_epoch), 1)
+        schedule = optax.join_schedules(
+            [optax.linear_schedule(0.0, base_lr, wsteps),
+             schedule],
+            boundaries=[wsteps],
+        )
+    return schedule
 
 
 def stage_grad_mask(params: CaptionerParams, stage: str) -> CaptionerParams:

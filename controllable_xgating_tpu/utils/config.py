@@ -62,6 +62,14 @@ class TrainConfig:
     lr: float = 4e-4  # REFERENCE_TBD
     lr_decay_rate: float = 0.8  # REFERENCE_TBD
     lr_decay_every_epochs: int = 3  # REFERENCE_TBD
+    # 'step' = the reference's epoch-staircase exponential decay;
+    # 'cosine' = cosine anneal over train.epochs to lr*lr_final_frac
+    # (extension, not in the reference)
+    lr_schedule: str = "step"
+    # warmup from 0 over this many epochs before either schedule
+    # (0 = off, the reference behavior; fractional epochs allowed)
+    warmup_epochs: float = 0.0
+    lr_final_frac: float = 0.01  # cosine floor, as a fraction of lr
     grad_clip: float = 5.0  # REFERENCE_TBD (torch-era clip_grad norm)
     epochs: int = 50
     scst_start_epoch: int = -1  # -1 = pure XE; >=0 switches to SCST

@@ -289,3 +289,39 @@ def test_label_smoothing_train_step(fixture_env):
         np.testing.assert_allclose(
             np.asarray(la, np.float32), np.asarray(lb, np.float32),
             atol=3e-5)
+
+
+def test_lr_schedules(fixture_env):
+    """step (reference shape), cosine, and warmup behave as specified;
+    unknown names fail loudly."""
+    from controllable_xgating_tpu.train.state import make_lr_schedule
+
+    out, info, labels, store, cfg = fixture_env
+    spe = 10
+    step = make_lr_schedule(cfg, spe)
+    lr0 = cfg.train.lr
+    np.testing.assert_allclose(float(step(0)), lr0)
+    n = cfg.train.lr_decay_every_epochs * spe
+    np.testing.assert_allclose(float(step(n - 1)), lr0)
+    np.testing.assert_allclose(float(step(n)), lr0 * cfg.train.lr_decay_rate,
+                               rtol=1e-6)
+
+    ccfg = cfg.replace_flat({"train.lr_schedule": "cosine",
+                             "train.epochs": 4, "train.lr_final_frac": 0.1})
+    cos = make_lr_schedule(ccfg, spe)
+    np.testing.assert_allclose(float(cos(0)), lr0)
+    np.testing.assert_allclose(float(cos(4 * spe)), lr0 * 0.1, rtol=1e-5)
+    assert float(cos(2 * spe)) < lr0  # monotone anneal in between
+
+    wcfg = ccfg.replace_flat({"train.warmup_epochs": 1.0})
+    warm = make_lr_schedule(wcfg, spe)
+    assert float(warm(0)) == 0.0
+    np.testing.assert_allclose(float(warm(spe)), lr0, rtol=1e-6)
+    assert float(warm(spe // 2)) < lr0
+
+    with pytest.raises(ValueError, match="lr_schedule"):
+        make_lr_schedule(cfg.replace_flat({"train.lr_schedule": "nope"}), spe)
+
+    # pos stage keeps its own base lr under every schedule
+    pos = make_lr_schedule(ccfg, spe, stage="pos")
+    np.testing.assert_allclose(float(pos(0)), cfg.train.pos_lr)
