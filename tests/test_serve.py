@@ -553,3 +553,27 @@ def test_mesh_ensemble_serving_matches_single_device(setup):
             return [f.result(timeout=120).caption for f in futs]
 
     assert run(make_mesh(8)) == run(None)
+
+
+def test_ensemble_nbest_serving(setup):
+    """Ensemble x nbest composition in the engine: a [p, p] identity
+    ensemble with nbest=2 returns the same scored list as the
+    single-model nbest engine."""
+    from controllable_xgating_tpu.infer.ensemble import stack_params
+
+    cfg, params, vocab, pos_vocab, feats = setup
+
+    def run(p, n_members):
+        with ServingEngine(p, cfg, vocab, pos_vocab, mode="beam",
+                           buckets=(2,), max_wait_ms=30.0, nbest=2,
+                           n_members=n_members) as eng:
+            futs = [eng.submit(a, m) for a, m in feats[:2]]
+            return [f.result(timeout=120) for f in futs]
+
+    single = run(params, 0)
+    ens = run(stack_params([params, params]), 2)
+    for s, e in zip(single, ens):
+        assert len(e.nbest) == 2
+        assert [c for c, _ in e.nbest] == [c for c, _ in s.nbest]
+        for (_, es), (_, ss) in zip(e.nbest, s.nbest):
+            assert abs(es - ss) < 1e-4
