@@ -5,9 +5,12 @@ a time (SURVEY.md §2 "Checkpointing"); logit-ensemble decoding is the
 standard reference-era captioning/NMT boost it never shipped. It is also
 the exact complement of checkpoint souping (tools/average_checkpoints.py):
 souping only works along one training trajectory (mode-connected members),
-while decode-time ensembling works precisely where souping measurably
-fails — independently initialized runs (docs/RESULTS.md "Checkpoint
-averaging": the independent-init soup scores BELOW every member).
+while decode-time ensembling never falls off that cliff. Measured
+guidance (docs/RESULTS.md "Decode-time ensembling"): ensembles of
+members trained under DIFFERENT RECIPES beat every member (+31% CIDEr
+where the same pair's soup collapses); same-recipe different-SEED
+ensembles only track the member mean at this model scale — soup within
+a trajectory, ensemble across recipes/stages.
 
 Combination rule: arithmetic mean of per-member log-probabilities (the
 geometric mean of the member distributions — the standard NMT ensemble).
