@@ -70,6 +70,11 @@ def load_candidates(path: str) -> dict[str, list[str]]:
             out[str(k)] = [v]
         elif isinstance(v, list) and len(v) == 1 and isinstance(v[0], str):
             out[str(k)] = [v[0]]
+        elif (isinstance(v, list) and v and isinstance(v[0], dict)
+              and "caption" in v[0]):
+            # cxg-eval --nbest output: scored best-first list; rank 0 is
+            # the served caption (pass --oracle N to score the list)
+            out[str(k)] = [str(v[0]["caption"])]
         else:
             raise ValueError(
                 f"{path}: candidate for {k!r} must be one string "
@@ -78,6 +83,21 @@ def load_candidates(path: str) -> dict[str, list[str]]:
                 "score exactly one candidate per video"
             )
     return out
+
+
+def load_nbest_lists(path: str):
+    """{key: [caption, ...]} (best-first) if `path` is a cxg-eval --nbest
+    output (captions are scored lists); None for any other shape."""
+    d = _load_json(path)
+    if isinstance(d, dict) and isinstance(d.get("captions"), dict):
+        d = d["captions"]
+    if not isinstance(d, dict) or not d:
+        return None
+    vals = list(d.values())
+    if not all(isinstance(v, list) and v and isinstance(v[0], dict)
+               and "caption" in v[0] for v in vals):
+        return None
+    return {str(k): [str(r["caption"]) for r in v] for k, v in d.items()}
 
 
 def load_reference_file(path: str) -> dict[str, list[str]]:
@@ -203,6 +223,12 @@ def main(argv=None) -> None:
                         "compare), 95%% CI and two-sided p-value")
     p.add_argument("--seed", type=int, default=0,
                    help="bootstrap resampling seed")
+    p.add_argument("--oracle", type=int, default=0, metavar="N",
+                   help="candidates must be a cxg-eval --nbest file: also "
+                        "report the per-video oracle over the top-N list "
+                        "(reranking headroom) without re-decoding")
+    p.add_argument("--oracle_metric", default="CIDErD",
+                   help="per-video metric the --oracle selection maximizes")
     args = p.parse_args(argv)
 
     if bool(args.references) == bool(args.data_dir):
@@ -268,6 +294,41 @@ def main(argv=None) -> None:
         with open(args.per_video, "w") as f:
             json.dump(detail, f, indent=2)
     out = {"n_scored": len(res), "metrics": scored}
+
+    if args.oracle:
+        lists = load_nbest_lists(args.candidates)
+        if lists is None:
+            p.error("--oracle requires a cxg-eval --nbest candidates file "
+                    "(scored n-best lists per video)")
+        short = min(len(v) for v in lists.values())
+        if args.oracle > short:
+            p.error(f"--oracle {args.oracle} exceeds the shortest saved "
+                    f"list ({short})")
+        if retok:
+            lists = {
+                k: [tok.tokenize_captions({k: [c]})[k][0] for c in v]
+                for k, v in lists.items()
+            }
+        per_rank = []
+        for n in range(args.oracle):
+            _, det = language_eval(
+                gts, {k: [v[n]] for k, v in lists.items()},
+                metrics=[args.oracle_metric], per_key=True,
+            )
+            per_rank.append(det)
+        pick = {
+            k: max(range(args.oracle),
+                   key=lambda n: per_rank[n][k].get(args.oracle_metric, 0.0))
+            for k in lists
+        }
+        out["oracle"] = {
+            "n": args.oracle,
+            "metric": args.oracle_metric,
+            "metrics": language_eval(
+                gts, {k: [lists[k][pick[k]]] for k in lists},
+                metrics=args.metrics,
+            ),
+        }
 
     if args.bootstrap:
         import numpy as np

@@ -300,3 +300,52 @@ def test_rerank_tool(tmp_path, capsys):
     assert 0.0 <= r["picked_nonzero_rank"] <= 1.0
     for key in ("metrics_rank0", "metrics_reranked", "metrics_oracle"):
         assert "CIDEr" in r[key]
+
+
+@pytest.mark.slow
+def test_score_cli_offline_oracle(tmp_path, capsys):
+    """cxg-score --oracle N on a saved cxg-eval --nbest file reproduces
+    the eval-side rank-0 and oracle metrics exactly, without a model."""
+    from controllable_xgating_tpu.cli import eval as cli_eval
+    from controllable_xgating_tpu.cli import prepro as cli_prepro
+    from controllable_xgating_tpu.cli import score as cli_score
+    from controllable_xgating_tpu.cli import train as cli_train
+
+    d = str(tmp_path / "corpus")
+    cli_prepro.main([
+        "--out", d, "--fixtures", "--fixture_videos", "10",
+        "--fixture_frames", "5", "--fixture_app_dim", "18",
+        "--fixture_motion_dim", "10", "--max_caption_len", "12",
+        "--seqs_per_video", "4",
+    ])
+    small = [
+        "--model.hidden_dim", "20", "--model.embed_dim", "12",
+        "--model.attn_dim", "12", "--model.pos_embed_dim", "12",
+        "--model.num_frames", "5", "--model.dropout", "0.0",
+        "--data.batch_size", "5", "--data.caps_per_video_train", "2",
+        "--eval.max_decode_len", "12",
+    ]
+    ck = str(tmp_path / "ck")
+    cli_train.main([
+        "--data_dir", d, "--checkpoint_dir", ck, "--stage", "joint",
+        "--epochs", "1", "--train.log_every_steps", "1000", *small,
+    ])
+    nb_path = str(tmp_path / "nb.json")
+    cli_eval.main(["--data_dir", d, "--checkpoint_dir", ck + "/joint",
+                   "--split", "test", "--beam_size", "3", "--nbest", "3",
+                   "--out", nb_path, *small])
+    capsys.readouterr()
+
+    cli_score.main(["--candidates", nb_path, "--data_dir", d,
+                    "--split", "test", "--oracle", "3"])
+    out = capsys.readouterr().out
+    got = json.JSONDecoder().raw_decode(out, out.index("{"))[0]
+    want = json.load(open(nb_path))
+    for m, v in want["metrics"].items():
+        assert abs(got["metrics"][m] - v) < 1e-9, m
+    for m, v in want["oracle_metrics"].items():
+        assert abs(got["oracle"]["metrics"][m] - v) < 1e-9, m
+
+    with pytest.raises(SystemExit):  # too-deep oracle fails loudly
+        cli_score.main(["--candidates", nb_path, "--data_dir", d,
+                        "--split", "test", "--oracle", "9"])
