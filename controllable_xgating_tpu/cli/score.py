@@ -8,6 +8,9 @@ Candidate JSON (--candidates) is accepted in any of these shapes:
   {"video1": "a man plays guitar", ...}
   {"video1": ["a man plays guitar"], ...}          # single-item lists
   {"metrics": ..., "captions": {...}}              # a cxg-eval output file
+  {"v1": [{"caption": ..., "score": ...}, ...]}    # a cxg-eval --nbest file
+                                                   # (rank 0 scores; pass
+                                                   # --oracle N for headroom)
   [{"image_id": "video1", "caption": "..."}, ...]  # COCO results format
 
 References come from --references (``{id: [refs...]}``, ``{id: "ref"}``,
