@@ -292,8 +292,9 @@ def test_rerank_tool(tmp_path, capsys):
     ])
     capsys.readouterr()
     r = json.loads(out.read_text())
-    assert r["features"] == ["beam_logprob", "length", f"rescore:{cks[1]}"]
-    assert len(r["weights"]) == 3
+    assert r["features"] == ["beam_logprob", "length",
+                             "logprob_per_token", f"rescore:{cks[1]}"]
+    assert len(r["weights"]) == 4
     assert r["tune_reranked"] >= r["tune_rank0"] - 1e-12
     assert r["metrics_oracle"]["CIDErD"] >= \
         r["metrics_rank0"]["CIDErD"] - 1e-9

@@ -54,9 +54,13 @@ def collect_nbest(params, store, labels, info, caption_fn, nbest, split,
                 for n in range(nbest)
             ]
             toks[vid] = tokens[row]
-            length = (tokens[row] != PAD).sum(axis=1)
+            length = (tokens[row] != PAD).sum(axis=1).astype(np.float64)
+            # base features: raw beam log-prob, length, and the
+            # length-normalized log-prob (the GNMT selection rule — a
+            # ratio the linear model cannot express from the raw two)
             feats[vid] = np.stack(
-                [scores[row], length.astype(np.float64)], axis=1
+                [scores[row], length,
+                 scores[row] / np.maximum(length, 1.0)], axis=1
             )
     return lists, toks, feats
 
@@ -235,7 +239,7 @@ def main(argv=None) -> None:
 
     result = {
         "nbest": args.nbest, "beam_size": beam,
-        "features": (["beam_logprob", "length"]
+        "features": (["beam_logprob", "length", "logprob_per_token"]
                      + [f"rescore:{s}" for s in args.rescore]),
         "weights": w.tolist(),
         "feature_mean": mu.tolist(), "feature_std": sd.tolist(),
