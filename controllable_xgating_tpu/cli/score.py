@@ -65,8 +65,8 @@ def load_candidates(path: str) -> dict[str, list[str]]:
         return out
     if not isinstance(d, dict):
         raise ValueError(f"{path}: expected a JSON object or list")
-    if isinstance(d.get("captions"), dict) and "metrics" in d:
-        d = d["captions"]  # cxg-eval output file
+    if isinstance(d.get("captions"), dict):
+        d = d["captions"]  # a cxg-eval / tools output file
     out = {}
     for k, v in d.items():
         if isinstance(v, str):
