@@ -577,3 +577,23 @@ def test_ensemble_nbest_serving(setup):
         assert [c for c, _ in e.nbest] == [c for c, _ in s.nbest]
         for (_, es), (_, ss) in zip(e.nbest, s.nbest):
             assert abs(es - ss) < 1e-4
+
+
+def test_mesh_nbest_serving_matches_single_device(setup):
+    """nbest x mesh composition: the packed multi-row layout survives DP
+    sharding (results identical to the unsharded nbest engine)."""
+    from controllable_xgating_tpu.parallel.mesh import make_mesh
+
+    cfg, params, vocab, pos_vocab, feats = setup
+
+    def run(mesh):
+        with ServingEngine(params, cfg, vocab, pos_vocab, mode="beam",
+                           buckets=(8,), max_wait_ms=40.0, nbest=2,
+                           mesh=mesh) as eng:
+            futs = [eng.submit(*feats[i % len(feats)]) for i in range(3)]
+            return [f.result(timeout=120).nbest for f in futs]
+
+    single = run(None)
+    sharded = run(make_mesh(8))
+    for s, m in zip(single, sharded):
+        assert [c for c, _ in s] == [c for c, _ in m]
