@@ -124,6 +124,7 @@ def main(argv=None) -> None:
             tokens, _ = sample_decode(
                 params.decoder, jax.tree.map(rep, ctx), rep(summary),
                 cfg.eval.max_decode_len, rng, args.temperature,
+                block_unk=cfg.eval.block_unk,
             )
         elif beam:
             from controllable_xgating_tpu.infer.beam import beam_search

@@ -119,6 +119,7 @@ def main(argv=None) -> None:
                 batch_size=cfg.data.batch_size,
                 metrics=cfg.eval.metrics,
                 oracle_metric=args.oracle_metric,
+                mesh=mesh,
             )
             captions = {
                 v: [{"caption": c, "score": s} for c, s in l]

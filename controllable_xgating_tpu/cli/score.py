@@ -299,6 +299,14 @@ def main(argv=None) -> None:
     out = {"n_scored": len(res), "metrics": scored}
 
     if args.oracle:
+        from controllable_xgating_tpu.metrics.harness import (
+            normalize_metric_name,
+        )
+
+        try:
+            args.oracle_metric = normalize_metric_name(args.oracle_metric)
+        except ValueError as e:
+            p.error(str(e))
         lists = load_nbest_lists(args.candidates)
         if lists is None:
             p.error("--oracle requires a cxg-eval --nbest candidates file "
@@ -308,10 +316,8 @@ def main(argv=None) -> None:
             p.error(f"--oracle {args.oracle} exceeds the shortest saved "
                     f"list ({short})")
         if retok:
-            lists = {
-                k: [tok.tokenize_captions({k: [c]})[k][0] for c in v]
-                for k, v in lists.items()
-            }
+            lists = tok.tokenize_captions({k: list(v)
+                                           for k, v in lists.items()})
         per_rank = []
         for n in range(args.oracle):
             _, det = language_eval(

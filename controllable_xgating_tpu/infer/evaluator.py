@@ -143,6 +143,7 @@ def evaluate_split_nbest(
     batch_size: int = 64,
     metrics=None,
     oracle_metric: str = "CIDErD",
+    mesh=None,
 ) -> tuple[dict, dict, dict]:
     """N-best evaluation with oracle headroom (the reranking diagnostic).
 
@@ -159,16 +160,36 @@ def evaluate_split_nbest(
     the reference's sample_beam exposes the same list, it just never
     measured this).
     """
+    from controllable_xgating_tpu.metrics.harness import (
+        normalize_metric_name,
+    )
+
+    oracle_metric = normalize_metric_name(oracle_metric)
     if nbest < 1:
         raise ValueError("nbest must be >= 1")
     indices = np.asarray(info.splits[split], np.int64)
     if len(indices) == 0:
         raise ValueError(f"split {split!r} is empty")
+    put = lambda x: x
+    if mesh is not None:  # DP n-best decode, same pattern as evaluate_split
+        from controllable_xgating_tpu.parallel.mesh import (
+            batch_sharding, replicate_sharding,
+        )
+
+        if batch_size % mesh.devices.size:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by the "
+                f"{mesh.devices.size}-device mesh"
+            )
+        bsh = batch_sharding(mesh)
+        params = jax.device_put(params, replicate_sharding(mesh))
+        put = lambda x: None if x is None else jax.device_put(x, bsh)
 
     lists: dict[str, list] = {}
     for batch in eval_batches(store, indices, batch_size):
         tokens, scores, _ = caption_fn(
-            params, batch["app"], batch["motion"], batch.get("frame_mask"),
+            params, put(batch["app"]), put(batch["motion"]),
+            put(batch.get("frame_mask")),
         )
         tokens = np.asarray(tokens)      # [B, K, L] best-first
         scores = np.asarray(scores)      # [B, K]

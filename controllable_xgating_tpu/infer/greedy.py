@@ -153,9 +153,11 @@ def sample_decode(
     max_len: int,
     rng: jax.Array,
     temperature: float = 1.0,
+    block_unk: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Multinomial rollout -> (tokens [B, L], logprobs [B, L]) for SCST."""
-    return _rollout(params, ctx, summary, max_len, rng, temperature)
+    return _rollout(params, ctx, summary, max_len, rng, temperature,
+                    block_unk=block_unk)
 
 
 def paired_rollout(

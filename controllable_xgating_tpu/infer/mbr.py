@@ -63,18 +63,12 @@ def mbr_select(
         # sim is not exactly symmetric (ROUGE-L F weighs recall via beta);
         # compute the full ordered matrix, self-sim = 1
         best_i, best_u = 0, -1.0
-        sim_cache: dict[tuple, float] = {}
         for i in range(n):
-            u = 0.0
-            for j in range(n):
-                if i == j:
-                    s = 1.0
-                else:
-                    key = (i, j)
-                    if key not in sim_cache:
-                        sim_cache[key] = _pair_sim_rouge(cands[i], cands[j])
-                    s = sim_cache[key]
-                u += w[j] * s
+            u = sum(
+                w[j] * (1.0 if i == j
+                        else _pair_sim_rouge(cands[i], cands[j]))
+                for j in range(n)
+            )
             if u > best_u:
                 best_i, best_u = i, u
         out[vid] = (cands[best_i], best_u)

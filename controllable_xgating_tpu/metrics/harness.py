@@ -21,6 +21,28 @@ from controllable_xgating_tpu.metrics.meteor import MeteorScorer
 from controllable_xgating_tpu.metrics.rouge import RougeScorer
 
 
+PER_KEY_METRICS = (
+    "Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4",
+    "METEOR", "ROUGE_L", "CIDEr", "CIDErD",
+)
+
+
+def normalize_metric_name(name: str) -> str:
+    """Canonicalize a per-key metric name ('CIDEr-D' -> 'CIDErD',
+    'rouge-l' -> 'ROUGE_L', ...), raising on anything language_eval's
+    per-key detail will never contain — lookups with .get(name, 0.0)
+    would otherwise silently read all zeros (oracle/rerank consumers)."""
+    canon = {m.lower().replace("-", "").replace("_", ""): m
+             for m in PER_KEY_METRICS}
+    key = str(name).lower().replace("-", "").replace("_", "")
+    if key not in canon:
+        raise ValueError(
+            f"unknown per-video metric {name!r}; choose one of "
+            f"{list(PER_KEY_METRICS)}"
+        )
+    return canon[key]
+
+
 def decode_token_array(
     vocab: Vocab, tokens: np.ndarray
 ) -> list[str]:

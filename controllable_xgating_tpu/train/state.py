@@ -56,9 +56,11 @@ def make_lr_schedule(
 ) -> optax.Schedule:
     """step -> lr(step). Default `train.lr_schedule='step'` is the
     reference's shape — epoch-staircase decay by `lr_decay_rate` every
-    `lr_decay_every_epochs`; `'cosine'` anneals over `train.epochs` to
-    `lr * lr_final_frac`. `warmup_epochs > 0` prepends a linear 0 -> lr
-    ramp (both extensions default off = reference behavior)."""
+    `lr_decay_every_epochs`; `'cosine'` anneals to `lr * lr_final_frac`
+    exactly at `train.epochs` (the anneal spans the post-warmup budget).
+    `warmup_epochs > 0` prepends a linear 0 -> lr ramp; under 'step' the
+    staircase counts epochs from the END of warmup (both extensions
+    default off = reference behavior)."""
     base_lr = cfg.train.pos_lr if stage == "pos" else cfg.train.lr
     kind = getattr(cfg.train, "lr_schedule", "step")
     if kind == "step":
@@ -70,19 +72,21 @@ def make_lr_schedule(
             decay_rate=cfg.train.lr_decay_rate,
             staircase=True,
         )
-    elif kind == "cosine":
+    warmup = float(getattr(cfg.train, "warmup_epochs", 0.0))
+    wsteps = max(int(warmup * steps_per_epoch), 1) if warmup > 0.0 else 0
+    if kind == "cosine":
+        # the anneal spans the REMAINING budget after warmup, so training
+        # actually reaches the lr*lr_final_frac floor at train.epochs
         schedule = optax.cosine_decay_schedule(
             init_value=base_lr,
-            decay_steps=max(cfg.train.epochs * steps_per_epoch, 1),
+            decay_steps=max(cfg.train.epochs * steps_per_epoch - wsteps, 1),
             alpha=float(getattr(cfg.train, "lr_final_frac", 0.01)),
         )
-    else:
+    elif kind != "step":
         raise ValueError(
             f"train.lr_schedule must be 'step' or 'cosine', got {kind!r}"
         )
-    warmup = float(getattr(cfg.train, "warmup_epochs", 0.0))
-    if warmup > 0.0:
-        wsteps = max(int(warmup * steps_per_epoch), 1)
+    if wsteps:
         schedule = optax.join_schedules(
             [optax.linear_schedule(0.0, base_lr, wsteps),
              schedule],

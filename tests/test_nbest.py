@@ -350,3 +350,37 @@ def test_score_cli_offline_oracle(tmp_path, capsys):
     with pytest.raises(SystemExit):  # too-deep oracle fails loudly
         cli_score.main(["--candidates", nb_path, "--data_dir", d,
                         "--split", "test", "--oracle", "9"])
+
+
+def test_evaluate_split_nbest_mesh_matches_single_device(tmp_path):
+    """DP n-best eval (mesh param) == unsharded, lists and metrics."""
+    from controllable_xgating_tpu.data.corpus import load_labels
+    from controllable_xgating_tpu.data.features import FeatureStore
+    from controllable_xgating_tpu.data.fixtures import make_fixture_corpus
+    from controllable_xgating_tpu.infer.beam import make_beam_caption_fn
+    from controllable_xgating_tpu.infer.evaluator import evaluate_split_nbest
+    from controllable_xgating_tpu.parallel.mesh import make_mesh
+
+    out = str(tmp_path / "corpus")
+    info = make_fixture_corpus(
+        out, num_videos=16, num_frames=4, app_dim=10, motion_dim=8,
+        caps_per_video=3, seqs_per_video=4, max_caption_len=10, seed=9,
+    )
+    labels = load_labels(out)
+    store = FeatureStore(out + "/features.h5", num_frames=4)
+    cfg = ModelConfig(
+        app_dim=10, motion_dim=8, hidden_dim=12, embed_dim=8, attn_dim=10,
+        pos_embed_dim=10, vocab_size=len(info.vocab),
+        pos_vocab_size=len(info.pos_vocab), num_frames=4,
+        max_caption_len=10, max_pos_len=10,
+    )
+    params = init_captioner(jax.random.PRNGKey(4), cfg)
+    fn = make_beam_caption_fn(3, 10, 10, return_all=True)
+    kw = dict(split="val", batch_size=8, nbest=3)
+    b1, o1, l1 = evaluate_split_nbest(params, store, labels, info, fn, **kw)
+    b8, o8, l8 = evaluate_split_nbest(params, store, labels, info, fn,
+                                      mesh=make_mesh(8), **kw)
+    assert l8 == l1 and b8 == b1 and o8 == o1
+    with pytest.raises(ValueError, match="unknown per-video metric"):
+        evaluate_split_nbest(params, store, labels, info, fn,
+                             oracle_metric="CIDEr-X", **kw)

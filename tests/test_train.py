@@ -318,6 +318,9 @@ def test_lr_schedules(fixture_env):
     assert float(warm(0)) == 0.0
     np.testing.assert_allclose(float(warm(spe)), lr0, rtol=1e-6)
     assert float(warm(spe // 2)) < lr0
+    # the anneal reaches its floor AT train.epochs despite the warmup
+    # (the cosine spans the post-warmup budget; review r3 finding)
+    np.testing.assert_allclose(float(warm(4 * spe)), lr0 * 0.1, rtol=1e-5)
 
     with pytest.raises(ValueError, match="lr_schedule"):
         make_lr_schedule(cfg.replace_flat({"train.lr_schedule": "nope"}), spe)

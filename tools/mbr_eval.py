@@ -88,6 +88,7 @@ def main(argv=None) -> None:
         sampled, _ = sample_decode(
             params.decoder, jax.tree.map(rep, ctx), rep(summary),
             max_len, rng, args.temperature,
+            block_unk=cfg.eval.block_unk,  # pool obeys the same constraint
         )
         return greedy, sampled
 

@@ -175,7 +175,15 @@ def main(argv=None) -> None:
         d, name = split_ckpt_spec(spec)
         rescore_params.append(restore_params(d, cfg, name=name))
 
-    beam = max(args.beam_size or 0, cfg.eval.beam_size, args.nbest, 2)
+    from controllable_xgating_tpu.metrics.harness import normalize_metric_name
+
+    try:
+        args.oracle_metric = normalize_metric_name(args.oracle_metric)
+    except ValueError as e:
+        p.error(str(e))
+    # --beam_size REPLACES the config width (like cli/eval); nbest only
+    # ever widens it
+    beam = max(args.beam_size or cfg.eval.beam_size, args.nbest, 2)
     from controllable_xgating_tpu.infer.beam import make_beam_caption_fn
     from controllable_xgating_tpu.infer.score import make_sequence_scorer
     from controllable_xgating_tpu.metrics.harness import (
