@@ -6,11 +6,13 @@ standard reference-era captioning/NMT boost it never shipped. It is also
 the exact complement of checkpoint souping (tools/average_checkpoints.py):
 souping only works along one training trajectory (mode-connected members),
 while decode-time ensembling never falls off that cliff. Measured
-guidance (docs/RESULTS.md "Decode-time ensembling"): ensembles of
-members trained under DIFFERENT RECIPES beat every member (+31% CIDEr
-where the same pair's soup collapses); same-recipe different-SEED
-ensembles only track the member mean at this model scale — soup within
-a trajectory, ensemble across recipes/stages.
+guidance over five member combinations (docs/RESULTS.md "Decode-time
+ensembling"): the log-prob ensemble is a ROBUST combiner — never
+measurably below its best member (unequal members: holds at the strong
+one; comparable same-recipe seeds: the member mean) — and it WINS
+(+8 to +31% CIDEr, where the same pairs' soups collapse) exactly when
+members are comparable in quality but trained under DIFFERENT recipes
+or stages. Soup within a trajectory; ensemble across recipes.
 
 Combination rule: arithmetic mean of per-member log-probabilities (the
 geometric mean of the member distributions — the standard NMT ensemble).
