@@ -384,3 +384,42 @@ def test_evaluate_split_nbest_mesh_matches_single_device(tmp_path):
     with pytest.raises(ValueError, match="unknown per-video metric"):
         evaluate_split_nbest(params, store, labels, info, fn,
                              oracle_metric="CIDEr-X", **kw)
+
+
+def test_nbest_rank0_equals_plain_eval_fuzz(tmp_path):
+    """Differential fuzz: for random models/corpora, evaluate_split_nbest's
+    rank-0 metrics and captions equal evaluate_split with the same beam."""
+    from controllable_xgating_tpu.data.corpus import load_labels
+    from controllable_xgating_tpu.data.features import FeatureStore
+    from controllable_xgating_tpu.data.fixtures import make_fixture_corpus
+    from controllable_xgating_tpu.infer.beam import make_beam_caption_fn
+    from controllable_xgating_tpu.infer.evaluator import (
+        evaluate_split, evaluate_split_nbest,
+    )
+
+    for trial in range(3):
+        out = str(tmp_path / f"c{trial}")
+        info = make_fixture_corpus(
+            out, num_videos=10 + trial, num_frames=3 + trial, app_dim=8,
+            motion_dim=6, caps_per_video=2, seqs_per_video=3,
+            max_caption_len=9, seed=trial,
+        )
+        labels = load_labels(out)
+        store = FeatureStore(out + "/features.h5", num_frames=3 + trial)
+        cfg = ModelConfig(
+            app_dim=8, motion_dim=6, hidden_dim=10, embed_dim=6, attn_dim=8,
+            pos_embed_dim=8, vocab_size=len(info.vocab),
+            pos_vocab_size=len(info.pos_vocab), num_frames=3 + trial,
+            max_caption_len=9, max_pos_len=9,
+        )
+        params = init_captioner(jax.random.PRNGKey(trial), cfg)
+        plain_fn = make_beam_caption_fn(3, 9, 9)
+        nb_fn = make_beam_caption_fn(3, 9, 9, return_all=True)
+        m_plain, caps = evaluate_split(
+            params, store, labels, info, split="val", batch_size=4,
+            caption_fn=plain_fn)
+        m_nb, _, lists = evaluate_split_nbest(
+            params, store, labels, info, nb_fn, nbest=2, split="val",
+            batch_size=4)
+        assert m_nb == m_plain, trial
+        assert {v: l[0][0] for v, l in lists.items()} == caps, trial
