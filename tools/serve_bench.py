@@ -30,7 +30,8 @@ APP_DIM = 1536
 MOT_DIM = 1024
 
 
-def build_engine(mode: str, buckets, max_wait_ms: float, max_queue: int = 0):
+def build_engine(mode: str, buckets, max_wait_ms: float, max_queue: int = 0,
+                 n_members: int = 0, nbest: int = 0):
     from controllable_xgating_tpu.data.vocab import Vocab
     from controllable_xgating_tpu.models.captioner import init_captioner
     from controllable_xgating_tpu.serve.engine import ServingEngine
@@ -47,9 +48,17 @@ def build_engine(mode: str, buckets, max_wait_ms: float, max_queue: int = 0):
     if jax.default_backend() != "cpu":
         set_compute_dtype(cfg.model.dtype)   # bf16 policy, like the CLIs
     params = init_captioner(jax.random.PRNGKey(0), cfg.model)
+    if n_members:
+        from controllable_xgating_tpu.infer.ensemble import stack_params
+
+        params = stack_params([
+            init_captioner(jax.random.PRNGKey(i), cfg.model)
+            for i in range(n_members)
+        ])
     return ServingEngine(
         params, cfg, Vocab(words), Vocab(tags), mode=mode,
         buckets=buckets, max_wait_ms=max_wait_ms, max_queue=max_queue,
+        n_members=n_members, nbest=nbest,
     )
 
 
@@ -130,6 +139,11 @@ def main():
                    help=">0 = load shedding (see ServingEngine)")
     p.add_argument("--deadline_ms", type=float, default=None,
                    help="per-request queue deadline (impatient clients)")
+    p.add_argument("--ensemble", type=int, default=0, metavar="M",
+                   help="M>0: bench an M-member ensemble engine (fresh "
+                        "random members — throughput, not quality)")
+    p.add_argument("--nbest", type=int, default=0,
+                   help="beam mode: responses carry the N best hypotheses")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"),
                    help="force the JAX platform (NB: this environment's "
                         "sitecustomize overrides JAX_PLATFORMS, so the env "
@@ -142,7 +156,8 @@ def main():
 
     buckets = tuple(int(b) for b in args.buckets.split(","))
     engine = build_engine(args.mode, buckets, args.max_wait_ms,
-                          max_queue=args.max_queue)
+                          max_queue=args.max_queue,
+                          n_members=args.ensemble, nbest=args.nbest)
     print(json.dumps({"event": "warmup", "buckets": buckets,
                       "backend": jax.default_backend()}), flush=True)
     engine.warmup()
