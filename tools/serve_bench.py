@@ -47,14 +47,16 @@ def build_engine(mode: str, buckets, max_wait_ms: float, max_queue: int = 0,
 
     if jax.default_backend() != "cpu":
         set_compute_dtype(cfg.model.dtype)   # bf16 policy, like the CLIs
-    params = init_captioner(jax.random.PRNGKey(0), cfg.model)
     if n_members:
+        n_members = max(n_members, 2)  # an ensemble needs two members
         from controllable_xgating_tpu.infer.ensemble import stack_params
 
         params = stack_params([
             init_captioner(jax.random.PRNGKey(i), cfg.model)
             for i in range(n_members)
         ])
+    else:
+        params = init_captioner(jax.random.PRNGKey(0), cfg.model)
     return ServingEngine(
         params, cfg, Vocab(words), Vocab(tags), mode=mode,
         buckets=buckets, max_wait_ms=max_wait_ms, max_queue=max_queue,
@@ -140,7 +142,7 @@ def main():
     p.add_argument("--deadline_ms", type=float, default=None,
                    help="per-request queue deadline (impatient clients)")
     p.add_argument("--ensemble", type=int, default=0, metavar="M",
-                   help="M>0: bench an M-member ensemble engine (fresh "
+                   help="M>=2: bench an M-member ensemble engine (fresh "
                         "random members — throughput, not quality)")
     p.add_argument("--nbest", type=int, default=0,
                    help="beam mode: responses carry the N best hypotheses")
