@@ -40,6 +40,20 @@ def main(argv=None) -> None:
     p.add_argument("--fixture_frames", type=int, default=26)
     p.add_argument("--fixture_app_dim", type=int, default=1536)
     p.add_argument("--fixture_motion_dim", type=int, default=1024)
+    p.add_argument("--fixture_feature_map", choices=("linear", "entangled"),
+                   default="linear",
+                   help="feature<-scene generative map: 'linear' (v1, "
+                        "additive) or 'entangled' (v2 — cross-modal group "
+                        "coding + multiplicative modulation; the corpus "
+                        "that gives cross gating real work, see "
+                        "data/fixtures.py)")
+    p.add_argument("--fixture_corrupt_prob", type=float, default=0.0,
+                   help="with --fixture_feature_map entangled: fraction of "
+                        "videos whose appearance stream shows a distractor "
+                        "scene (beacon-flagged in motion)")
+    p.add_argument("--fixture_train_frac", type=float, default=0.7)
+    p.add_argument("--fixture_val_frac", type=float, default=0.15)
+    p.add_argument("--fixture_seed", type=int, default=0)
     p.add_argument("--fixture_msvd_videos", type=int, default=0,
                    help="with --fixtures: add this many MSVD-shaped videos "
                         "(variable clip lengths, 'msvdN' ids) to the "
@@ -48,6 +62,9 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     if args.fixtures:
+        if args.fixture_msvd_videos > 0 and args.fixture_feature_map != "linear":
+            p.error("--fixture_feature_map entangled is single-domain only "
+                    "(no --fixture_msvd_videos)")
         if args.fixture_msvd_videos > 0:
             from controllable_xgating_tpu.data.fixtures import (
                 make_joint_fixture_corpus,
@@ -76,6 +93,11 @@ def main(argv=None) -> None:
                 motion_dim=args.fixture_motion_dim,
                 max_caption_len=args.max_caption_len,
                 seqs_per_video=args.seqs_per_video,
+                seed=args.fixture_seed,
+                train_frac=args.fixture_train_frac,
+                val_frac=args.fixture_val_frac,
+                feature_map=args.fixture_feature_map,
+                corrupt_prob=args.fixture_corrupt_prob,
             )
     else:
         from controllable_xgating_tpu.data.corpus import preprocess_corpus

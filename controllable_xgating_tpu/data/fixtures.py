@@ -16,6 +16,7 @@ by SCST's CIDEr reward and by multi-reference eval metrics).
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
 
@@ -119,6 +120,124 @@ def _render_captions(scene: Scene, rng: np.random.Generator, n: int) -> list[str
     return caps
 
 
+N_GROUPS = 4  # appearance channel groups for the v2 "entangled" feature map
+
+
+def _concept_embeddings_v2(app_dim: int, motion_dim: int, seed: int) -> dict:
+    """Concept banks for the v2 ("entangled") feature map.
+
+    Corpus v2 exists because v1's feature->scene map is linear + isotropic
+    noise, so a concat + linear projection is a sufficient statistic and the
+    cross-gating architecture has no work to do (docs/RESULTS.md, "fourth
+    corner"). v2 builds the exact situation the paper's cross gating models
+    (arXiv:1908.10072 §3.1): per-stream reliability and content that is only
+    decodable through cross-modal interaction. Three ingredients:
+
+    1. MULTIPLICATIVE interaction: the subject embedding in appearance is
+       elementwise-modulated by an action-dependent pattern (``mod``).
+    2. CONTENT SPLIT ACROSS STREAMS: appearance is divided into N_GROUPS
+       channel groups; the TRUE subject occupies group ``action % N_GROUPS``
+       while the other groups hold per-video distractor subjects of equal
+       amplitude. Decoding the subject therefore requires the action — which
+       lives in the MOTION stream. A motion-conditioned sigmoid gate over
+       appearance channels (exactly ``ga = sigmoid(em@Uga)`` in
+       ops/xgate.py) can select the true group; a fixed linear mix (concat
+       ablation) sums true + distractor subjects.
+    3. STREAM CORRUPTION with a cross-stream reliability signal: with prob
+       ``corrupt_prob`` a video's appearance shows a DISTRACTOR scene, and
+       the motion stream carries a beacon direction plus weak redundant
+       copies of subject/place — so a model that gates appearance off on
+       beacon videos keeps captioning correctly, while an ungated mix
+       ingests the distractor content. Only appearance is ever corrupted:
+       motion is the reliability *reporter* and the group-selection key, so
+       corrupting it would lower the ceiling for every architecture without
+       differentiating them.
+    """
+    rng = np.random.default_rng(seed + 2)  # distinct bank from v1's seed+1
+    gdim = app_dim // N_GROUPS
+
+    def bank(n, d):
+        return rng.normal(size=(n, d)).astype(np.float32)
+
+    return {
+        "subj_app": bank(len(SUBJECTS), gdim),
+        "mod": rng.uniform(0.6, 1.4, size=(len(ACTIONS), gdim)).astype(
+            np.float32
+        ),
+        "act_app": bank(len(ACTIONS), app_dim),
+        "place_app": bank(len(PLACES), app_dim),
+        "act_mot": bank(len(ACTIONS), motion_dim),
+        "subj_mot": bank(len(SUBJECTS), motion_dim),
+        "place_mot": bank(len(PLACES), motion_dim),
+        "beacon_mot": bank(1, motion_dim)[0],
+    }
+
+
+def _scene_content_v2(
+    sc: Scene, embs: dict, rng: np.random.Generator
+) -> tuple[np.ndarray, np.ndarray]:
+    """One scene's clean (noise-free) [app_dim], [motion_dim] content."""
+    gdim = embs["subj_app"].shape[1]
+    app_dim = embs["act_app"].shape[1]
+    app = 0.3 * embs["act_app"][sc.action].copy()  # weak action copy
+    if PLACES[sc.place]:
+        app += 0.5 * embs["place_app"][sc.place]
+    g_true = sc.action % N_GROUPS
+    for g in range(N_GROUPS):
+        lo, hi = g * gdim, (g + 1) * gdim
+        if g == g_true:
+            app[lo:hi] += embs["subj_app"][sc.subject] * embs["mod"][sc.action]
+        else:
+            d = int(rng.integers(len(SUBJECTS) - 1))
+            d += d >= sc.subject  # distractor subject != true subject
+            app[lo:hi] += embs["subj_app"][d]
+    assert N_GROUPS * gdim <= app_dim
+    mot = embs["act_mot"][sc.action] + 0.35 * embs["subj_mot"][sc.subject]
+    if PLACES[sc.place]:
+        mot += 0.25 * embs["place_mot"][sc.place]
+    return app, mot
+
+
+def _render_features_v2(
+    scenes: list[Scene],
+    nframes: np.ndarray,
+    num_frames: int,
+    embs: dict,
+    rng: np.random.Generator,
+    corrupt_prob: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """v2 per-video [T, D] features + per-video corrupted flags; pad frames
+    stay zero.
+
+    Corruption draws an independent distractor scene for the appearance
+    stream and raises the motion beacon; caption ground truth stays the TRUE
+    scene's (recoverable from motion's weak copies)."""
+    app_dim = embs["act_app"].shape[1]
+    motion_dim = embs["act_mot"].shape[1]
+    app = np.zeros((len(scenes), num_frames, app_dim), np.float32)
+    motion = np.zeros((len(scenes), num_frames, motion_dim), np.float32)
+    corrupted = np.zeros((len(scenes),), bool)
+    for i, sc in enumerate(scenes):
+        base_app, base_mot = _scene_content_v2(sc, embs, rng)
+        if rng.random() < corrupt_prob:
+            corrupted[i] = True
+            distractor = Scene(
+                subject=int(rng.integers(len(SUBJECTS))),
+                action=int(rng.integers(len(ACTIONS))),
+                place=int(rng.integers(len(PLACES))),
+            )
+            base_app, _ = _scene_content_v2(distractor, embs, rng)
+            base_mot = base_mot + 1.5 * embs["beacon_mot"]
+        n = int(nframes[i])
+        app[i, :n] = base_app[None, :] + 0.1 * rng.normal(
+            size=(n, app_dim)
+        ).astype(np.float32)
+        motion[i, :n] = base_mot[None, :] + 0.1 * rng.normal(
+            size=(n, motion_dim)
+        ).astype(np.float32)
+    return app, motion, corrupted
+
+
 def _concept_embeddings(app_dim: int, motion_dim: int, seed: int) -> dict:
     """Deterministic concept->feature banks shared by all fixture parts.
 
@@ -174,13 +293,26 @@ def make_fixture_corpus(
     train_frac: float = 0.7,
     val_frac: float = 0.15,
     variable_frames: bool = True,
+    feature_map: str = "linear",
+    corrupt_prob: float = 0.0,
 ) -> CorpusInfo:
     """Generate features.h5 + info.json + labels.npz under out_dir.
 
     `variable_frames=True` gives each video a random true length in
     [num_frames//2, num_frames] with zero-padded tails + stored `nframes`
     counts (MSVD-like variable clips), so frame masks are exercised by
-    default through the whole pipeline."""
+    default through the whole pipeline.
+
+    `feature_map` selects the feature<-scene generative map: "linear" (v1,
+    additive concept embeddings — a concat+linear readout is sufficient) or
+    "entangled" (v2 — cross-modally entangled group coding + multiplicative
+    modulation; see `_concept_embeddings_v2`). `corrupt_prob` (v2 only)
+    corrupts that fraction of videos' appearance streams with distractor
+    scenes, beacon-flagged in motion."""
+    if feature_map not in ("linear", "entangled"):
+        raise ValueError(f"unknown feature_map {feature_map!r}")
+    if corrupt_prob and feature_map != "entangled":
+        raise ValueError("corrupt_prob requires feature_map='entangled'")
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
@@ -193,8 +325,6 @@ def make_fixture_corpus(
         for _ in range(num_videos)
     ]
 
-    embs = _concept_embeddings(app_dim, motion_dim, seed)
-
     if variable_frames and num_frames >= 2:
         nframes = rng.integers(
             max(num_frames // 2, 1), num_frames + 1, num_videos
@@ -203,7 +333,15 @@ def make_fixture_corpus(
         nframes = np.full((num_videos,), num_frames, np.int32)
     # temporal jitter so frames differ but stay on-manifold; frames past
     # the video's true length stay zero (pad)
-    app, motion = _render_features(scenes, nframes, num_frames, embs, rng)
+    if feature_map == "entangled":
+        embs = _concept_embeddings_v2(app_dim, motion_dim, seed)
+        app, motion, corrupted = _render_features_v2(
+            scenes, nframes, num_frames, embs, rng, corrupt_prob
+        )
+    else:
+        embs = _concept_embeddings(app_dim, motion_dim, seed)
+        app, motion = _render_features(scenes, nframes, num_frames, embs, rng)
+        corrupted = np.zeros((num_videos,), bool)
     captions: dict[str, list[str]] = {}
     video_ids = [f"video{i}" for i in range(num_videos)]
     for i, sc in enumerate(scenes):
@@ -220,6 +358,26 @@ def make_fixture_corpus(
         "val": video_ids[n_train : n_train + n_val],
         "test": video_ids[n_train + n_val :],
     }
+    # generator-debug sidecar (NOT consumed by training/eval): the latent
+    # scene + corruption flag per video, for analyses like the ablation
+    # grid's corrupted-vs-clean breakdown (tools/ablation_report.py)
+    with open(os.path.join(out_dir, "fixture_meta.json"), "w") as f:
+        json.dump(
+            {
+                "feature_map": feature_map,
+                "corrupt_prob": corrupt_prob,
+                "videos": {
+                    video_ids[i]: {
+                        "subject": scenes[i].subject,
+                        "action": scenes[i].action,
+                        "place": scenes[i].place,
+                        "corrupted": bool(corrupted[i]),
+                    }
+                    for i in range(num_videos)
+                },
+            },
+            f,
+        )
     return preprocess_corpus(
         captions,
         splits,
