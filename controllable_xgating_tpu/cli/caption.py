@@ -149,10 +149,11 @@ def main(argv=None) -> None:
     scores = None
     if args.ensemble:
         from controllable_xgating_tpu.infer.ensemble import (
-            make_ensemble_caption_fn,
+            make_auto_ensemble_caption_fn,
         )
 
-        ens_fn = make_ensemble_caption_fn(
+        ens_fn = make_auto_ensemble_caption_fn(
+            params,
             beam or 1, cfg.model.max_pos_len, cfg.eval.max_decode_len,
             length_penalty=cfg.eval.length_penalty,
             block_unk=cfg.eval.block_unk, return_all=bool(args.nbest),

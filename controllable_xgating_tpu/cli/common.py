@@ -231,10 +231,12 @@ def restore_params(ckpt_dir: str, cfg: Config, name: str = "best") -> CaptionerP
 def add_ensemble_arg(p: "argparse.ArgumentParser") -> None:
     p.add_argument(
         "--ensemble", nargs="+", default=None, metavar="CKPT_DIR[:NAME]",
-        help="decode with a log-prob ensemble of 2+ same-architecture "
-             "checkpoints (NAME defaults to 'best'); the first member's "
-             "saved model config is adopted and --checkpoint_dir is "
-             "ignored",
+        help="decode with a log-prob ensemble of 2+ checkpoints (NAME "
+             "defaults to 'best'); members sharing one architecture use "
+             "the stacked/vmapped fast path, cross-architecture members "
+             "(different fusion/psi/dims, same corpus) the heterogeneous "
+             "path; the first member's saved model config is adopted and "
+             "--checkpoint_dir is ignored",
     )
 
 
@@ -250,11 +252,16 @@ def split_ckpt_spec(spec: str) -> tuple:
 
 
 def restore_ensemble_params(specs: list, cfg: Config):
-    """Restore and stack >=2 `<ckpt_dir>[:<name>]` checkpoints into one
-    member-stacked CaptionerParams (infer/ensemble.py). Call after
-    load_corpus; every member goes through the same restore cross-checks
-    (vocab/fusion/pos_guidance) as a single-model run, so an architecture
-    mismatch fails loudly naming the offending member."""
+    """Restore >=2 `<ckpt_dir>[:<name>]` checkpoints for ensemble decoding.
+
+    Each member restores under its OWN saved model config (so members may
+    differ in fusion/pos_guidance/dims), with the single-model restore
+    cross-checks intact per member. Same-architecture members are stacked
+    into one member-axis CaptionerParams (the vmapped fast path);
+    cross-architecture members return as a TUPLE for the heterogeneous
+    decode path (`make_hetero_ensemble_caption_fn`). Callers dispatch on
+    `isinstance(params, tuple)` — or use
+    `infer.ensemble.make_auto_ensemble_caption_fn`."""
     from controllable_xgating_tpu.infer.ensemble import stack_params
 
     if len(specs) < 2:
@@ -262,8 +269,20 @@ def restore_ensemble_params(specs: list, cfg: Config):
     members = []
     for spec in specs:
         d, name = split_ckpt_spec(spec)
-        members.append(restore_params(d, cfg, name=name))
-    return stack_params(members), len(members)
+        mcfg = adopt_ckpt_model_config(d, cfg, name)
+        if mcfg.model.vocab_size != cfg.model.vocab_size:
+            die(
+                f"ensemble member {spec} was trained with vocab "
+                f"{mcfg.model.vocab_size}, run corpus has "
+                f"{cfg.model.vocab_size} — members must share the corpus"
+            )
+        members.append(restore_params(d, mcfg, name=name))
+    try:
+        return stack_params(members), len(members)
+    except ValueError:
+        # cross-architecture members (different fusion/psi/dims): the
+        # heterogeneous path decodes them together per-step
+        return tuple(members), len(members)
 
 
 def adopt_run_config(args, cfg: Config) -> Config:

@@ -54,16 +54,20 @@ def main(argv=None) -> None:
         beam = max(beam or 0, args.nbest, 2)
     if args.ensemble:
         from controllable_xgating_tpu.infer.ensemble import (
-            make_ensemble_caption_fn,
+            make_auto_ensemble_caption_fn,
         )
 
         params, n_members = restore_ensemble_params(args.ensemble, cfg)
-        caption_fn = make_ensemble_caption_fn(
+        caption_fn = make_auto_ensemble_caption_fn(
+            params,
             beam or 1, cfg.model.max_pos_len, cfg.eval.max_decode_len,
             length_penalty=cfg.eval.length_penalty,
             block_unk=cfg.eval.block_unk, return_all=bool(args.nbest),
         )
-        log.info("ensemble decode over %d members", n_members)
+        log.info(
+            "ensemble decode over %d members (%s)", n_members,
+            "heterogeneous" if isinstance(params, tuple) else "stacked",
+        )
     else:
         params = restore_params(args.checkpoint_dir, cfg, name=args.ckpt_name)
         if beam and beam > 1:

@@ -133,12 +133,24 @@ def beam_search(
     `early_stop=True` uses a while_loop that exits once every beam of every
     video has finished (identical results; big win on trained models).
 
-    `n_members > 0` = ensemble decoding (infer/ensemble.py): `params`,
-    `ctx` and `summary` carry a leading member axis M == n_members; each
-    step vmaps the decoder over members, averages their log-probs, and
-    runs the beam bookkeeping ONCE on the combined distribution — every
-    member's LSTM state is reordered with the same gather indices. The
-    single-model path (n_members=0) is untouched.
+    `n_members > 0` = ensemble decoding (infer/ensemble.py), two layouts:
+
+    * HOMOGENEOUS (same architecture): `params`, `ctx` and `summary` carry
+      a leading member axis M == n_members; each step vmaps the decoder
+      over members, averages their log-probs, and runs the beam
+      bookkeeping ONCE on the combined distribution — every member's LSTM
+      state is reordered with the same gather indices.
+    * HETEROGENEOUS (cross-architecture — different fusion/psi knobs or
+      dims): `params`/`ctx`/`summary` are PYTHON TUPLES of per-member
+      values (n_members == len). The member loop is unrolled at trace
+      time (M is tiny and static), each member advancing its own decoder
+      under the shared chosen tokens; only the vocab dimension must
+      match. This is the layout `stack_params` rejects — the measured
+      ensembling law (docs/RESULTS.md) says recipe/architecture diversity
+      is exactly where ensembles win, so the combination must be
+      expressible.
+
+    The single-model path (n_members=0) is untouched.
 
     `topk_mode` picks the candidate-selection lowering; all three are
     output-identical including tie resolution (pinned by tests):
@@ -160,26 +172,52 @@ def beam_search(
       recorded experiment.
     """
     ens = int(n_members or 0)
+    hetero = ens > 0 and isinstance(params, (list, tuple))
     if ens and vocab_q is not None:
         raise ValueError("vocab_q is not supported for ensemble decoding")
-    b = summary.shape[1] if ens else summary.shape[0]
+    if hetero:
+        if len(params) != ens:
+            raise ValueError(
+                f"n_members={ens} but {len(params)} heterogeneous members"
+            )
+        vs = {p.w_out.shape[-1] for p in params}
+        if len(vs) != 1:
+            raise ValueError(
+                f"heterogeneous ensemble members disagree on vocab: {vs}"
+            )
+        b = summary[0].shape[0]
+        v = params[0].w_out.shape[-1]
+    else:
+        b = summary.shape[1] if ens else summary.shape[0]
+        # w_out.shape[-1], not params.vocab_size: that property reads
+        # shape[1], which is the hidden dim once a member axis is stacked
+        # in front
+        v = params.w_out.shape[-1]
     k = beam_size
-    # w_out.shape[-1], not params.vocab_size: that property reads shape[1],
-    # which is the hidden dim once a member axis is stacked in front
-    v = params.w_out.shape[-1]
 
-    # tile each video's rows K times; for an ensemble the batch axis is
-    # axis 1 (axis 0 is the member axis)
-    tile = lambda x: jnp.repeat(x, k, axis=1 if ens else 0)
-    ctx_k = DecodeContext(
-        enc_proj=tile(ctx.enc_proj),
-        keys=tile(ctx.keys),
-        frame_mask=None if ctx.frame_mask is None else tile(ctx.frame_mask),
-        psi_g=tile(ctx.psi_g),
-    )
-    if ens:
+    # tile each video's rows K times; for a stacked ensemble the batch
+    # axis is axis 1 (axis 0 is the member axis)
+    tile = lambda x: jnp.repeat(x, k, axis=1 if ens and not hetero else 0)
+
+    def tile_ctx(cx):
+        return DecodeContext(
+            enc_proj=tile(cx.enc_proj),
+            keys=tile(cx.keys),
+            frame_mask=None if cx.frame_mask is None else tile(cx.frame_mask),
+            psi_g=tile(cx.psi_g),
+        )
+
+    if hetero:
+        ctx_k = tuple(tile_ctx(cx) for cx in ctx)
+        hs, cs = zip(*(
+            init_decoder_state(p, tile(s)) for p, s in zip(params, summary)
+        ))
+        h, c = tuple(hs), tuple(cs)  # per-member [B*K, Hd]
+    elif ens:
+        ctx_k = tile_ctx(ctx)
         h, c = jax.vmap(init_decoder_state)(params, tile(summary))  # [M, B*K, Hd]
     else:
+        ctx_k = tile_ctx(ctx)
         h, c = init_decoder_state(params, tile(summary))  # [B*K, Hd]
 
     tokens0 = jnp.full((b, k), BOS, jnp.int32)
@@ -208,7 +246,18 @@ def beam_search(
         # ~4x SLOWER than XLA's fused logits/log_softmax/top_k chain at
         # reference dims, so beam uses the XLA tail even when `fused`
         # (which still routes the attention+cell update through Pallas).
-        if ens:
+        if hetero:
+            from controllable_xgating_tpu.infer.ensemble import combine_logp
+
+            outs = [
+                decode_step(p, cx, tok.reshape(b * k), hh, cc, fused=False)
+                for p, cx, hh, cc in zip(params, ctx_k, h, c)
+            ]
+            logits_m = jnp.stack([o[0] for o in outs])  # [M, B*K, V]
+            h_new = tuple(o[1] for o in outs)
+            c_new = tuple(o[2] for o in outs)
+            logp = combine_logp(logits_m, block_unk)    # [B*K, V]
+        elif ens:
             from controllable_xgating_tpu.infer.ensemble import combine_logp
 
             logits_m, h_new, c_new, _ = jax.vmap(
@@ -271,8 +320,13 @@ def beam_search(
         # reorder decoder state: flat index into [B*K] (every ensemble
         # member's state follows the same beam reordering)
         flat_src = (jnp.arange(b)[:, None] * k + beam_idx).reshape(b * k)
-        h_new = h_new[:, flat_src] if ens else h_new[flat_src]
-        c_new = c_new[:, flat_src] if ens else c_new[flat_src]
+        if hetero:
+            h_new = tuple(x[flat_src] for x in h_new)
+            c_new = tuple(x[flat_src] for x in c_new)
+        elif ens:
+            h_new, c_new = h_new[:, flat_src], c_new[:, flat_src]
+        else:
+            h_new, c_new = h_new[flat_src], c_new[flat_src]
 
         now_finished = finished_g | (new_tok == EOS)
         emit = jnp.where(finished_g, PAD, new_tok)

@@ -137,6 +137,140 @@ def ensemble_greedy_decode(
     return jnp.swapaxes(tokens, 0, 1)
 
 
+def hetero_greedy_decode(
+    params_t,
+    ctx_t,
+    summary_t,
+    max_len: int,
+    block_unk: bool = False,
+    early_stop: bool = False,
+) -> jax.Array:
+    """`ensemble_greedy_decode` for HETEROGENEOUS members: tuples of
+    per-member DecoderParams / DecodeContext / summary instead of stacked
+    arrays. The member loop is unrolled at trace time (M tiny + static);
+    each member advances its own LSTM state with the SHARED chosen token."""
+    b = summary_t[0].shape[0]
+    states = [init_decoder_state(p, s) for p, s in zip(params_t, summary_t)]
+    h = tuple(s[0] for s in states)
+    c = tuple(s[1] for s in states)
+    tok0 = jnp.full((b,), BOS, jnp.int32)
+    alive0 = jnp.ones((b,), bool)
+
+    def one_step(h, c, tok, alive):
+        outs = [
+            decode_step(p, cx, tok, hh, cc, fused=False)
+            for p, cx, hh, cc in zip(params_t, ctx_t, h, c)
+        ]
+        logp = combine_logp(jnp.stack([o[0] for o in outs]), block_unk)
+        h = tuple(o[1] for o in outs)
+        c = tuple(o[2] for o in outs)
+        nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(alive, nxt, PAD)
+        return h, c, nxt, alive & (nxt != EOS)
+
+    if early_stop:
+        tokens0 = jnp.full((b, max_len), PAD, jnp.int32)
+
+        def cond(state):
+            h, c, tok, alive, t, tokens = state
+            return (t < max_len) & alive.any()
+
+        def body(state):
+            h, c, tok, alive, t, tokens = state
+            h, c, nxt, alive = one_step(h, c, tok, alive)
+            return h, c, nxt, alive, t + 1, tokens.at[:, t].set(nxt)
+
+        *_, tokens = jax.lax.while_loop(
+            cond, body, (h, c, tok0, alive0, jnp.int32(0), tokens0)
+        )
+        return tokens
+
+    def step(carry, _):
+        h, c, tok, alive = carry
+        h, c, nxt, alive = one_step(h, c, tok, alive)
+        return (h, c, nxt, alive), nxt
+
+    _, tokens = jax.lax.scan(step, (h, c, tok0, alive0), None, length=max_len)
+    return jnp.swapaxes(tokens, 0, 1)
+
+
+def make_auto_ensemble_caption_fn(params, *args, **kwargs):
+    """Pick the ensemble decode path for `params` as produced by
+    `cli.common.restore_ensemble_params`: a member-stacked CaptionerParams
+    -> the vmapped fast path; a tuple of per-member params (cross-
+    architecture) -> the heterogeneous path. Returns the caption fn; both
+    share one call signature."""
+    if isinstance(params, tuple) and not hasattr(params, "decoder"):
+        return make_hetero_ensemble_caption_fn(*args, **kwargs)
+    return make_ensemble_caption_fn(*args, **kwargs)
+
+
+def make_hetero_ensemble_caption_fn(
+    beam_size: int,
+    max_pos_len: int,
+    max_len: int,
+    length_penalty: float = 0.0,
+    block_unk: bool = False,
+    early_stop: bool = True,
+    return_all: bool = False,
+):
+    """Cross-ARCHITECTURE ensemble decoding: members may differ in any
+    static knob `stack_params` rejects — fusion mode, pos_guidance, dims —
+    as long as they share the corpus vocab. The measured ensembling law
+    (docs/RESULTS.md) says recipe diversity is exactly where ensembles
+    win; this path makes the grid's best corners combinable (e.g.
+    concat+no-psi content accuracy x xgate+psi controllability).
+
+    Signature matches `make_ensemble_caption_fn` except `params_t` is a
+    TUPLE of per-member CaptionerParams. Each member encodes the video and
+    free-runs its own POS rollout (psi-off members ignore it); the member
+    loop is unrolled at trace time, so each member's matmuls compile
+    separately (no M-way MXU batching — the price of heterogeneity; for
+    same-architecture members use the stacked path, it is faster)."""
+    from controllable_xgating_tpu.infer.beam import beam_search
+
+    if return_all and not (beam_size and beam_size > 1):
+        raise ValueError("return_all requires beam_size > 1")
+
+    @jax.jit
+    def fn(
+        params_t,
+        app: jax.Array,
+        motion: jax.Array,
+        frame_mask=None,
+        pos_tags=None,
+    ):
+        if len(params_t) < 2:
+            raise ValueError("an ensemble needs at least two members")
+        enc = [
+            encode_for_inference(
+                p, app, motion, frame_mask, pos_tags=pos_tags,
+                max_pos_len=max_pos_len, fused=False, early_stop=early_stop,
+            )
+            for p in params_t
+        ]
+        ctx_t = tuple(e[0] for e in enc)
+        summary_t = tuple(e[1] for e in enc)
+        tags0 = enc[0][2]
+        if beam_size and beam_size > 1:
+            tokens, scores = beam_search(
+                tuple(p.decoder for p in params_t), ctx_t, summary_t,
+                beam_size, max_len, length_penalty, fused=False,
+                block_unk=block_unk, early_stop=early_stop,
+                n_members=len(params_t), return_all=return_all,
+            )
+            if return_all:
+                return tokens, scores, tags0
+        else:
+            tokens = hetero_greedy_decode(
+                tuple(p.decoder for p in params_t), ctx_t, summary_t,
+                max_len, block_unk=block_unk, early_stop=early_stop,
+            )
+        return tokens, tags0
+
+    return fn
+
+
 def make_ensemble_caption_fn(
     beam_size: int,
     max_pos_len: int,

@@ -193,6 +193,10 @@ class ServingEngine:
         from controllable_xgating_tpu.ops.precision import compute_dtype
 
         ens = int(n_members or 0)
+        # cross-architecture members arrive as a tuple (cli/common.py
+        # restore_ensemble_params); they decode via the heterogeneous
+        # unrolled-member path instead of the member-vmap
+        hetero = ens > 0 and isinstance(params, tuple)
         self.n_members = ens
         self._nbest = int(nbest or 0)
         # ensemble members are vmapped; the member axis already batches the
@@ -214,7 +218,19 @@ class ServingEngine:
             # the SAME prolog the offline paths use (per-row use_tags mixes
             # controlled and free-run requests in one batch); for an
             # ensemble each member runs its own encode/POS rollout
-            if ens:
+            if hetero:
+                enc = [
+                    encode_for_inference(
+                        p, app, motion, frame_mask, pos_tags=pos_tags,
+                        max_pos_len=m.max_pos_len, fused=False,
+                        early_stop=True, use_tags=use_tags,
+                    )
+                    for p in params
+                ]
+                ctx = tuple(e[0] for e in enc)
+                summary = tuple(e[1] for e in enc)
+                tags_out = enc[0][2]
+            elif ens:
                 ctx, summary, tags_out_m = jax.vmap(
                     lambda p: encode_for_inference(
                         p, app, motion, frame_mask, pos_tags=pos_tags,
@@ -229,25 +245,37 @@ class ServingEngine:
                     max_pos_len=m.max_pos_len, fused=fused, early_stop=True,
                     use_tags=use_tags,
                 )
+            dec_params = (
+                tuple(p.decoder for p in params) if hetero else params.decoder
+            )
             if mode == "greedy":
-                if ens:
+                if hetero:
+                    from controllable_xgating_tpu.infer.ensemble import (
+                        hetero_greedy_decode,
+                    )
+
+                    tokens = hetero_greedy_decode(
+                        dec_params, ctx, summary, ev.max_decode_len,
+                        block_unk=ev.block_unk, early_stop=True,
+                    )
+                elif ens:
                     from controllable_xgating_tpu.infer.ensemble import (
                         ensemble_greedy_decode,
                     )
 
                     tokens = ensemble_greedy_decode(
-                        params.decoder, ctx, summary, ev.max_decode_len,
+                        dec_params, ctx, summary, ev.max_decode_len,
                         block_unk=ev.block_unk, early_stop=True,
                     )
                 else:
                     tokens = greedy_decode(
-                        params.decoder, ctx, summary, ev.max_decode_len,
+                        dec_params, ctx, summary, ev.max_decode_len,
                         fused=fused, block_unk=ev.block_unk, early_stop=True,
                     )
                 scores = jnp.zeros((tokens.shape[0],), jnp.float32)
             else:
                 tokens, scores = beam_search(
-                    params.decoder, ctx, summary, ev.beam_size,
+                    dec_params, ctx, summary, ev.beam_size,
                     ev.max_decode_len, ev.length_penalty, fused=fused,
                     block_unk=ev.block_unk, early_stop=True, n_members=ens,
                     return_all=bool(nbest),

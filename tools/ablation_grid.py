@@ -36,12 +36,18 @@ CELLS = [
     ("concat", False),
 ]
 
-# the flagship recipe's shared flags (examples/full_pipeline.sh); SMOKE
-# (CPU plumbing check) shrinks dims/epochs but exercises every command
+# the flagship recipe's shared flags (examples/full_pipeline.sh); MEDIUM
+# is the corpus-v2 adjudication recipe (~4x cheaper than flagship — the
+# grid compares cells against each other on one corpus, so absolute dims
+# only need enough capacity, not the flagship's); SMOKE (CPU plumbing
+# check) shrinks dims/epochs but exercises every command
 FLAGSHIP = {"dims": 512, "frames": 26, "batch": 64, "decode_len": 20,
             "epochs": (8, 40, 15), "extra": ["--compute_dtype", "bfloat16"]}
+MEDIUM = {"dims": 256, "frames": 26, "batch": 64, "decode_len": 20,
+          "epochs": (8, 40, 15), "extra": ["--compute_dtype", "bfloat16"]}
 SMOKE = {"dims": 20, "frames": 5, "batch": 4, "decode_len": 12,
          "epochs": (1, 2, 1), "extra": ["--platform", "cpu"]}
+RECIPES = {"flagship": FLAGSHIP, "medium": MEDIUM, "smoke": SMOKE}
 RECIPE = FLAGSHIP
 
 
@@ -182,10 +188,15 @@ def main(argv=None) -> None:
     p.add_argument("--smoke", action="store_true",
                    help="tiny dims/epochs on CPU: validates the plumbing "
                         "(every command runs) without TPU time")
+    p.add_argument("--recipe", choices=sorted(RECIPES), default=None,
+                   help="recipe scale (default flagship; --smoke is an "
+                        "alias for --recipe smoke)")
     args = p.parse_args(argv)
+    global RECIPE
     if args.smoke:
-        global RECIPE
         RECIPE = SMOKE
+    elif args.recipe:
+        RECIPE = RECIPES[args.recipe]
 
     os.makedirs(args.out, exist_ok=True)
     want = set(args.cells.split(",")) if args.cells else None
