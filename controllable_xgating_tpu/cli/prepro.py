@@ -35,6 +35,12 @@ def main(argv=None) -> None:
                         "averaged-perceptron model (see tools/train_tagger.py)")
     p.add_argument("--tagger_model",
                    help="model path (required with --tagger perceptron)")
+    p.add_argument("--vocab_from",
+                   help="adopt an existing corpus's word vocabulary (path "
+                        "to its info.json) instead of building one — use "
+                        "when the new corpus will be scored by checkpoints "
+                        "trained on that corpus (ids must match); "
+                        "out-of-vocab words encode as UNK")
     p.add_argument("--fixtures", action="store_true")
     p.add_argument("--fixture_videos", type=int, default=200)
     p.add_argument("--fixture_frames", type=int, default=26)
@@ -65,6 +71,9 @@ def main(argv=None) -> None:
         if args.fixture_msvd_videos > 0 and args.fixture_feature_map != "linear":
             p.error("--fixture_feature_map entangled is single-domain only "
                     "(no --fixture_msvd_videos)")
+        if args.fixture_msvd_videos > 0 and args.vocab_from:
+            p.error("--vocab_from is not supported for the joint "
+                    "(--fixture_msvd_videos) corpus")
         if args.fixture_msvd_videos > 0:
             from controllable_xgating_tpu.data.fixtures import (
                 make_joint_fixture_corpus,
@@ -98,6 +107,7 @@ def main(argv=None) -> None:
                 val_frac=args.fixture_val_frac,
                 feature_map=args.fixture_feature_map,
                 corrupt_prob=args.fixture_corrupt_prob,
+                vocab_from=args.vocab_from,
             )
     else:
         from controllable_xgating_tpu.data.corpus import preprocess_corpus
@@ -117,6 +127,11 @@ def main(argv=None) -> None:
             )
 
             tagger = PerceptronTagger.load(args.tagger_model)
+        vocab = None
+        if args.vocab_from:
+            from controllable_xgating_tpu.data.corpus import CorpusInfo
+
+            vocab = CorpusInfo.load(args.vocab_from).vocab
         info = preprocess_corpus(
             captions,
             splits,
@@ -125,6 +140,7 @@ def main(argv=None) -> None:
             max_caption_len=args.max_caption_len,
             seqs_per_video=args.seqs_per_video,
             tagger=tagger,
+            vocab=vocab,
         )
     print(
         json.dumps(

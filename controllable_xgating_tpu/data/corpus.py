@@ -80,6 +80,7 @@ def preprocess_corpus(
     max_caption_len: int = 28,
     seqs_per_video: int = 20,
     tagger=None,
+    vocab: Vocab | None = None,
 ) -> CorpusInfo:
     """Run the full offline prep and write info.json + labels.npz.
 
@@ -91,6 +92,13 @@ def preprocess_corpus(
         `PennTagger`; pass a trained `PerceptronTagger` for domain corpora).
         If it exposes a `.tags` tagset (the perceptron does), the POS vocab
         is built from THAT tagset instead of the closed Penn list.
+      vocab: adopt this existing vocabulary (id order and all) instead of
+        building one from the train captions. This is the "score new data
+        with the training vocab" path: a checkpoint's embedding/projection
+        rows are tied to its training corpus's word ids, so any corpus it
+        is evaluated on must index words identically. Words outside the
+        adopted vocab encode as UNK (exactly how unseen test words behave
+        under the reference's train-built vocab).
     """
     os.makedirs(out_dir, exist_ok=True)
     tokenizer = PTBTokenizer()
@@ -113,12 +121,15 @@ def preprocess_corpus(
         tokenized[vid] = toks
         tagged[vid] = [tagger.tag(t) for t in toks]
 
-    # Vocab from TRAIN captions only (reference behavior: test words unseen).
-    train_ids = set(splits.get("train", ()))
-    vocab = Vocab.build(
-        (t for vid in video_ids if vid in train_ids for t in tokenized[vid]),
-        min_freq=min_word_freq,
-    )
+    if vocab is None:
+        # Vocab from TRAIN captions only (reference behavior: test words
+        # unseen).
+        train_ids = set(splits.get("train", ()))
+        vocab = Vocab.build(
+            (t for vid in video_ids if vid in train_ids
+             for t in tokenized[vid]),
+            min_freq=min_word_freq,
+        )
     # POS vocab: the full closed Penn tagset by default (stable across
     # corpora); a trained tagger's own tagset when it exposes one.
     custom_tagset = getattr(tagger, "tags", None)

@@ -295,6 +295,7 @@ def make_fixture_corpus(
     variable_frames: bool = True,
     feature_map: str = "linear",
     corrupt_prob: float = 0.0,
+    vocab_from: str | None = None,
 ) -> CorpusInfo:
     """Generate features.h5 + info.json + labels.npz under out_dir.
 
@@ -308,7 +309,12 @@ def make_fixture_corpus(
     "entangled" (v2 — cross-modally entangled group coding + multiplicative
     modulation; see `_concept_embeddings_v2`). `corrupt_prob` (v2 only)
     corrupts that fraction of videos' appearance streams with distractor
-    scenes, beacon-flagged in motion."""
+    scenes, beacon-flagged in motion.
+
+    `vocab_from` adopts an existing corpus's vocabulary (path to its
+    info.json) instead of building one, so checkpoints trained on that
+    corpus can be evaluated on this one — e.g. minting a larger test split
+    for better-powered significance tests on an already-trained model."""
     if feature_map not in ("linear", "entangled"):
         raise ValueError(f"unknown feature_map {feature_map!r}")
     if corrupt_prob and feature_map != "entangled":
@@ -378,6 +384,9 @@ def make_fixture_corpus(
             },
             f,
         )
+    vocab = None
+    if vocab_from is not None:
+        vocab = CorpusInfo.load(vocab_from).vocab
     return preprocess_corpus(
         captions,
         splits,
@@ -385,6 +394,7 @@ def make_fixture_corpus(
         min_word_freq=1,
         max_caption_len=max_caption_len,
         seqs_per_video=seqs_per_video,
+        vocab=vocab,
     )
 
 

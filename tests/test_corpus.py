@@ -103,3 +103,53 @@ def test_prefetch_iterator_order_and_error():
     with pytest.raises(RuntimeError):
         while True:
             next(it)
+
+
+def test_vocab_adoption(tmp_path):
+    """--vocab_from: a corpus built with an adopted vocab indexes words
+    identically to the source corpus, and OOV words encode as UNK."""
+    from controllable_xgating_tpu.data.vocab import UNK
+
+    src_caps = {
+        "v0": ["a man is running", "the man runs"],
+        "v1": ["a dog is swimming in the water"],
+    }
+    src = preprocess_corpus(
+        src_caps, {"train": ["v0", "v1"], "val": [], "test": []},
+        str(tmp_path / "src"), min_word_freq=1, max_caption_len=12,
+        seqs_per_video=4)
+
+    new_caps = {"n0": ["a man is swimming", "a zebra gallops"]}
+    adopted = preprocess_corpus(
+        new_caps, {"train": [], "val": [], "test": ["n0"]},
+        str(tmp_path / "new"), min_word_freq=1, max_caption_len=12,
+        seqs_per_video=4, vocab=src.vocab)
+    assert adopted.vocab.idx_to_word == src.vocab.idx_to_word
+
+    labels = load_labels(str(tmp_path / "new"))
+    ids = labels["caps"][0, 0]
+    assert adopted.vocab.decode(ids) == ["a", "man", "is", "swimming"]
+    # "zebra"/"gallops" are not in the source vocab -> UNK
+    ids2 = labels["caps"][0, 1]
+    non_special = [int(i) for i in ids2 if int(i) not in (PAD, BOS, EOS)]
+    assert non_special[0] == src.vocab.word_to_idx["a"]
+    assert non_special[1] == UNK and non_special[2] == UNK
+
+
+def test_vocab_adoption_fixture_cli(tmp_path):
+    """prepro --vocab_from end-to-end on fixture corpora: same word ids."""
+    import json as _json
+
+    from controllable_xgating_tpu.cli.prepro import main as prepro_main
+
+    common = ["--fixtures", "--fixture_frames", "4", "--fixture_app_dim",
+              "16", "--fixture_motion_dim", "8", "--max_caption_len", "12",
+              "--seqs_per_video", "2"]
+    prepro_main(["--out", str(tmp_path / "a"), "--fixture_videos", "12"]
+                + common)
+    prepro_main(["--out", str(tmp_path / "b"), "--fixture_videos", "40",
+                 "--vocab_from", str(tmp_path / "a" / "info.json")]
+                + common)
+    a = _json.load(open(tmp_path / "a" / "info.json"))
+    b = _json.load(open(tmp_path / "b" / "info.json"))
+    assert a["vocab"] == b["vocab"]
