@@ -1,0 +1,61 @@
+#!/bin/sh
+# Stage 2 of the powered study re-runs (VERDICT r4 item 3): score the
+# round-3 findings whose CIs included zero on data/power's 300-video test
+# split, with the same cxg-score paired-bootstrap discipline.
+# Prereqs: checkpoints/flagship_ls (tools/run_flagship_ls.sh) and the
+# dims-256 zoo (tools/run_powered_studies.sh).
+set -e
+cd /root/repo
+D=data/power
+OUT=checkpoints/powered_evals
+mkdir -p $OUT
+D512="--model.hidden_dim 512 --model.embed_dim 512 --model.attn_dim 512 \
+  --model.pos_embed_dim 512 --model.num_frames 26 \
+  --data.batch_size 64 --eval.max_decode_len 20 --compute_dtype bfloat16"
+D256="--model.hidden_dim 256 --model.embed_dim 256 --model.attn_dim 256 \
+  --model.pos_embed_dim 256 --model.num_frames 26 \
+  --data.batch_size 64 --eval.max_decode_len 20 --compute_dtype bfloat16"
+
+echo "=== (a) MBR vs beam-5 vs greedy: flagship_ls XE on power/test ==="
+python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
+  --data_dir $D --checkpoint_dir checkpoints/flagship_ls/caption $D512 \
+  --out $OUT/xe512_beam5.json
+python -m controllable_xgating_tpu.cli.eval --split test --beam_size 1 \
+  --data_dir $D --checkpoint_dir checkpoints/flagship_ls/caption $D512 \
+  --out $OUT/xe512_greedy.json
+python tools/mbr_eval.py --platform axon --data_dir $D \
+  --checkpoint_dir checkpoints/flagship_ls/caption --samples 20 \
+  --temperature 0.7 --include_greedy --out $OUT/xe512_mbr.json $D512
+
+echo "=== (b) cross-recipe dims-256 ensembles on power/test ==="
+python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
+  --data_dir $D --checkpoint_dir checkpoints/power_best256/caption $D256 \
+  --out $OUT/best256_xe_beam5.json
+python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
+  --data_dir $D --checkpoint_dir checkpoints/power_best256/scst $D256 \
+  --out $OUT/best256_scst_beam5.json
+for SEED in 101 202 303; do
+  python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
+    --data_dir $D --checkpoint_dir checkpoints/power_joint$SEED/joint $D256 \
+    --out $OUT/joint${SEED}_beam5.json
+done
+python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
+  --data_dir $D \
+  --ensemble checkpoints/power_best256/caption checkpoints/power_joint202/joint \
+  --out $OUT/ens_best256xe_joint202.json
+python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
+  --data_dir $D \
+  --ensemble checkpoints/power_best256/scst checkpoints/power_joint202/joint \
+  --out $OUT/ens_best256scst_joint202.json
+
+echo "=== (c) same-recipe seed ensembles (2- and 3-member) ==="
+python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
+  --data_dir $D \
+  --ensemble checkpoints/power_joint101/joint checkpoints/power_joint202/joint \
+  --out $OUT/ens_joint101_202.json
+python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
+  --data_dir $D \
+  --ensemble checkpoints/power_joint101/joint checkpoints/power_joint202/joint \
+  checkpoints/power_joint303/joint \
+  --out $OUT/ens_joint3.json
+echo EVALS_DONE
