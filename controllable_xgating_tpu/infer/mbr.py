@@ -33,6 +33,49 @@ def _pair_sim_rouge(a: str, b: str, beta: float = 1.2) -> float:
     return float(RougeScorer(beta).score_single([b], a))
 
 
+def _make_ciderd_sim(pools: Mapping[str, Sequence[str]]):
+    """Pairwise CIDEr-D similarity with idf over the candidate pseudo-corpus.
+
+    CIDEr-D needs document frequencies; at MBR selection time no references
+    may be consulted, so the idf statistics come from the UNIQUE candidates
+    across all pools (each unique candidate = one document) — the standard
+    reference-free pseudo-corpus choice. Aligns the consensus utility with
+    the family of the headline eval metric; n-gram sims are averaged over
+    n=1..4 with CIDEr-D's tf clipping + Gaussian length penalty (the
+    `metrics/cider.py::CiderDScorer` math at sentence level, unscaled)."""
+    from controllable_xgating_tpu.metrics.cider import CiderDScorer
+
+    docs = {c for pool in pools.values() for c in pool}
+    scorer = CiderDScorer()
+    # df over unique candidates: {ngram: #docs containing it}
+    from controllable_xgating_tpu.metrics.cider import ngram_counts
+
+    df: dict = {}
+    for d in docs:
+        for n_counts in ngram_counts(d.split(), scorer.max_n):
+            for ng in n_counts:
+                df[ng] = df.get(ng, 0.0) + 1.0
+    import math
+
+    log_n = math.log(max(len(docs), 1))
+    vec_cache: dict[str, tuple] = {}
+
+    def vec(c: str):
+        if c not in vec_cache:
+            vec_cache[c] = scorer._vec(c.split(), df, log_n)
+        return vec_cache[c]
+
+    def sim(a: str, b: str) -> float:
+        av, an, al = vec(a)
+        bv, bn, bl = vec(b)
+        return sum(
+            scorer._pair_sim(av[n], an[n], al, bv[n], bn[n], bl)
+            for n in range(scorer.max_n)
+        ) / scorer.max_n
+
+    return sim
+
+
 def mbr_select(
     pools: Mapping[str, Sequence[str]],
     utility: str = "ROUGE_L",
@@ -40,13 +83,24 @@ def mbr_select(
     """{vid: [candidates]} -> {vid: (chosen caption, expected utility)}.
 
     `utility`: 'ROUGE_L' — pairwise LCS-F (bounded [0,1], symmetric-ish;
-    the robust default for short captions). Duplicates in the pool fold
-    into frequency weights, so a candidate sampled k times contributes k
-    times to every other candidate's expected utility (and its own) —
-    exactly the Monte-Carlo MBR estimator.
+    the robust default for short captions) — or 'CIDErD' — sentence-level
+    CIDEr-D with idf over the candidate pseudo-corpus (see
+    `_make_ciderd_sim`; aligns the utility with the eval-metric family).
+    Duplicates in the pool fold into frequency weights, so a candidate
+    sampled k times contributes k times to every other candidate's
+    expected utility (and its own) — exactly the Monte-Carlo MBR
+    estimator.
     """
-    if utility != "ROUGE_L":
-        raise ValueError(f"utility must be ROUGE_L, got {utility!r}")
+    if utility not in ("ROUGE_L", "CIDErD"):
+        raise ValueError(f"utility must be ROUGE_L or CIDErD, got {utility!r}")
+    pair_sim = (_pair_sim_rouge if utility == "ROUGE_L"
+                else _make_ciderd_sim(pools))
+    # self-sim: ROUGE-L(a, a) == 1 exactly; CIDEr-D self-sim is its cosine
+    # norm (1 after normalization, length penalty 0 delta -> 1), so 1 too —
+    # but compute it for CIDErD anyway since zero-norm edge cases (all-UNK
+    # strings vs empty df) deserve the scorer's own handling
+    self_sim = ((lambda c: 1.0) if utility == "ROUGE_L"
+                else (lambda c: pair_sim(c, c)))
     out = {}
     for vid, pool in pools.items():
         if not pool:
@@ -60,13 +114,14 @@ def mbr_select(
             continue
         n = len(cands)
         w = [counts[c] / len(pool) for c in cands]
-        # sim is not exactly symmetric (ROUGE-L F weighs recall via beta);
-        # compute the full ordered matrix, self-sim = 1
+        # sim is not exactly symmetric (ROUGE-L F weighs recall via beta;
+        # CIDEr-D clips the candidate's tf against the reference's);
+        # compute the full ordered matrix
         best_i, best_u = 0, -1.0
         for i in range(n):
             u = sum(
-                w[j] * (1.0 if i == j
-                        else _pair_sim_rouge(cands[i], cands[j]))
+                w[j] * (self_sim(cands[i]) if i == j
+                        else pair_sim(cands[i], cands[j]))
                 for j in range(n)
             )
             if u > best_u:

@@ -73,3 +73,39 @@ def test_mbr_eval_tool(tmp_path, capsys):
     assert 0.0 <= r["picked_greedy_frac"] <= 1.0
     info = json.load(open(d + "/info.json"))
     assert len(r["captions"]) == len(info["splits"]["test"])
+
+
+def test_mbr_ciderd_utility():
+    """CIDErD utility picks the pool's n-gram consensus and handles the
+    duplicate-weighting exactly like the ROUGE_L path."""
+    from controllable_xgating_tpu.infer.mbr import mbr_select
+
+    pools = {
+        "v0": ["a man plays a guitar", "a man plays a guitar",
+               "a man plays the guitar", "purple elephants fly"],
+        # single-candidate pool short-circuits
+        "v1": ["a dog runs"],
+    }
+    out = mbr_select(pools, utility="CIDErD")
+    assert out["v0"][0] == "a man plays a guitar"
+    assert out["v1"] == ("a dog runs", 1.0)
+
+    with __import__("pytest").raises(ValueError):
+        mbr_select(pools, utility="BLEU")
+
+
+def test_mbr_ciderd_differs_from_rouge_on_ngram_overlap():
+    """A candidate sharing long n-grams with the pool should win under
+    CIDErD even when unigram/LCS overlap alone would tie things."""
+    from controllable_xgating_tpu.infer.mbr import mbr_select
+
+    # c1 shares the 4-gram "man plays the guitar" with two pool mates;
+    # c2 shares only scattered unigrams
+    pools = {"v": [
+        "the man plays the guitar today",
+        "a man plays the guitar now",
+        "man plays the guitar",
+        "guitar the plays man a today now",  # bag-of-words cousin
+    ]}
+    out = mbr_select(pools, utility="CIDErD")
+    assert "plays the guitar" in out["v"][0]

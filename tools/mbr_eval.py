@@ -34,6 +34,11 @@ def main(argv=None) -> None:
     p.add_argument("--split", default="test",
                    choices=("train", "val", "test"))
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--utility", default="ROUGE_L",
+                   choices=("ROUGE_L", "CIDErD"),
+                   help="consensus utility (infer/mbr.py): pairwise "
+                        "ROUGE-L F, or sentence CIDEr-D with idf over "
+                        "the candidate pseudo-corpus")
     p.add_argument("--out", default=None)
     p.add_argument("--platform", default="cpu",
                    choices=("cpu", "tpu", "axon"))
@@ -115,7 +120,7 @@ def main(argv=None) -> None:
             pools[vid] = pool
             greedy_res[vid] = [gcap]
 
-    chosen = mbr_select(pools)
+    chosen = mbr_select(pools, utility=args.utility)
     mbr_res = {v: [c] for v, (c, _u) in chosen.items()}
 
     keys = [info.video_ids[i] for i in indices]
@@ -126,6 +131,7 @@ def main(argv=None) -> None:
         "split": args.split, "samples": s,
         "temperature": args.temperature,
         "include_greedy": bool(args.include_greedy),
+        "utility": args.utility,
         "metrics_greedy": language_eval(gts, greedy_res,
                                         metrics=cfg.eval.metrics),
         "metrics_mbr": language_eval(gts, mbr_res,
