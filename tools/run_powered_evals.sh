@@ -59,3 +59,17 @@ python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
   checkpoints/power_joint303/joint \
   --out $OUT/ens_joint3.json
 echo EVALS_DONE
+
+echo "=== stage 3: paired-bootstrap significance (cxg-score) ==="
+SCORE="python -m controllable_xgating_tpu.cli.score --data_dir $D --split test --bootstrap 2000"
+# (a) MBR vs beam-5 and vs greedy (delta = first minus second)
+$SCORE --candidates $OUT/xe512_mbr.json    --compare $OUT/xe512_beam5.json  --out $OUT/sig_mbr_vs_beam5.json
+$SCORE --candidates $OUT/xe512_mbr.json    --compare $OUT/xe512_greedy.json --out $OUT/sig_mbr_vs_greedy.json
+# (b) cross-recipe ensembles vs their best member
+$SCORE --candidates $OUT/ens_best256xe_joint202.json   --compare $OUT/joint202_beam5.json      --out $OUT/sig_ensxe_vs_joint202.json
+$SCORE --candidates $OUT/ens_best256xe_joint202.json   --compare $OUT/best256_xe_beam5.json    --out $OUT/sig_ensxe_vs_best256xe.json
+$SCORE --candidates $OUT/ens_best256scst_joint202.json --compare $OUT/best256_scst_beam5.json  --out $OUT/sig_ensscst_vs_best256scst.json
+# (c) same-recipe seed ensembles vs best member (incl. the 3-member BLEU-4)
+$SCORE --candidates $OUT/ens_joint101_202.json --compare $OUT/joint202_beam5.json --out $OUT/sig_ens2_vs_best.json
+$SCORE --candidates $OUT/ens_joint3.json       --compare $OUT/joint202_beam5.json --out $OUT/sig_ens3_vs_best.json
+echo SIG_DONE
