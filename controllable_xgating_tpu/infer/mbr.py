@@ -79,6 +79,7 @@ def _make_ciderd_sim(pools: Mapping[str, Sequence[str]]):
 def mbr_select(
     pools: Mapping[str, Sequence[str]],
     utility: str = "ROUGE_L",
+    weights: Mapping[str, Sequence[float]] | None = None,
 ) -> dict:
     """{vid: [candidates]} -> {vid: (chosen caption, expected utility)}.
 
@@ -90,6 +91,13 @@ def mbr_select(
     sampled k times contributes k times to every other candidate's
     expected utility (and its own) — exactly the Monte-Carlo MBR
     estimator.
+
+    `weights` (optional, {vid: [w...]} aligned with each pool) replaces
+    the frequency estimate with explicit probability mass — the beam-pool
+    form of MBR, where the n-best list covers distinct hypotheses and the
+    model posterior (normalized exp(score)) is known exactly rather than
+    estimated by sampling frequency. Duplicate strings fold by SUMMING
+    their weights; weights are normalized per video.
     """
     if utility not in ("ROUGE_L", "CIDErD"):
         raise ValueError(f"utility must be ROUGE_L or CIDErD, got {utility!r}")
@@ -105,15 +113,28 @@ def mbr_select(
     for vid, pool in pools.items():
         if not pool:
             raise ValueError(f"empty candidate pool for {vid!r}")
-        counts: dict[str, int] = {}
-        for c in pool:
-            counts[c] = counts.get(c, 0) + 1
+        vw = None
+        if weights is not None:
+            vw = list(weights[vid])
+            if len(vw) != len(pool):
+                raise ValueError(
+                    f"weights for {vid!r} must align with its pool "
+                    f"({len(vw)} vs {len(pool)})")
+            total = sum(vw)
+            if total <= 0:
+                raise ValueError(f"weights for {vid!r} must sum > 0")
+            vw = [x / total for x in vw]
+        counts: dict[str, float] = {}
+        for k, c in enumerate(pool):
+            counts[c] = counts.get(c, 0.0) + (
+                vw[k] if vw is not None else 1.0)
         cands = list(counts)
         if len(cands) == 1:
             out[vid] = (cands[0], 1.0)
             continue
         n = len(cands)
-        w = [counts[c] / len(pool) for c in cands]
+        denom = len(pool) if vw is None else 1.0
+        w = [counts[c] / denom for c in cands]
         # sim is not exactly symmetric (ROUGE-L F weighs recall via beta;
         # CIDEr-D clips the candidate's tf against the reference's);
         # compute the full ordered matrix

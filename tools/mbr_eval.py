@@ -1,10 +1,12 @@
-"""MBR decoding evaluation: sample a candidate pool, select by consensus.
+"""MBR decoding evaluation: build a candidate pool, select by consensus.
 
-Draws S multinomial rollouts per video (optionally adding the greedy
-caption to the pool), picks the minimum-Bayes-risk candidate
-(`infer/mbr.py`), and scores the selection against the split's
-references next to the greedy baseline — the reference-free decode
-strategy the reranking section's oracle headroom motivates.
+Pools come from S multinomial rollouts per video (--pool sample,
+optionally adding the greedy caption) or from the width-S beam n-best
+list (--pool beam, candidates weighted by their exact model posterior
+or uniformly); the minimum-Bayes-risk candidate (`infer/mbr.py`,
+--utility ROUGE_L or CIDErD) is scored against the split's references
+next to the greedy baseline — the reference-free decode strategy the
+reranking section's oracle headroom motivates.
 
   python tools/mbr_eval.py --data_dir D --checkpoint_dir CK \
       --samples 20 --temperature 0.7 --out mbr.json
@@ -39,6 +41,15 @@ def main(argv=None) -> None:
                    help="consensus utility (infer/mbr.py): pairwise "
                         "ROUGE-L F, or sentence CIDEr-D with idf over "
                         "the candidate pseudo-corpus")
+    p.add_argument("--pool", default="sample", choices=("sample", "beam"),
+                   help="candidate pool: --samples multinomial rollouts at "
+                        "--temperature (Monte-Carlo MBR), or the beam "
+                        "n-best list of width --samples (distinct "
+                        "hypotheses with exact model posteriors)")
+    p.add_argument("--beam_weighting", default="posterior",
+                   choices=("posterior", "uniform"),
+                   help="with --pool beam: weight candidates by normalized "
+                        "exp(beam score), or uniformly")
     p.add_argument("--out", default=None)
     p.add_argument("--platform", default="cpu",
                    choices=("cpu", "tpu", "axon"))
@@ -47,6 +58,9 @@ def main(argv=None) -> None:
         p.error("--samples must be >= 2 (MBR needs a pool)")
     if args.temperature <= 0:
         p.error("--temperature must be > 0")
+    if args.pool == "beam" and args.include_greedy:
+        p.error("--include_greedy applies to --pool sample only (a beam "
+                "list already contains every high-probability hypothesis)")
 
     from controllable_xgating_tpu.cli.common import (
         adopt_ckpt_model_config, apply_runtime_flags, load_corpus,
@@ -89,38 +103,58 @@ def main(argv=None) -> None:
             params.decoder, ctx, summary, max_len,
             block_unk=cfg.eval.block_unk, early_stop=True,
         )
+        if args.pool == "beam":
+            from controllable_xgating_tpu.infer.beam import beam_search
+
+            nbest, scores = beam_search(
+                params.decoder, ctx, summary, s, max_len,
+                block_unk=cfg.eval.block_unk, early_stop=True,
+                return_all=True,
+            )
+            return greedy, nbest, scores
         rep = lambda x: None if x is None else jnp.repeat(x, s, axis=0)
         sampled, _ = sample_decode(
             params.decoder, jax.tree.map(rep, ctx), rep(summary),
             max_len, rng, args.temperature,
             block_unk=cfg.eval.block_unk,  # pool obeys the same constraint
         )
-        return greedy, sampled
+        return greedy, sampled, None
 
     indices = np.asarray(info.splits[args.split], np.int64)
     pools: dict[str, list] = {}
+    weights: dict[str, list] | None = (
+        {} if args.pool == "beam" and args.beam_weighting == "posterior"
+        else None)
     greedy_res: dict[str, list] = {}
     rng = jax.random.PRNGKey(args.seed)
     for bi, batch in enumerate(
         eval_batches(store, indices, cfg.data.batch_size)
     ):
-        g, smp = decode_batch(
+        g, smp, scores = decode_batch(
             params, batch["app"], batch["motion"], batch.get("frame_mask"),
             jax.random.fold_in(rng, bi),
         )
         g, smp = np.asarray(g), np.asarray(smp)
+        if scores is not None:
+            scores = np.asarray(scores, np.float64)
         for row in range(batch["num_valid"]):
             vid = info.video_ids[int(batch["video_indices"][row])]
-            pool = [
-                info.vocab.decode_str(smp[row * s + k]) for k in range(s)
-            ]
+            if args.pool == "beam":
+                pool = [info.vocab.decode_str(smp[row, k]) for k in range(s)]
+                if weights is not None:
+                    sc = scores[row] - scores[row].max()
+                    weights[vid] = list(np.exp(sc) / np.exp(sc).sum())
+            else:
+                pool = [
+                    info.vocab.decode_str(smp[row * s + k]) for k in range(s)
+                ]
             gcap = info.vocab.decode_str(g[row])
             if args.include_greedy:
                 pool.append(gcap)
             pools[vid] = pool
             greedy_res[vid] = [gcap]
 
-    chosen = mbr_select(pools, utility=args.utility)
+    chosen = mbr_select(pools, utility=args.utility, weights=weights)
     mbr_res = {v: [c] for v, (c, _u) in chosen.items()}
 
     keys = [info.video_ids[i] for i in indices]
@@ -132,6 +166,9 @@ def main(argv=None) -> None:
         "temperature": args.temperature,
         "include_greedy": bool(args.include_greedy),
         "utility": args.utility,
+        "pool": args.pool,
+        "beam_weighting": (args.beam_weighting if args.pool == "beam"
+                           else None),
         "metrics_greedy": language_eval(gts, greedy_res,
                                         metrics=cfg.eval.metrics),
         "metrics_mbr": language_eval(gts, mbr_res,
