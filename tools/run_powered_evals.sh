@@ -26,6 +26,15 @@ python -m controllable_xgating_tpu.cli.eval --split test --beam_size 1 \
 python tools/mbr_eval.py --platform axon --data_dir $D \
   --checkpoint_dir checkpoints/flagship_ls/caption --samples 20 \
   --temperature 0.7 --include_greedy --out $OUT/xe512_mbr.json $D512
+# MBR variants: CIDErD utility on the same sampled pool; beam n-best pool
+python tools/mbr_eval.py --platform axon --data_dir $D \
+  --checkpoint_dir checkpoints/flagship_ls/caption --samples 20 \
+  --temperature 0.7 --include_greedy --utility CIDErD \
+  --out $OUT/xe512_mbr_ciderd.json $D512
+python tools/mbr_eval.py --platform axon --data_dir $D \
+  --checkpoint_dir checkpoints/flagship_ls/caption --samples 5 \
+  --pool beam --utility ROUGE_L \
+  --out $OUT/xe512_mbr_beam.json $D512
 
 echo "=== (b) cross-recipe dims-256 ensembles on power/test ==="
 python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
@@ -65,6 +74,8 @@ SCORE="python -m controllable_xgating_tpu.cli.score --data_dir $D --split test -
 # (a) MBR vs beam-5 and vs greedy (delta = first minus second)
 $SCORE --candidates $OUT/xe512_mbr.json    --compare $OUT/xe512_beam5.json  --out $OUT/sig_mbr_vs_beam5.json
 $SCORE --candidates $OUT/xe512_mbr.json    --compare $OUT/xe512_greedy.json --out $OUT/sig_mbr_vs_greedy.json
+$SCORE --candidates $OUT/xe512_mbr_ciderd.json --compare $OUT/xe512_mbr.json   --out $OUT/sig_mbrcid_vs_mbr.json
+$SCORE --candidates $OUT/xe512_mbr_beam.json   --compare $OUT/xe512_beam5.json --out $OUT/sig_mbrbeam_vs_beam5.json
 # (b) cross-recipe ensembles vs their best member
 $SCORE --candidates $OUT/ens_best256xe_joint202.json   --compare $OUT/joint202_beam5.json      --out $OUT/sig_ensxe_vs_joint202.json
 $SCORE --candidates $OUT/ens_best256xe_joint202.json   --compare $OUT/best256_xe_beam5.json    --out $OUT/sig_ensxe_vs_best256xe.json
