@@ -14,7 +14,10 @@
 set -e
 cd /root/repo
 D=data/power
-COMMON="--data_dir $D --compute_dtype bfloat16 \
+# --platform cpu: the zoo trains on the host (dims-256 is CPU-feasible)
+# so the chip stays free for the grid/benches; f32 on CPU (bf16 is
+# emulated there)
+COMMON="--data_dir $D --platform cpu \
   --model.hidden_dim 256 --model.embed_dim 256 --model.attn_dim 256 \
   --model.pos_embed_dim 256 --model.num_frames 26 \
   --data.batch_size 64 --data.caps_per_video_train 4 \
