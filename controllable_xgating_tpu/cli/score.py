@@ -145,15 +145,22 @@ def load_corpus_references(
     )
 
 
-def bootstrap_metrics(gts, res, res2, n, seed, metrics):
+def bootstrap_metrics(gts, res, res2, n, seed, metrics, fast=True):
     """Nonparametric bootstrap over videos.
 
     Resample video ids with replacement and recompute the FULL corpus
     metrics per resample — including the CIDEr idf statistics over the
     resampled reference multiset. This is an exact bootstrap of the
-    corpus-level scores (BLEU's clipped-count ratios and METEOR's
-    aggregate are not mean-decomposable, so resampling per-video scores
-    would be wrong). ~0.15 s per resample at 90 videos.
+    corpus-level scores (BLEU's clipped-count ratios are not
+    mean-decomposable, and CIDEr's idf couples videos, so resampling
+    per-video scores would be wrong).
+
+    `fast=True` (default) computes the same numbers from per-video
+    sufficient statistics precomputed once (metrics/bootstrap.py):
+    ~200x faster at 300 videos, identical resample draws (same rng
+    stream), values equal to the direct path up to float summation
+    order (pinned by tests/test_score_cli.py). `fast=False` re-runs
+    the scorer suite per resample (~0.15 s per resample at 90 videos).
 
     Returns (rows, rows2): one metric dict per resample for the
     candidates and (if res2 is given) the paired comparison file —
@@ -166,6 +173,19 @@ def bootstrap_metrics(gts, res, res2, n, seed, metrics):
     keys = sorted(res)
     rng = np.random.default_rng(seed)
     rows, rows2 = [], []
+    if fast:
+        from controllable_xgating_tpu.metrics.bootstrap import (
+            FastPairedBootstrap,
+        )
+
+        fb = FastPairedBootstrap(gts, res, res2, metrics)
+        for _ in range(n):
+            pick = rng.integers(0, len(keys), len(keys))
+            row, row2 = fb.resample(pick)
+            rows.append(row)
+            if res2 is not None:
+                rows2.append(row2)
+        return rows, (rows2 if res2 is not None else None)
     for _ in range(n):
         pick = rng.integers(0, len(keys), len(keys))
         g, r1, r2 = {}, {}, {}

@@ -194,3 +194,28 @@ def test_bootstrap_ci_and_paired_compare(corpus_dir, tmp_path, capsys):
     with pytest.raises(SystemExit):
         run(["--candidates", cpath, "--data_dir", corpus_dir,
              "--compare", cpath], capsys)
+
+
+def test_fast_bootstrap_matches_direct_path(corpus_dir, capsys):
+    """metrics/bootstrap.py computes the SAME per-resample corpus metrics
+    as re-running the scorer suite on the resampled dicts (identical rng
+    stream -> identical picks), across ALL metric families — including
+    CIDEr's resampled-idf coupling, BLEU's corpus count ratios, an empty
+    candidate, and candidate n-grams absent from every reference."""
+    gts = cli_score.load_corpus_references(corpus_dir, None)
+    keys = sorted(gts)
+    res = {k: [gts[k][0]] for k in keys}
+    res[keys[0]] = [""]  # empty candidate: zero norms, zero BLEU length
+    res[keys[1]] = ["zebra qqq " + gts[keys[1]][0]]  # ref-unseen n-grams
+    res2 = {k: [gts[k][-1]] for k in keys}
+
+    for metrics in (None, ("CIDEr",), ("Bleu_4", "ROUGE_L"), "CIDErD"):
+        fast, fast2 = cli_score.bootstrap_metrics(
+            gts, res, res2, 25, 7, metrics, fast=True)
+        slow, slow2 = cli_score.bootstrap_metrics(
+            gts, res, res2, 25, 7, metrics, fast=False)
+        assert len(fast) == len(slow) == 25
+        for fa, sl in list(zip(fast, slow)) + list(zip(fast2, slow2)):
+            assert set(fa) == set(sl)
+            for m in sl:
+                assert fa[m] == pytest.approx(sl[m], rel=1e-9, abs=1e-12), m
