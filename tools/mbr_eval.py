@@ -53,6 +53,9 @@ def main(argv=None) -> None:
     p.add_argument("--out", default=None)
     p.add_argument("--platform", default="cpu",
                    choices=("cpu", "tpu", "axon"))
+    p.add_argument("--compute_dtype", default=None,
+                   choices=("float32", "bfloat16"),
+                   help="matmul operand dtype (accumulation is always f32)")
     args, overrides = p.parse_known_args(argv)
     if args.samples < 2:
         p.error("--samples must be >= 2 (MBR needs a pool)")

@@ -4,6 +4,8 @@
 # split, with the same cxg-score paired-bootstrap discipline.
 # Prereqs: checkpoints/flagship_ls (tools/run_flagship_ls.sh) and the
 # dims-256 zoo (tools/run_powered_studies.sh).
+# Each decode step is skipped when its output already exists, so the
+# script is resumable after a crash without redoing chip work.
 set -e
 cd /root/repo
 D=data/power
@@ -16,53 +18,71 @@ D256="--model.hidden_dim 256 --model.embed_dim 256 --model.attn_dim 256 \
   --model.pos_embed_dim 256 --model.num_frames 26 \
   --data.batch_size 64 --eval.max_decode_len 20 --compute_dtype bfloat16"
 
+# R <output> <cmd...>: run cmd unless output exists (resumable chip work)
+R() {
+  _out=$1; shift
+  if [ -f "$_out" ]; then echo "skip (exists): $_out"; else "$@"; fi
+}
+
 echo "=== (a) MBR vs beam-5 vs greedy: flagship_ls XE on power/test ==="
-python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
+R $OUT/xe512_beam5.json \
+  python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
   --data_dir $D --checkpoint_dir checkpoints/flagship_ls/caption $D512 \
   --out $OUT/xe512_beam5.json
-python -m controllable_xgating_tpu.cli.eval --split test --beam_size 1 \
+R $OUT/xe512_greedy.json \
+  python -m controllable_xgating_tpu.cli.eval --split test --beam_size 1 \
   --data_dir $D --checkpoint_dir checkpoints/flagship_ls/caption $D512 \
   --out $OUT/xe512_greedy.json
-python tools/mbr_eval.py --platform axon --data_dir $D \
+R $OUT/xe512_mbr.json \
+  python tools/mbr_eval.py --platform axon --data_dir $D \
   --checkpoint_dir checkpoints/flagship_ls/caption --samples 20 \
   --temperature 0.7 --include_greedy --out $OUT/xe512_mbr.json $D512
 # MBR variants: CIDErD utility on the same sampled pool; beam n-best pool
-python tools/mbr_eval.py --platform axon --data_dir $D \
+R $OUT/xe512_mbr_ciderd.json \
+  python tools/mbr_eval.py --platform axon --data_dir $D \
   --checkpoint_dir checkpoints/flagship_ls/caption --samples 20 \
   --temperature 0.7 --include_greedy --utility CIDErD \
   --out $OUT/xe512_mbr_ciderd.json $D512
-python tools/mbr_eval.py --platform axon --data_dir $D \
+R $OUT/xe512_mbr_beam.json \
+  python tools/mbr_eval.py --platform axon --data_dir $D \
   --checkpoint_dir checkpoints/flagship_ls/caption --samples 5 \
   --pool beam --utility ROUGE_L \
   --out $OUT/xe512_mbr_beam.json $D512
 
 echo "=== (b) cross-recipe dims-256 ensembles on power/test ==="
-python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
+R $OUT/best256_xe_beam5.json \
+  python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
   --data_dir $D --checkpoint_dir checkpoints/power_best256/caption $D256 \
   --out $OUT/best256_xe_beam5.json
-python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
+R $OUT/best256_scst_beam5.json \
+  python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
   --data_dir $D --checkpoint_dir checkpoints/power_best256/scst $D256 \
   --out $OUT/best256_scst_beam5.json
 for SEED in 101 202 303; do
-  python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
+  R $OUT/joint${SEED}_beam5.json \
+    python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
     --data_dir $D --checkpoint_dir checkpoints/power_joint$SEED/joint $D256 \
     --out $OUT/joint${SEED}_beam5.json
 done
-python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
+R $OUT/ens_best256xe_joint202.json \
+  python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
   --data_dir $D \
   --ensemble checkpoints/power_best256/caption checkpoints/power_joint202/joint \
   --out $OUT/ens_best256xe_joint202.json
-python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
+R $OUT/ens_best256scst_joint202.json \
+  python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
   --data_dir $D \
   --ensemble checkpoints/power_best256/scst checkpoints/power_joint202/joint \
   --out $OUT/ens_best256scst_joint202.json
 
 echo "=== (c) same-recipe seed ensembles (2- and 3-member) ==="
-python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
+R $OUT/ens_joint101_202.json \
+  python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
   --data_dir $D \
   --ensemble checkpoints/power_joint101/joint checkpoints/power_joint202/joint \
   --out $OUT/ens_joint101_202.json
-python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
+R $OUT/ens_joint3.json \
+  python -m controllable_xgating_tpu.cli.eval --split test --beam_size 5 \
   --data_dir $D \
   --ensemble checkpoints/power_joint101/joint checkpoints/power_joint202/joint \
   checkpoints/power_joint303/joint \
