@@ -60,6 +60,13 @@ def main(argv=None) -> None:
     p.add_argument("--fixture_train_frac", type=float, default=0.7)
     p.add_argument("--fixture_val_frac", type=float, default=0.15)
     p.add_argument("--fixture_seed", type=int, default=0)
+    p.add_argument("--fixture_bank_seed", type=int, default=None,
+                   help="seed for the concept-embedding banks (the "
+                        "feature<-scene map) separately from video "
+                        "sampling; default: --fixture_seed. To mint a "
+                        "held-out corpus an EXISTING checkpoint can read, "
+                        "keep the original corpus's bank seed and vary "
+                        "only --fixture_seed")
     p.add_argument("--fixture_msvd_videos", type=int, default=0,
                    help="with --fixtures: add this many MSVD-shaped videos "
                         "(variable clip lengths, 'msvdN' ids) to the "
@@ -108,6 +115,7 @@ def main(argv=None) -> None:
                 feature_map=args.fixture_feature_map,
                 corrupt_prob=args.fixture_corrupt_prob,
                 vocab_from=args.vocab_from,
+                bank_seed=args.fixture_bank_seed,
             )
     else:
         from controllable_xgating_tpu.data.corpus import preprocess_corpus

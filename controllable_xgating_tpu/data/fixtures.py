@@ -16,6 +16,7 @@ by SCST's CIDEr reward and by multi-reference eval metrics).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from dataclasses import dataclass
@@ -296,6 +297,7 @@ def make_fixture_corpus(
     feature_map: str = "linear",
     corrupt_prob: float = 0.0,
     vocab_from: str | None = None,
+    bank_seed: int | None = None,
 ) -> CorpusInfo:
     """Generate features.h5 + info.json + labels.npz under out_dir.
 
@@ -314,7 +316,16 @@ def make_fixture_corpus(
     `vocab_from` adopts an existing corpus's vocabulary (path to its
     info.json) instead of building one, so checkpoints trained on that
     corpus can be evaluated on this one — e.g. minting a larger test split
-    for better-powered significance tests on an already-trained model."""
+    for better-powered significance tests on an already-trained model.
+
+    `bank_seed` (default: `seed`) seeds the concept-embedding banks — the
+    feature<-scene map itself — SEPARATELY from video/caption sampling.
+    A held-out corpus for an already-trained checkpoint must keep the
+    original corpus's bank_seed and vary only `seed`: changing the bank
+    seed re-draws the map, making trained models' features unreadable
+    garbage (a mistake this split exists to prevent; the minted
+    fixture_meta.json records a `bank_fingerprint` so two corpora can be
+    checked for map compatibility before cross-evaluating)."""
     if feature_map not in ("linear", "entangled"):
         raise ValueError(f"unknown feature_map {feature_map!r}")
     if corrupt_prob and feature_map != "entangled":
@@ -339,15 +350,20 @@ def make_fixture_corpus(
         nframes = np.full((num_videos,), num_frames, np.int32)
     # temporal jitter so frames differ but stay on-manifold; frames past
     # the video's true length stay zero (pad)
+    bank = seed if bank_seed is None else bank_seed
     if feature_map == "entangled":
-        embs = _concept_embeddings_v2(app_dim, motion_dim, seed)
+        embs = _concept_embeddings_v2(app_dim, motion_dim, bank)
         app, motion, corrupted = _render_features_v2(
             scenes, nframes, num_frames, embs, rng, corrupt_prob
         )
     else:
-        embs = _concept_embeddings(app_dim, motion_dim, seed)
+        embs = _concept_embeddings(app_dim, motion_dim, bank)
         app, motion = _render_features(scenes, nframes, num_frames, embs, rng)
         corrupted = np.zeros((num_videos,), bool)
+    fingerprint = hashlib.sha256()
+    for key in sorted(embs):
+        fingerprint.update(key.encode())
+        fingerprint.update(np.ascontiguousarray(embs[key]).tobytes())
     captions: dict[str, list[str]] = {}
     video_ids = [f"video{i}" for i in range(num_videos)]
     for i, sc in enumerate(scenes):
@@ -372,6 +388,8 @@ def make_fixture_corpus(
             {
                 "feature_map": feature_map,
                 "corrupt_prob": corrupt_prob,
+                "bank_seed": bank,
+                "bank_fingerprint": fingerprint.hexdigest(),
                 "videos": {
                     video_ids[i]: {
                         "subject": scenes[i].subject,

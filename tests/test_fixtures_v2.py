@@ -168,6 +168,36 @@ def test_end_to_end_v2_corpus_and_sidecar(tmp_path):
         assert os.path.exists(os.path.join(out, fname))
 
 
+def test_bank_seed_decouples_map_from_video_sampling(tmp_path):
+    """A held-out corpus (fresh videos, same feature<-scene map) needs
+    `bank_seed` pinned to the original corpus's while `seed` varies —
+    otherwise the map itself is re-drawn and trained checkpoints read
+    garbage. Pin: same bank_seed -> identical bank fingerprint, different
+    videos; different bank_seed -> different fingerprint."""
+    def mint(name, **kw):
+        out = str(tmp_path / name)
+        make_fixture_corpus(
+            out, num_videos=12, num_frames=4, app_dim=16, motion_dim=8,
+            caps_per_video=2, seqs_per_video=2, max_caption_len=12,
+            feature_map="entangled", corrupt_prob=0.25, **kw,
+        )
+        with open(os.path.join(out, "fixture_meta.json")) as f:
+            return json.load(f)
+
+    base = mint("base", seed=0)
+    heldout = mint("heldout", seed=1, bank_seed=0)
+    rebanked = mint("rebanked", seed=1)  # bank_seed defaults to seed=1
+
+    assert base["bank_seed"] == heldout["bank_seed"] == 0
+    assert base["bank_fingerprint"] == heldout["bank_fingerprint"]
+    assert rebanked["bank_fingerprint"] != base["bank_fingerprint"]
+    # fresh videos: the latent scenes actually differ across seeds
+    scenes = lambda m: [  # noqa: E731
+        (v["subject"], v["action"], v["place"]) for v in m["videos"].values()
+    ]
+    assert scenes(base) != scenes(heldout)
+
+
 def test_v1_path_regression_unchanged(tmp_path):
     """feature_map='linear' (the default) must produce the exact features it
     did before v2 existed — every pinned test/recipe depends on it."""
