@@ -188,6 +188,13 @@ class ServingEngine:
         self._n_rejected = 0
         self._n_cancelled = 0   # Futures cancelled before dispatch
         self._n_expired = 0     # deadlines shed at the queue head
+        self._n_shed_predicted = 0  # subset of expired: deadline was still
+        # in the future at claim time but predicted unmeetable (see _claim)
+        # EWMA of claim->result latency (device pipeline incl. waiting
+        # behind max_inflight batches), fed by the completion thread and
+        # read lock-free by _claim for predictive shedding; 0.0 until the
+        # first batch completes, so a cold engine never predictively sheds
+        self._ewma_claim_done_s = 0.0
 
         from controllable_xgating_tpu.ops.dispatch import fused_enabled
         from controllable_xgating_tpu.ops.precision import compute_dtype
@@ -459,20 +466,35 @@ class ServingEngine:
         """Take ownership of a request at dispatch time, or shed it.
 
         Returns False (row freed, Future resolved) when the caller already
-        cancelled the Future or its queue deadline passed — the two ways a
-        dead client's request reaches the queue head under overload.
+        cancelled the Future, its queue deadline passed, or the deadline is
+        PREDICTED unmeetable — the ways a dead client's request would reach
+        the device under overload. The prediction closes the gap the plain
+        queue-head check leaves: under saturation a request is claimed
+        young (queue drains fast into the device pipeline) but completes
+        stale behind max_inflight in-flight batches — measured on chip as
+        88% of completions arriving past a 2 s deadline with ZERO queue-
+        head expiries (docs/RESULTS.md overload study). Comparing the
+        remaining deadline budget against the EWMA of recent claim->result
+        latency sheds exactly those requests before they cost device time.
         set_running_or_notify_cancel() both detects cancellation and locks
         the Future against late cancels once we commit it to the device."""
         if not r.future.set_running_or_notify_cancel():
             with self._lock:
                 self._n_cancelled += 1
             return False
-        if r.t_deadline is not None and time.monotonic() > r.t_deadline:
-            r.future.set_exception(DeadlineExceeded(
-                "deadline expired while queued; retry with backoff"))
-            with self._lock:
-                self._n_expired += 1
-            return False
+        if r.t_deadline is not None:
+            now = time.monotonic()
+            predicted = now + self._ewma_claim_done_s > r.t_deadline
+            if now > r.t_deadline or predicted:
+                r.future.set_exception(DeadlineExceeded(
+                    "deadline predicted unmeetable at dispatch "
+                    f"(~{self._ewma_claim_done_s * 1e3:.0f} ms pipeline); "
+                    "retry with backoff" if now <= r.t_deadline else
+                    "deadline expired while queued; retry with backoff"))
+                with self._lock:
+                    self._n_expired += 1
+                    self._n_shed_predicted += now <= r.t_deadline
+                return False
         return True
 
     def _dispatch_loop(self) -> None:
@@ -493,14 +515,15 @@ class ServingEngine:
             if not live:
                 continue
             try:
-                self._dispatch_batch(live)
+                self._dispatch_batch(live, time.monotonic())
             except BaseException as e:  # noqa: BLE001 — to the callers
                 for r in live:
                     if not r.future.done():
                         r.future.set_exception(e)
         self._completion.put(None)  # finisher shutdown sentinel
 
-    def _dispatch_batch(self, batch: list[_Request]) -> None:
+    def _dispatch_batch(self, batch: list[_Request],
+                        t_claim: float) -> None:
         """Assemble + enqueue one device batch; does NOT wait for results
         (the completion thread drains outputs, so H2D/compute of this batch
         overlaps D2H/detokenize of the previous one)."""
@@ -523,7 +546,8 @@ class ServingEngine:
         ])
         use_tags = np.array([r.pos_tags is not None for r in rows])
         packed = self._fn(self.params, app, motion, mask, tags, use_tags)
-        self._completion.put((batch, packed, bucket))  # blocks at max_inflight
+        # blocks at max_inflight
+        self._completion.put((batch, packed, bucket, t_claim))
 
     def _completion_loop(self) -> None:
         max_len = self.cfg.eval.max_decode_len
@@ -532,9 +556,17 @@ class ServingEngine:
             item = self._completion.get()
             if item is None:
                 return
-            batch, packed, bucket = item
+            batch, packed, bucket, t_claim = item
             try:
                 packed = np.asarray(packed)  # the one blocking D2H
+                # claim->result latency feeds the predictive shed in _claim
+                # (alpha 0.3: reacts within ~3 batches when load shifts,
+                # smooths single-batch jitter)
+                lat = time.monotonic() - t_claim
+                self._ewma_claim_done_s = (
+                    lat if self._ewma_claim_done_s == 0.0
+                    else 0.7 * self._ewma_claim_done_s + 0.3 * lat
+                )
                 tokens = packed[:, : nb * max_len]
                 tags_out = packed[:, nb * max_len:-nb]
                 scores = packed[:, -nb:].view(np.float32)
@@ -595,6 +627,7 @@ class ServingEngine:
                 self._n_requests, self._n_batches, self._n_padded_rows
             )
             n_cancel, n_expired = self._n_cancelled, self._n_expired
+            n_pred = self._n_shed_predicted
 
         def pct(p):
             if not lat:
@@ -616,6 +649,8 @@ class ServingEngine:
             "rejected": self._n_rejected,
             "cancelled": n_cancel,
             "deadline_expired": n_expired,
+            "deadline_shed_predicted": n_pred,
+            "est_claim_to_done_ms": round(self._ewma_claim_done_s * 1e3, 2),
             "batches_in_flight": self._completion.qsize(),
         }
 

@@ -284,6 +284,46 @@ def test_cancelled_and_expired_requests_never_reach_device(setup):
         assert s["deadline_expired"] == 1
 
 
+def test_unmeetable_deadline_is_shed_predictively(setup):
+    """Overload gap the queue-head check cannot see (measured on chip:
+    88% of completions past deadline with ZERO queue-head expiries —
+    docs/RESULTS.md overload study): a request claimed YOUNG still goes
+    stale inside the device pipeline. The engine must compare the
+    remaining deadline budget against its measured claim->result latency
+    and shed unmeetable requests at dispatch instead of burning device
+    time for a dead client."""
+    import time
+
+    from controllable_xgating_tpu.serve.engine import DeadlineExceeded
+
+    cfg, params, vocab, pos_vocab, feats = setup
+    with ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                       buckets=(2,), max_wait_ms=10.0) as eng:
+        orig_fn = eng._fn
+
+        def slow_fn(*a):
+            time.sleep(0.25)
+            return orig_fn(*a)
+
+        eng._fn = slow_fn
+        # first request (no deadline) calibrates the claim->result EWMA
+        eng.submit(*feats[0]).result(timeout=60)
+        assert eng.stats()["est_claim_to_done_ms"] >= 250.0
+        # 50 ms budget < ~250 ms measured pipeline: shed at claim even
+        # though the deadline is still in the future there
+        fut = eng.submit(*feats[1], deadline_ms=50.0)
+        with pytest.raises(DeadlineExceeded, match="predicted"):
+            fut.result(timeout=60)
+        # an affordable deadline is served normally
+        res = eng.submit(*feats[2], deadline_ms=5000.0).result(timeout=60)
+        assert res.caption == expected_caption(
+            cfg, params, vocab, feats[2][0], feats[2][1])
+
+        s = eng.stats()
+        assert s["deadline_expired"] == 1
+        assert s["deadline_shed_predicted"] == 1
+
+
 def test_caption_timeout_sheds_queued_row(setup):
     """caption(timeout=...) propagates the timeout as a queue deadline and
     cancels on timeout, so a timed-out synchronous caller's request never

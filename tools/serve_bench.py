@@ -172,7 +172,8 @@ def main():
             point["mode"] = args.mode
             point["engine_stats"] = {
                 k: engine.stats()[k]
-                for k in ("cancelled", "deadline_expired", "rejected")
+                for k in ("cancelled", "deadline_expired",
+                          "deadline_shed_predicted", "rejected")
             }
             print(json.dumps(point), flush=True)
     finally:
