@@ -190,11 +190,16 @@ class ServingEngine:
         self._n_expired = 0     # deadlines shed at the queue head
         self._n_shed_predicted = 0  # subset of expired: deadline was still
         # in the future at claim time but predicted unmeetable (see _claim)
-        # EWMA of claim->result latency (device pipeline incl. waiting
-        # behind max_inflight batches), fed by the completion thread and
-        # read lock-free by _claim for predictive shedding; 0.0 until the
-        # first batch completes, so a cold engine never predictively sheds
-        self._ewma_claim_done_s = 0.0
+        # EWMA of PER-PIPELINE-SLOT service time: a batch's claim->result
+        # latency divided by (batches ahead of it at claim + 1). _claim
+        # multiplies it by the CURRENT in-flight depth, so the prediction
+        # falls the moment shedding drains the pipeline — predicting with
+        # raw claim->result latency instead death-spirals under overload
+        # (everything shed -> nothing completes -> the stale estimate
+        # never decays -> shed forever). Fed by the completion thread,
+        # read lock-free by _claim; 0.0 until the first batch completes,
+        # so a cold engine never predictively sheds.
+        self._ewma_slot_s = 0.0
 
         from controllable_xgating_tpu.ops.dispatch import fused_enabled
         from controllable_xgating_tpu.ops.precision import compute_dtype
@@ -474,8 +479,10 @@ class ServingEngine:
         stale behind max_inflight in-flight batches — measured on chip as
         88% of completions arriving past a 2 s deadline with ZERO queue-
         head expiries (docs/RESULTS.md overload study). Comparing the
-        remaining deadline budget against the EWMA of recent claim->result
-        latency sheds exactly those requests before they cost device time.
+        remaining deadline budget against (in-flight depth + 1) x the
+        measured per-slot service time sheds exactly those requests
+        before they cost device time, and admits again as soon as
+        shedding drains the pipeline below the clients' deadline.
         set_running_or_notify_cancel() both detects cancellation and locks
         the Future against late cancels once we commit it to the device."""
         if not r.future.set_running_or_notify_cancel():
@@ -484,11 +491,11 @@ class ServingEngine:
             return False
         if r.t_deadline is not None:
             now = time.monotonic()
-            predicted = now + self._ewma_claim_done_s > r.t_deadline
-            if now > r.t_deadline or predicted:
+            est = (self._completion.qsize() + 1) * self._ewma_slot_s
+            if now > r.t_deadline or now + est > r.t_deadline:
                 r.future.set_exception(DeadlineExceeded(
                     "deadline predicted unmeetable at dispatch "
-                    f"(~{self._ewma_claim_done_s * 1e3:.0f} ms pipeline); "
+                    f"(~{est * 1e3:.0f} ms pipeline); "
                     "retry with backoff" if now <= r.t_deadline else
                     "deadline expired while queued; retry with backoff"))
                 with self._lock:
@@ -515,15 +522,16 @@ class ServingEngine:
             if not live:
                 continue
             try:
-                self._dispatch_batch(live, time.monotonic())
+                self._dispatch_batch(
+                    live, time.monotonic(), self._completion.qsize())
             except BaseException as e:  # noqa: BLE001 — to the callers
                 for r in live:
                     if not r.future.done():
                         r.future.set_exception(e)
         self._completion.put(None)  # finisher shutdown sentinel
 
-    def _dispatch_batch(self, batch: list[_Request],
-                        t_claim: float) -> None:
+    def _dispatch_batch(self, batch: list[_Request], t_claim: float,
+                        q_ahead: int) -> None:
         """Assemble + enqueue one device batch; does NOT wait for results
         (the completion thread drains outputs, so H2D/compute of this batch
         overlaps D2H/detokenize of the previous one)."""
@@ -547,7 +555,7 @@ class ServingEngine:
         use_tags = np.array([r.pos_tags is not None for r in rows])
         packed = self._fn(self.params, app, motion, mask, tags, use_tags)
         # blocks at max_inflight
-        self._completion.put((batch, packed, bucket, t_claim))
+        self._completion.put((batch, packed, bucket, t_claim, q_ahead))
 
     def _completion_loop(self) -> None:
         max_len = self.cfg.eval.max_decode_len
@@ -556,16 +564,16 @@ class ServingEngine:
             item = self._completion.get()
             if item is None:
                 return
-            batch, packed, bucket, t_claim = item
+            batch, packed, bucket, t_claim, q_ahead = item
             try:
                 packed = np.asarray(packed)  # the one blocking D2H
-                # claim->result latency feeds the predictive shed in _claim
-                # (alpha 0.3: reacts within ~3 batches when load shifts,
-                # smooths single-batch jitter)
-                lat = time.monotonic() - t_claim
-                self._ewma_claim_done_s = (
-                    lat if self._ewma_claim_done_s == 0.0
-                    else 0.7 * self._ewma_claim_done_s + 0.3 * lat
+                # per-slot service time feeds the predictive shed in
+                # _claim (alpha 0.3: reacts within ~3 batches when load
+                # shifts, smooths single-batch jitter)
+                slot = (time.monotonic() - t_claim) / (q_ahead + 1)
+                self._ewma_slot_s = (
+                    slot if self._ewma_slot_s == 0.0
+                    else 0.7 * self._ewma_slot_s + 0.3 * slot
                 )
                 tokens = packed[:, : nb * max_len]
                 tags_out = packed[:, nb * max_len:-nb]
@@ -650,7 +658,10 @@ class ServingEngine:
             "cancelled": n_cancel,
             "deadline_expired": n_expired,
             "deadline_shed_predicted": n_pred,
-            "est_claim_to_done_ms": round(self._ewma_claim_done_s * 1e3, 2),
+            # the same prediction _claim would make right now:
+            # (in-flight depth + 1) x measured per-slot service time
+            "est_claim_to_done_ms": round(
+                (self._completion.qsize() + 1) * self._ewma_slot_s * 1e3, 2),
             "batches_in_flight": self._completion.qsize(),
         }
 

@@ -309,9 +309,11 @@ def test_unmeetable_deadline_is_shed_predictively(setup):
         # first request (no deadline) calibrates the claim->result EWMA
         eng.submit(*feats[0]).result(timeout=60)
         assert eng.stats()["est_claim_to_done_ms"] >= 250.0
-        # 50 ms budget < ~250 ms measured pipeline: shed at claim even
-        # though the deadline is still in the future there
-        fut = eng.submit(*feats[1], deadline_ms=50.0)
+        # 150 ms budget < ~250 ms measured pipeline: shed at claim even
+        # though the deadline is still in the future there (150 not 50:
+        # under full-suite load the dispatcher can take >50 ms to claim,
+        # which would hit the plain "expired while queued" path instead)
+        fut = eng.submit(*feats[1], deadline_ms=150.0)
         with pytest.raises(DeadlineExceeded, match="predicted"):
             fut.result(timeout=60)
         # an affordable deadline is served normally

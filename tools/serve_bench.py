@@ -109,17 +109,21 @@ def run_load_point(engine, rate_rps: float, duration_s: float, rng,
     lats = sorted(r.latency_ms for r in results)
 
     def pct(p):
-        return lats[min(int(p * len(lats)), len(lats) - 1)]
+        # n=0 is a legitimate outcome under overload + deadlines (the
+        # engine may shed every request) — report it, don't crash on it
+        if not lats:
+            return None
+        return round(lats[min(int(p * len(lats)), len(lats) - 1)], 2)
 
-    occ = np.mean([r.batch_size for r in results])
+    occ = float(np.mean([r.batch_size for r in results])) if results else None
     point = {
         "offered_rps": rate_rps,
         "achieved_rps": len(results) / (t_end - t0),
         "n": len(results),
         "rejected": rejected,
-        "latency_ms_p50": round(pct(0.50), 2),
-        "latency_ms_p99": round(pct(0.99), 2),
-        "mean_ride_bucket": round(float(occ), 1),
+        "latency_ms_p50": pct(0.50),
+        "latency_ms_p99": pct(0.99),
+        "mean_ride_bucket": round(occ, 1) if occ is not None else None,
     }
     if deadline_ms is not None:
         point["deadline_ms"] = deadline_ms
