@@ -190,16 +190,24 @@ class ServingEngine:
         self._n_expired = 0     # deadlines shed at the queue head
         self._n_shed_predicted = 0  # subset of expired: deadline was still
         # in the future at claim time but predicted unmeetable (see _claim)
-        # EWMA of PER-PIPELINE-SLOT service time: a batch's claim->result
-        # latency divided by (batches ahead of it at claim + 1). _claim
-        # multiplies it by the CURRENT in-flight depth, so the prediction
-        # falls the moment shedding drains the pipeline — predicting with
-        # raw claim->result latency instead death-spirals under overload
+        # PER-BUCKET EWMA of per-pipeline-slot service time: a batch's
+        # claim->result latency divided by (batches ahead of it at claim
+        # + 1), keyed by the bucket it rode. The dispatcher multiplies it
+        # by the CURRENT in-flight depth, so the prediction falls the
+        # moment shedding drains the pipeline — predicting with raw
+        # claim->result latency instead death-spirals under overload
         # (everything shed -> nothing completes -> the stale estimate
-        # never decays -> shed forever). Fed by the completion thread,
-        # read lock-free by _claim; 0.0 until the first batch completes,
-        # so a cold engine never predictively sheds.
-        self._ewma_slot_s = 0.0
+        # never decays -> shed forever; measured on chip, docs/RESULTS.md
+        # overload study). Per-BUCKET because service time grows with
+        # batch size: at 3x overload a full-256 beam batch takes ~2.5 s
+        # end to end, so NO 2 s-deadline request can ride it — but the
+        # same request IS servable in a 64-bucket. One global estimate
+        # can only shed everything there; the per-bucket table lets the
+        # dispatcher trade throughput for meetable latency (see
+        # _dispatch_loop). Fed by the completion thread, read lock-free;
+        # empty until the first batch completes, so a cold engine never
+        # predictively sheds.
+        self._ewma_slot_s: dict[int, float] = {}
 
         from controllable_xgating_tpu.ops.dispatch import fused_enabled
         from controllable_xgating_tpu.ops.precision import compute_dtype
@@ -471,54 +479,127 @@ class ServingEngine:
         """Take ownership of a request at dispatch time, or shed it.
 
         Returns False (row freed, Future resolved) when the caller already
-        cancelled the Future, its queue deadline passed, or the deadline is
-        PREDICTED unmeetable — the ways a dead client's request would reach
-        the device under overload. The prediction closes the gap the plain
-        queue-head check leaves: under saturation a request is claimed
-        young (queue drains fast into the device pipeline) but completes
-        stale behind max_inflight in-flight batches — measured on chip as
-        88% of completions arriving past a 2 s deadline with ZERO queue-
-        head expiries (docs/RESULTS.md overload study). Comparing the
-        remaining deadline budget against (in-flight depth + 1) x the
-        measured per-slot service time sheds exactly those requests
-        before they cost device time, and admits again as soon as
-        shedding drains the pipeline below the clients' deadline.
+        cancelled the Future or its queue deadline passed — the HARD
+        checks. Predictive shedding and deadline-aware bucket choice live
+        in _dispatch_loop (they need the whole batch, not one request).
         set_running_or_notify_cancel() both detects cancellation and locks
         the Future against late cancels once we commit it to the device."""
         if not r.future.set_running_or_notify_cancel():
             with self._lock:
                 self._n_cancelled += 1
             return False
-        if r.t_deadline is not None:
-            now = time.monotonic()
-            est = (self._completion.qsize() + 1) * self._ewma_slot_s
-            if now > r.t_deadline or now + est > r.t_deadline:
-                r.future.set_exception(DeadlineExceeded(
-                    "deadline predicted unmeetable at dispatch "
-                    f"(~{est * 1e3:.0f} ms pipeline); "
-                    "retry with backoff" if now <= r.t_deadline else
-                    "deadline expired while queued; retry with backoff"))
-                with self._lock:
-                    self._n_expired += 1
-                    self._n_shed_predicted += now <= r.t_deadline
-                return False
+        if r.t_deadline is not None and time.monotonic() > r.t_deadline:
+            r.future.set_exception(DeadlineExceeded(
+                "deadline expired while queued; retry with backoff"))
+            with self._lock:
+                self._n_expired += 1
+            return False
         return True
 
+    def _shed_predicted(self, r: _Request, est: float) -> None:
+        """Resolve a request whose deadline is predicted unmeetable even
+        by the SMALLEST bucket on an EMPTY pipeline — the one class that
+        deferring can never save (estimates only grow with depth)."""
+        if not r.future.set_running_or_notify_cancel():
+            with self._lock:
+                self._n_cancelled += 1
+            return
+        r.future.set_exception(DeadlineExceeded(
+            "deadline predicted unmeetable at dispatch "
+            f"(~{est * 1e3:.0f} ms pipeline); retry with backoff"))
+        with self._lock:
+            self._n_expired += 1
+            self._n_shed_predicted += 1
+
+    def _predict_slot(self, bucket: int) -> float:
+        """Measured per-slot service time for `bucket`; a cold bucket
+        borrows the nearest measured one scaled by size ratio. The scaling
+        is deliberately OPTIMISTIC for smaller buckets (it ignores the
+        fixed per-batch overhead), so a cold bucket admits its first batch
+        and measures itself instead of never being tried. 0.0 (= never
+        shed) until any batch at all has completed."""
+        s = self._ewma_slot_s.get(bucket, 0.0)
+        if s:
+            return s
+        measured = [(b, v) for b, v in self._ewma_slot_s.items() if v]
+        if not measured:
+            return 0.0
+        b0, v0 = min(measured, key=lambda t: abs(t[0] - bucket))
+        return v0 * bucket / b0
+
     def _dispatch_loop(self) -> None:
-        while not (self._closed.is_set() and self._queue.empty()):
-            batch = self._collect()  # never exceeds buckets[-1]
-            # shed dead requests NOW (not at collect time: the deadline can
-            # pass while the batch waits on max_inflight backpressure too,
-            # but once claimed a row must stay claimed) and backfill the
-            # freed rows from the queue so shedding raises goodput
-            live = [r for r in batch if self._claim(r)]
-            while len(live) < len(batch):  # freed rows -> backfill
+        # requests pulled from the queue but deferred to a later batch
+        # (servable, just not within the bucket this batch rode)
+        carry: list[_Request] = []
+        while not (
+            self._closed.is_set() and self._queue.empty() and not carry
+        ):
+            batch = carry + self._collect()  # never exceeds buckets[-1]*2
+            carry = []
+            if not batch:
+                continue
+            now = time.monotonic()
+            depth = self._completion.qsize() + 1
+            # drain mode: after close() there is no later batch to defer
+            # to — serve everything still queued, late or not
+            closing = self._closed.is_set()
+
+            def servable(r: _Request, est: float) -> bool:
+                return (
+                    r.t_deadline is None or closing
+                    or now + est <= r.t_deadline
+                )
+
+            # deadline-aware bucket choice: a bigger bucket serves more
+            # rows per batch but raises EVERY rider's latency (est =
+            # depth x slot[bucket]) — at 3x overload a full-256 beam
+            # batch outlives a 2 s deadline outright, so riding the
+            # largest bucket means serving nobody. Pick the bucket that
+            # maximizes requests served WITHIN deadline; ascending scan +
+            # strict > = smallest bucket achieving that maximum (lowest
+            # latency at equal goodput).
+            best_b, best_served, best_est = self.buckets[-1], -1, 0.0
+            for bkt in self.buckets:
+                est = depth * self._predict_slot(bkt)
+                m = sum(1 for r in batch if servable(r, est))
+                if min(m, bkt) > best_served:
+                    best_b, best_served, best_est = bkt, min(m, bkt), est
+            # the best possible FUTURE estimate: smallest bucket, empty
+            # pipeline — a request that cannot make even that is hopeless
+            # and deferring it would only waste queue space
+            est_floor = self._predict_slot(self.buckets[0])
+
+            live: list[_Request] = []
+            for r in batch:
+                if len(live) < best_served and servable(r, best_est):
+                    if self._claim(r):
+                        live.append(r)
+                elif r.t_deadline is not None and now > r.t_deadline:
+                    self._claim(r)  # resolves it as expired
+                elif (
+                    r.t_deadline is not None
+                    and now + est_floor > r.t_deadline
+                ):
+                    self._shed_predicted(r, est_floor)
+                else:
+                    carry.append(r)
+            # shed/cancelled rows freed capacity -> backfill from the
+            # queue so shedding raises goodput
+            while live and len(live) < best_b:
                 try:
                     r = self._queue.get_nowait()
                 except Empty:
                     break
-                if self._claim(r):
-                    live.append(r)
+                if servable(r, best_est):
+                    if self._claim(r):
+                        live.append(r)
+                elif (
+                    r.t_deadline is not None
+                    and now + est_floor > r.t_deadline
+                ):
+                    self._shed_predicted(r, est_floor)
+                else:
+                    carry.append(r)
             if not live:
                 continue
             try:
@@ -567,13 +648,14 @@ class ServingEngine:
             batch, packed, bucket, t_claim, q_ahead = item
             try:
                 packed = np.asarray(packed)  # the one blocking D2H
-                # per-slot service time feeds the predictive shed in
-                # _claim (alpha 0.3: reacts within ~3 batches when load
-                # shifts, smooths single-batch jitter)
+                # per-bucket per-slot service time feeds the predictive
+                # shed + bucket choice in _dispatch_loop (alpha 0.3:
+                # reacts within ~3 batches when load shifts, smooths
+                # single-batch jitter)
                 slot = (time.monotonic() - t_claim) / (q_ahead + 1)
-                self._ewma_slot_s = (
-                    slot if self._ewma_slot_s == 0.0
-                    else 0.7 * self._ewma_slot_s + 0.3 * slot
+                prev = self._ewma_slot_s.get(bucket, 0.0)
+                self._ewma_slot_s[bucket] = (
+                    slot if prev == 0.0 else 0.7 * prev + 0.3 * slot
                 )
                 tokens = packed[:, : nb * max_len]
                 tags_out = packed[:, nb * max_len:-nb]
@@ -658,10 +740,15 @@ class ServingEngine:
             "cancelled": n_cancel,
             "deadline_expired": n_expired,
             "deadline_shed_predicted": n_pred,
-            # the same prediction _claim would make right now:
-            # (in-flight depth + 1) x measured per-slot service time
+            # the dispatcher's prediction for a LARGEST-bucket rider right
+            # now: (in-flight depth + 1) x measured per-slot service time
             "est_claim_to_done_ms": round(
-                (self._completion.qsize() + 1) * self._ewma_slot_s * 1e3, 2),
+                (self._completion.qsize() + 1)
+                * self._predict_slot(self.buckets[-1]) * 1e3, 2),
+            "slot_ms_by_bucket": {
+                b: round(v * 1e3, 2)
+                for b, v in sorted(self._ewma_slot_s.items())
+            },
             "batches_in_flight": self._completion.qsize(),
         }
 

@@ -326,6 +326,43 @@ def test_unmeetable_deadline_is_shed_predictively(setup):
         assert s["deadline_shed_predicted"] == 1
 
 
+def test_deadline_downshifts_bucket(setup):
+    """Deadline-aware bucket choice (docs/RESULTS.md overload study): at
+    3x overload a full-largest-bucket batch outlives every client
+    deadline, so a fixed bucket policy can only shed 100%. The dispatcher
+    must instead ride a SMALLER bucket whose (lower) latency fits the
+    budget — trading throughput for meetable latency instead of serving
+    nobody."""
+    import time
+
+    cfg, params, vocab, pos_vocab, feats = setup
+    with ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                       buckets=(1, 4), max_wait_ms=40.0) as eng:
+        # compile both buckets OUTSIDE the measurement (cxg-serve warms up
+        # before traffic too) — a first-batch compile would otherwise
+        # poison the slot estimate by ~10x
+        eng.warmup()
+        orig_fn = eng._fn
+
+        def size_proportional_fn(params_, app, *rest):
+            time.sleep(0.15 * app.shape[0])  # 0.6 s at bucket 4, 0.15 at 1
+            return orig_fn(params_, app, *rest)
+
+        eng._fn = size_proportional_fn
+        # calibrate slot[4]: four concurrent no-deadline requests coalesce
+        # into one bucket-4 batch (~0.6 s)
+        warm = [eng.submit(*feats[i % len(feats)]) for i in range(4)]
+        assert {w.result(timeout=60).batch_size for w in warm} == {4}
+        assert 4 in eng.stats()["slot_ms_by_bucket"]
+        # 500 ms budget < slot[4] ~600 ms, but bucket 1 (scaled estimate
+        # ~150 ms) fits: the request must be SERVED, riding bucket 1
+        res = eng.submit(*feats[1], deadline_ms=500.0).result(timeout=60)
+        assert res.batch_size == 1
+        assert res.caption == expected_caption(
+            cfg, params, vocab, feats[1][0], feats[1][1])
+        assert eng.stats()["deadline_shed_predicted"] == 0
+
+
 def test_caption_timeout_sheds_queued_row(setup):
     """caption(timeout=...) propagates the timeout as a queue deadline and
     cancels on timeout, so a timed-out synchronous caller's request never

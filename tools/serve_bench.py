@@ -76,11 +76,26 @@ def run_load_point(engine, rate_rps: float, duration_s: float, rng,
     app = rng.normal(size=(FRAMES, APP_DIM)).astype(np.float32)
     mot = rng.normal(size=(FRAMES, MOT_DIM)).astype(np.float32)
     # settle: a few full buckets through the whole pipeline before timing
-    # (first dispatches after idle pay one-off relay/session costs)
-    for _ in range(3):
+    # (first dispatches after idle pay one-off relay/session costs).
+    # Fail FAST and CLEAN on a stall: a wedged relay shows up here as a
+    # forever-blocked future; aborting via a 300 s result() timeout tore
+    # down threads so uncleanly ("FATAL: exception not rethrown") that it
+    # re-wedged the relay for the NEXT run (observed twice, 2026-08-19)
+    for i in range(3):
         warm = [engine.submit(app, mot) for _ in range(engine.buckets[-1])]
+        deadline = time.monotonic() + (180.0 if i == 0 else 60.0)
         for f in warm:
-            f.result(timeout=300)
+            try:
+                f.result(timeout=max(1.0, deadline - time.monotonic()))
+            except TimeoutError:
+                print(json.dumps({
+                    "event": "abort",
+                    "reason": f"warmup round {i} stalled "
+                              "(relay/device wedged?)",
+                }), flush=True)
+                for w in warm:
+                    w.cancel()
+                raise SystemExit(3)
     futures = []
     rejected = 0
     t0 = time.monotonic()
