@@ -135,6 +135,8 @@ def main(argv=None) -> None:
                 length_penalty=cfg.eval.length_penalty,
                 block_unk=cfg.eval.block_unk, early_stop=True,
                 return_all=bool(args.nbest),
+                diversity_groups=cfg.eval.diversity_groups,
+                diversity_penalty=cfg.eval.diversity_penalty,
             )
         else:
             tokens = greedy_decode(
@@ -157,6 +159,8 @@ def main(argv=None) -> None:
             beam or 1, cfg.model.max_pos_len, cfg.eval.max_decode_len,
             length_penalty=cfg.eval.length_penalty,
             block_unk=cfg.eval.block_unk, return_all=bool(args.nbest),
+            diversity_groups=cfg.eval.diversity_groups,
+            diversity_penalty=cfg.eval.diversity_penalty,
         )
         out = ens_fn(params, app, motion, frame_mask, pos_tags)
         (tokens, scores, tags_out) = out if args.nbest else (out[0], None, out[1])

@@ -63,6 +63,8 @@ def main(argv=None) -> None:
             beam or 1, cfg.model.max_pos_len, cfg.eval.max_decode_len,
             length_penalty=cfg.eval.length_penalty,
             block_unk=cfg.eval.block_unk, return_all=bool(args.nbest),
+            diversity_groups=cfg.eval.diversity_groups,
+            diversity_penalty=cfg.eval.diversity_penalty,
         )
         log.info(
             "ensemble decode over %d members (%s)", n_members,
@@ -77,6 +79,8 @@ def main(argv=None) -> None:
                 beam, cfg.model.max_pos_len, cfg.eval.max_decode_len,
                 length_penalty=cfg.eval.length_penalty,
                 block_unk=cfg.eval.block_unk, return_all=bool(args.nbest),
+                diversity_groups=cfg.eval.diversity_groups,
+                diversity_penalty=cfg.eval.diversity_penalty,
             )
         else:
             from controllable_xgating_tpu.infer.evaluator import (

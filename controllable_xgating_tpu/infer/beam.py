@@ -120,6 +120,8 @@ def beam_search(
     vocab_q=None,
     n_members: int = 0,
     return_all: bool = False,
+    diversity_groups: int = 0,
+    diversity_penalty: float = 0.5,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (tokens [B, max_len], scores [B]) for the best beam.
 
@@ -170,7 +172,39 @@ def beam_search(
       is row-overhead-bound, so shrinking the scanned bytes doesn't pay
       (docs/RESULTS.md round 3). Kept exact + parity-tested as the
       recorded experiment.
+
+    `diversity_groups > 1` = diverse beam search (Vijayakumar et al.,
+    arXiv:1610.02424): the K beams split into G contiguous groups of
+    K/G; each step, groups select sequentially and group j's candidate
+    scores are penalized by `diversity_penalty` x (how many live beams
+    of groups < j emitted that token THIS step) — a Hamming diversity
+    term over the current time step. Design choices, all deliberate:
+
+    * the expensive decode_step stays ONE batched [B*K] call (groups
+      only serialize the cheap top-k tail, which is row-overhead-bound
+      anyway — see "grouped" above);
+    * stored cumulative scores are the RAW logprobs (penalty biases
+      selection only), so returned scores stay comparable across groups,
+      rescoring pins exactly, and length_penalty composes unchanged;
+    * finished beams emit PAD at zero cost and do NOT feed the penalty
+      histogram (a dead beam's PAD is bookkeeping, not a choice — and
+      penalizing PAD would evict finished hypotheses from later groups);
+    * at t=0 the first row of EVERY group is live (plain beam lights
+      only row 0), so group 0 picks its K/G best first words and later
+      groups diversify against them;
+    * selection uses the "grouped" two-stage lowering within each group;
+      `topk_mode` is ignored while diversity is on.
+
+    G=0/1 is exactly the plain beam path (same code, pinned by test).
     """
+    groups = int(diversity_groups or 0)
+    if groups > 1:
+        if beam_size % groups:
+            raise ValueError(
+                f"diversity_groups={groups} must divide beam_size={beam_size}"
+            )
+        if diversity_penalty < 0.0:
+            raise ValueError("diversity_penalty must be >= 0")
     ens = int(n_members or 0)
     hetero = ens > 0 and isinstance(params, (list, tuple))
     if ens and vocab_q is not None:
@@ -221,9 +255,12 @@ def beam_search(
         h, c = init_decoder_state(params, tile(summary))  # [B*K, Hd]
 
     tokens0 = jnp.full((b, k), BOS, jnp.int32)
-    # only beam 0 live initially so step 0 yields K distinct first words
+    # only beam 0 live initially so step 0 yields K distinct first words;
+    # under diversity, row 0 of EACH group is live (groups expand
+    # independently at t=0, then the Hamming penalty separates them)
+    kg = k // groups if groups > 1 else k
     cum0 = jnp.where(
-        jnp.arange(k)[None, :] == 0, 0.0, NEG_INF
+        jnp.arange(k)[None, :] % kg == 0, 0.0, NEG_INF
     ) * jnp.ones((b, 1))
     finished0 = jnp.zeros((b, k), bool)
     lengths0 = jnp.zeros((b, k), jnp.int32)
@@ -287,7 +324,47 @@ def beam_search(
         logp = jnp.where(finished.reshape(b * k)[:, None], cont, logp)
         cand = cum.reshape(b * k)[:, None] + logp      # [B*K, V]
 
-        if topk_mode in ("grouped", "block"):
+        if groups > 1:
+            # diverse beam search: groups select sequentially; group j's
+            # candidates are penalized by how many live beams of groups
+            # < j emitted each token this step. Unrolled at trace time
+            # (G is tiny and static); stored scores stay RAW.
+            cand3 = cand.reshape(b, k, v)
+            fin3 = finished.reshape(b, k)
+            pen = jnp.zeros((b, v), cand.dtype)
+            g_scores, g_beam, g_tok = [], [], []
+            for j in range(groups):
+                cj = cand3[:, j * kg:(j + 1) * kg, :]         # [B, kg, V]
+                sel = (cj - diversity_penalty * pen[:, None, :]
+                       ) if j else cj
+                s1_scores, s1_idx = jax.lax.top_k(
+                    sel.reshape(b * kg, v), kg)                # [B*kg, kg]
+                _, m_idx = jax.lax.top_k(
+                    s1_scores.reshape(b, kg * kg), kg)         # [B, kg]
+                bj = m_idx // kg                               # in-group row
+                tj = jnp.take_along_axis(
+                    s1_idx.reshape(b, kg * kg), m_idx, axis=1
+                ).astype(jnp.int32)
+                # raw (unpenalized) cumulative score of the chosen pairs
+                raw = jnp.take_along_axis(
+                    jnp.take_along_axis(cj, bj[:, :, None], axis=1),
+                    tj[:, :, None], axis=2,
+                )[:, :, 0]
+                if j + 1 < groups:
+                    # histogram over tokens CHOSEN this step by this
+                    # group's live beams (a finished beam's PAD emission
+                    # is bookkeeping, not a choice)
+                    live = ~jnp.take_along_axis(
+                        fin3[:, j * kg:(j + 1) * kg], bj, axis=1)
+                    pen = pen.at[jnp.arange(b)[:, None], tj].add(
+                        live.astype(pen.dtype))
+                g_scores.append(raw)
+                g_beam.append(j * kg + bj)
+                g_tok.append(tj)
+            top_scores = jnp.concatenate(g_scores, axis=1)     # [B, K]
+            beam_idx = jnp.concatenate(g_beam, axis=1)
+            new_tok = jnp.concatenate(g_tok, axis=1)
+        elif topk_mode in ("grouped", "block"):
             # stage 1: row-local top-K on the candidate matrix as the
             # matmul produced it — no [B, K*V] reshape, no layout copies
             if topk_mode == "block":
@@ -409,6 +486,8 @@ def make_beam_caption_fn(
     early_stop: bool = True,
     topk_mode: str = "grouped",
     return_all: bool = False,
+    diversity_groups: int = 0,
+    diversity_penalty: float = 0.5,
 ):
     """Jitted (params, app, motion) -> (tokens [B, L], pos_tags [B, Lp]).
 
@@ -434,6 +513,8 @@ def make_beam_caption_fn(
             params.decoder, ctx, summary, beam_size, max_len, length_penalty,
             fused=fused, block_unk=block_unk, early_stop=early_stop,
             topk_mode=topk_mode, return_all=return_all,
+            diversity_groups=diversity_groups,
+            diversity_penalty=diversity_penalty,
         )
         if return_all:
             return tokens, scores, tags

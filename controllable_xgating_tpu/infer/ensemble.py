@@ -213,6 +213,8 @@ def make_hetero_ensemble_caption_fn(
     block_unk: bool = False,
     early_stop: bool = True,
     return_all: bool = False,
+    diversity_groups: int = 0,
+    diversity_penalty: float = 0.5,
 ):
     """Cross-ARCHITECTURE ensemble decoding: members may differ in any
     static knob `stack_params` rejects — fusion mode, pos_guidance, dims —
@@ -258,6 +260,8 @@ def make_hetero_ensemble_caption_fn(
                 beam_size, max_len, length_penalty, fused=False,
                 block_unk=block_unk, early_stop=early_stop,
                 n_members=len(params_t), return_all=return_all,
+                diversity_groups=diversity_groups,
+                diversity_penalty=diversity_penalty,
             )
             if return_all:
                 return tokens, scores, tags0
@@ -279,6 +283,8 @@ def make_ensemble_caption_fn(
     block_unk: bool = False,
     early_stop: bool = True,
     return_all: bool = False,
+    diversity_groups: int = 0,
+    diversity_penalty: float = 0.5,
 ):
     """Jitted (stacked_params, app, motion, frame_mask[, pos_tags]) ->
     (tokens [B, L], pos_tags [B, Lp]).
@@ -316,6 +322,8 @@ def make_ensemble_caption_fn(
                 length_penalty, fused=False, block_unk=block_unk,
                 early_stop=early_stop, n_members=n_members,
                 return_all=return_all,
+                diversity_groups=diversity_groups,
+                diversity_penalty=diversity_penalty,
             )
             if return_all:
                 return tokens, scores, tags_m[0]

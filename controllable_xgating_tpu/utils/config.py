@@ -117,6 +117,11 @@ class EvalConfig:
     max_decode_len: int = 28
     length_penalty: float = 0.0  # 0 = pure sum-logprob, like the reference era
     block_unk: bool = False  # suppress <unk> in decoded output (coco-era opt)
+    # diverse beam search (arXiv:1610.02424): >1 splits the beam into that
+    # many Hamming-penalized groups (must divide beam_size); 0/1 = plain
+    # beam. Diversifies n-best pools for --nbest / MBR / reranking.
+    diversity_groups: int = 0
+    diversity_penalty: float = 0.5
     # decode mode used for per-epoch val eval / best-checkpoint selection.
     # REFERENCE_TBD divergence (SURVEY.md §0): the reference era selected on
     # greedy val decoding and ran beam-5 only at test time; "beam" makes

@@ -74,7 +74,10 @@ def test_caption_sustained_scan_matches_fori(tiny):
     b = max(bench.time_caption_sustained(fn, params, (app, mot), dev,
                                          reps=(2, 30), form="scan")
             for _ in range(3))
-    assert 0.2 < a / b < 5.0, f"fori {a} vs scan {b} diverge wildly"
+    # 0.1..10, not tighter: this guards against harness bugs (a form
+    # timing the wrong thing is off by 100x), and best-of-3 still flaked
+    # at ratio 5.2 when a concurrent JAX import stole the box mid-suite
+    assert 0.1 < a / b < 10.0, f"fori {a} vs scan {b} diverge wildly"
 
 
 def test_train_sustained_runs_real_steps(tiny):
