@@ -46,6 +46,11 @@ def main(argv=None) -> None:
                         "--temperature (Monte-Carlo MBR), or the beam "
                         "n-best list of width --samples (distinct "
                         "hypotheses with exact model posteriors)")
+    p.add_argument("--diversity_groups", type=int, default=0,
+                   help="with --pool beam: diverse beam search with this "
+                        "many Hamming-penalized groups (must divide "
+                        "--samples); diversifies the MBR candidate pool")
+    p.add_argument("--diversity_penalty", type=float, default=0.5)
     p.add_argument("--beam_weighting", default="posterior",
                    choices=("posterior", "uniform"),
                    help="with --pool beam: weight candidates by normalized "
@@ -113,6 +118,8 @@ def main(argv=None) -> None:
                 params.decoder, ctx, summary, s, max_len,
                 block_unk=cfg.eval.block_unk, early_stop=True,
                 return_all=True,
+                diversity_groups=args.diversity_groups,
+                diversity_penalty=args.diversity_penalty,
             )
             return greedy, nbest, scores
         rep = lambda x: None if x is None else jnp.repeat(x, s, axis=0)
