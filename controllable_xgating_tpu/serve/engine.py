@@ -299,6 +299,8 @@ class ServingEngine:
                     ev.max_decode_len, ev.length_penalty, fused=fused,
                     block_unk=ev.block_unk, early_stop=True, n_members=ens,
                     return_all=bool(nbest),
+                    diversity_groups=ev.diversity_groups,
+                    diversity_penalty=ev.diversity_penalty,
                 )
                 if nbest:
                     # [B, K, L] best-first -> keep the nbest rows; flatten
