@@ -79,17 +79,27 @@ def test_cross_platform_token_parity():
             )
             g = greedy_decode(p.decoder, ctx, summary, 14, fused=fused)
             b, _ = beam_search(p.decoder, ctx, summary, 5, 14, fused=fused)
-            return g, b
+            # diverse beam (Hamming groups): its group-serialized top-k
+            # tail + penalty scatter is a distinct lowering worth its own
+            # cross-platform pin (scores stay raw, so token agreement is
+            # the whole contract)
+            d, _ = beam_search(
+                p.decoder, ctx, summary, 4, 14, fused=fused,
+                return_all=True, diversity_groups=2, diversity_penalty=0.5,
+            )
+            return g, b, d
 
         with jax.default_device(dev):
             return [np.asarray(x) for x in f(p, a, m)]
 
     cpu = jax.devices("cpu")[0]
     tpu = jax.devices()[0]
-    g_cpu, b_cpu = run(cpu, False)
-    g_tpu, b_tpu = run(tpu, False)
-    g_pl, b_pl = run(tpu, True)
+    g_cpu, b_cpu, d_cpu = run(cpu, False)
+    g_tpu, b_tpu, d_tpu = run(tpu, False)
+    g_pl, b_pl, d_pl = run(tpu, True)
 
     assert (g_cpu == g_tpu).mean() > 0.99
     assert (b_cpu == b_tpu).mean() > 0.99
+    assert (d_cpu == d_tpu).mean() > 0.99
     np.testing.assert_array_equal(g_tpu, g_pl)
+    np.testing.assert_array_equal(d_tpu, d_pl)
