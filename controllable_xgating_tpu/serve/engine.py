@@ -520,10 +520,15 @@ class ServingEngine:
         fixed per-batch overhead), so a cold bucket admits its first batch
         and measures itself instead of never being tried. 0.0 (= never
         shed) until any batch at all has completed."""
-        s = self._ewma_slot_s.get(bucket, 0.0)
+        # snapshot: the completion thread may INSERT a new bucket key
+        # concurrently, and iterating the live dict across bytecodes can
+        # raise "dict changed size during iteration" (dict() itself is a
+        # single C-level op under the GIL)
+        table = dict(self._ewma_slot_s)
+        s = table.get(bucket, 0.0)
         if s:
             return s
-        measured = [(b, v) for b, v in self._ewma_slot_s.items() if v]
+        measured = [(b, v) for b, v in table.items() if v]
         if not measured:
             return 0.0
         b0, v0 = min(measured, key=lambda t: abs(t[0] - bucket))
@@ -531,12 +536,23 @@ class ServingEngine:
 
     def _dispatch_loop(self) -> None:
         # requests pulled from the queue but deferred to a later batch
-        # (servable, just not within the bucket this batch rode)
+        # (servable, just not within the bucket this batch rode). Bounded:
+        # once carry holds a full largest bucket we stop pulling new
+        # arrivals, so deferral can never grow past ~2x buckets[-1] and
+        # never silently extends max_queue's admission bound
         carry: list[_Request] = []
+        cap = self.buckets[-1]
         while not (
             self._closed.is_set() and self._queue.empty() and not carry
         ):
-            batch = carry + self._collect()  # never exceeds buckets[-1]*2
+            if len(carry) >= cap:
+                # nothing was dispatchable last round and carry is full:
+                # don't busy-spin — wait for the pipeline to move (the
+                # estimate falls when a batch completes)
+                time.sleep(self.max_wait_s)
+                batch = carry
+            else:
+                batch = carry + self._collect()
             carry = []
             if not batch:
                 continue
@@ -749,7 +765,7 @@ class ServingEngine:
                 * self._predict_slot(self.buckets[-1]) * 1e3, 2),
             "slot_ms_by_bucket": {
                 b: round(v * 1e3, 2)
-                for b, v in sorted(self._ewma_slot_s.items())
+                for b, v in sorted(dict(self._ewma_slot_s).items())
             },
             "batches_in_flight": self._completion.qsize(),
         }
