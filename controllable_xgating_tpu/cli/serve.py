@@ -62,6 +62,7 @@ def build_engine(args, cfg, info, store):
         params, cfg, info.vocab, info.pos_vocab,
         mode=args.mode, buckets=buckets, max_wait_ms=args.max_wait_ms,
         mesh=mesh, max_queue=args.max_queue, n_members=n_members,
+        shed_margin=args.shed_margin,
         nbest=args.nbest,
     )
 
@@ -84,6 +85,11 @@ def start(argv=None):
     p.add_argument("--devices", type=int, default=0,
                    help=">1 = data-parallel serving over a device mesh "
                         "(buckets must divide by the device count)")
+    p.add_argument("--shed_margin", type=float, default=1.0,
+                   help="scale the predicted pipeline latency used for "
+                        "deadline shedding / bucket choice: > 1 sheds "
+                        "earlier, trading goodput for fewer late "
+                        "completions (overload study, docs/RESULTS.md)")
     p.add_argument("--max_queue", type=int, default=0,
                    help=">0 = shed load: reject requests (HTTP 503) once "
                         "this many are waiting; 0 = queue unboundedly")

@@ -31,6 +31,7 @@ MOT_DIM = 1024
 
 
 def build_engine(mode: str, buckets, max_wait_ms: float, max_queue: int = 0,
+                 shed_margin: float = 1.0,
                  n_members: int = 0, nbest: int = 0):
     from controllable_xgating_tpu.data.vocab import Vocab
     from controllable_xgating_tpu.models.captioner import init_captioner
@@ -60,6 +61,7 @@ def build_engine(mode: str, buckets, max_wait_ms: float, max_queue: int = 0,
     return ServingEngine(
         params, cfg, Vocab(words), Vocab(tags), mode=mode,
         buckets=buckets, max_wait_ms=max_wait_ms, max_queue=max_queue,
+        shed_margin=shed_margin,
         n_members=n_members, nbest=nbest,
     )
 
@@ -156,6 +158,7 @@ def main():
     p.add_argument("--duration", type=float, default=10.0)
     p.add_argument("--buckets", default="1,4,16,64,256")
     p.add_argument("--max_wait_ms", type=float, default=8.0)
+    p.add_argument("--shed_margin", type=float, default=1.0)
     p.add_argument("--max_queue", type=int, default=0,
                    help=">0 = load shedding (see ServingEngine)")
     p.add_argument("--deadline_ms", type=float, default=None,
@@ -178,6 +181,7 @@ def main():
     buckets = tuple(int(b) for b in args.buckets.split(","))
     engine = build_engine(args.mode, buckets, args.max_wait_ms,
                           max_queue=args.max_queue,
+                          shed_margin=args.shed_margin,
                           n_members=args.ensemble, nbest=args.nbest)
     print(json.dumps({"event": "warmup", "buckets": buckets,
                       "backend": jax.default_backend()}), flush=True)
