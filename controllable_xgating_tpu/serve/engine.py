@@ -168,6 +168,14 @@ class ServingEngine:
             raise ValueError("buckets must be a non-empty ascending sequence")
         if shed_margin <= 0:
             raise ValueError("shed_margin must be > 0")
+        dg = int(getattr(cfg.eval, "diversity_groups", 0) or 0)
+        if mode == "beam" and dg > 1 and cfg.eval.beam_size % dg:
+            # fail at construction, not as a poisoned exception on every
+            # dispatched batch (same convention as the nbest checks above)
+            raise ValueError(
+                f"eval.diversity_groups={dg} must divide "
+                f"eval.beam_size={cfg.eval.beam_size}"
+            )
         if mesh is not None:
             n_dev = mesh.devices.size
             bad = [b for b in buckets if b % n_dev]
@@ -218,8 +226,16 @@ class ServingEngine:
         # dispatcher trade throughput for meetable latency (see
         # _dispatch_loop). Fed by the completion thread, read lock-free;
         # empty until the first batch completes, so a cold engine never
-        # predictively sheds.
-        self._ewma_slot_s: dict[int, float] = {}
+        # predictively sheds. Values are (slot_seconds, monotonic time of
+        # last update) — see _SLOT_TTL_S.
+        self._ewma_slot_s: dict[int, tuple[float, float]] = {}
+        # requests the dispatcher is holding for a later batch (visible
+        # to stats(): under overload this is where waiting requests live,
+        # not the queue) + a completion signal so a full-carry dispatcher
+        # waits for the event that actually changes the estimate instead
+        # of polling
+        self._n_deferred = 0
+        self._progress = threading.Event()
 
         from controllable_xgating_tpu.ops.dispatch import fused_enabled
         from controllable_xgating_tpu.ops.precision import compute_dtype
@@ -469,11 +485,12 @@ class ServingEngine:
 
     # ------------------------------------------------------------ dispatcher
 
-    def _collect(self) -> list[_Request]:
-        """Block for the first request, then coalesce arrivals for up to
-        max_wait_ms (or until the largest bucket fills)."""
+    def _collect(self, first_timeout: float = 0.1) -> list[_Request]:
+        """Block up to `first_timeout` for the first request, then
+        coalesce arrivals for up to max_wait_ms (or until the largest
+        bucket fills)."""
         try:
-            first = self._queue.get(timeout=0.1)
+            first = self._queue.get(timeout=first_timeout)
         except Empty:
             return []
         batch = [first]
@@ -512,8 +529,8 @@ class ServingEngine:
 
     def _shed_predicted(self, r: _Request, est: float) -> None:
         """Resolve a request whose deadline is predicted unmeetable even
-        by the SMALLEST bucket on an EMPTY pipeline — the one class that
-        deferring can never save (estimates only grow with depth)."""
+        by the FASTEST bucket on an EMPTY pipeline — the one class that
+        deferring can never save."""
         if not r.future.set_running_or_notify_cancel():
             with self._lock:
                 self._n_cancelled += 1
@@ -525,26 +542,41 @@ class ServingEngine:
             self._n_expired += 1
             self._n_shed_predicted += 1
 
+    # a slot measurement older than this is demoted to "cold" (rescaled
+    # from the nearest FRESH bucket) in _predict_slot: a bucket the
+    # dispatcher stopped riding can never refresh its own estimate, so
+    # without a TTL one inflated measurement (host pause, compile with
+    # --no_warmup) would freeze that bucket out forever — the
+    # stale-pessimism analog of the v1 death spiral
+    _SLOT_TTL_S = 30.0
+
     def _predict_slot(self, bucket: int) -> float:
-        """Measured per-slot service time for `bucket`; a cold bucket
-        borrows the nearest measured one scaled by size ratio. The scaling
-        is deliberately OPTIMISTIC for smaller buckets (it ignores the
-        fixed per-batch overhead), so a cold bucket admits its first batch
-        and measures itself instead of never being tried. 0.0 (= never
-        shed) until any batch at all has completed."""
+        """Per-slot service time for `bucket`: the fresh measured value if
+        one exists, else the nearest fresh bucket scaled by size ratio
+        (deliberately OPTIMISTIC for smaller buckets — it ignores the
+        fixed per-batch overhead — so a cold or stale bucket gets tried
+        and re-measured instead of avoided forever), else the stale
+        values under the same rule, else 0.0 (= never shed)."""
         # snapshot: the completion thread may INSERT a new bucket key
         # concurrently, and iterating the live dict across bytecodes can
         # raise "dict changed size during iteration" (dict() itself is a
         # single C-level op under the GIL)
-        table = dict(self._ewma_slot_s)
-        s = table.get(bucket, 0.0)
-        if s:
-            return s
-        measured = [(b, v) for b, v in table.items() if v]
-        if not measured:
-            return 0.0
-        b0, v0 = min(measured, key=lambda t: abs(t[0] - bucket))
-        return v0 * bucket / b0
+        table = dict(self._ewma_slot_s)       # bucket -> (slot_s, t_mono)
+        now = time.monotonic()
+
+        def lookup(entries: dict) -> float:
+            if bucket in entries:
+                return entries[bucket]
+            if not entries:
+                return 0.0
+            b0 = min(entries, key=lambda b: abs(b - bucket))
+            return entries[b0] * bucket / b0
+
+        fresh = {b: v for b, (v, t) in table.items()
+                 if v and now - t < self._SLOT_TTL_S}
+        if fresh:
+            return lookup(fresh)
+        return lookup({b: v for b, (v, t) in table.items() if v})
 
     def _dispatch_loop(self) -> None:
         # requests pulled from the queue but deferred to a later batch
@@ -559,13 +591,19 @@ class ServingEngine:
         ):
             if len(carry) >= cap:
                 # nothing was dispatchable last round and carry is full:
-                # don't busy-spin — wait for the pipeline to move (the
-                # estimate falls when a batch completes)
-                time.sleep(self.max_wait_s)
+                # don't busy-spin — wait for the pipeline to move (a
+                # completion is what changes the estimate)
+                self._progress.wait(timeout=max(self.max_wait_s, 0.01))
+                self._progress.clear()
                 batch = carry
             else:
-                batch = carry + self._collect()
+                # a carried request can become servable the instant a
+                # batch completes — don't make it wait out the full
+                # 100 ms first-get block for NEW arrivals
+                batch = carry + self._collect(
+                    first_timeout=0.005 if carry else 0.1)
             carry = []
+            self._n_deferred = 0
             if not batch:
                 continue
             now = time.monotonic()
@@ -589,19 +627,27 @@ class ServingEngine:
             # strict > = smallest bucket achieving that maximum (lowest
             # latency at equal goodput).
             best_b, best_served, best_est = self.buckets[-1], -1, 0.0
+            floor = float("inf")  # best possible FUTURE estimate: the
+            # fastest bucket on an empty pipeline (NOT buckets[0]: the
+            # measured slot table can be non-monotone in bucket size) —
+            # a request that cannot make even that is hopeless and
+            # deferring it would only waste queue space
             for bkt in self.buckets:
-                est = depth * self._predict_slot(bkt) * self.shed_margin
+                slot = self._predict_slot(bkt) * self.shed_margin
+                floor = min(floor, slot)
+                est = depth * slot
                 m = sum(1 for r in batch if servable(r, est))
                 if min(m, bkt) > best_served:
                     best_b, best_served, best_est = bkt, min(m, bkt), est
-            # the best possible FUTURE estimate: smallest bucket, empty
-            # pipeline — a request that cannot make even that is hopeless
-            # and deferring it would only waste queue space
-            est_floor = self._predict_slot(self.buckets[0]) * self.shed_margin
+            est_floor = 0.0 if floor == float("inf") else floor
 
             live: list[_Request] = []
-            for r in batch:
-                if len(live) < best_served and servable(r, best_est):
+
+            def triage(r: _Request, cap_count: int) -> None:
+                """One shed policy for both intake paths: admit into
+                `live` up to cap_count, hard-expire, shed the hopeless,
+                defer the rest."""
+                if len(live) < cap_count and servable(r, best_est):
                     if self._claim(r):
                         live.append(r)
                 elif r.t_deadline is not None and now > r.t_deadline:
@@ -613,23 +659,21 @@ class ServingEngine:
                     self._shed_predicted(r, est_floor)
                 else:
                     carry.append(r)
+
+            for r in batch:
+                triage(r, best_served)
             # shed/cancelled rows freed capacity -> backfill from the
-            # queue so shedding raises goodput
-            while live and len(live) < best_b:
+            # queue so shedding raises goodput. len(carry) < cap bounds
+            # the deferral here too: without it this loop would migrate
+            # the ENTIRE queue into carry each round, silently extending
+            # max_queue's admission bound
+            while live and len(live) < best_b and len(carry) < cap:
                 try:
                     r = self._queue.get_nowait()
                 except Empty:
                     break
-                if servable(r, best_est):
-                    if self._claim(r):
-                        live.append(r)
-                elif (
-                    r.t_deadline is not None
-                    and now + est_floor > r.t_deadline
-                ):
-                    self._shed_predicted(r, est_floor)
-                else:
-                    carry.append(r)
+                triage(r, best_b)
+            self._n_deferred = len(carry)
             if not live:
                 continue
             try:
@@ -682,11 +726,14 @@ class ServingEngine:
                 # shed + bucket choice in _dispatch_loop (alpha 0.3:
                 # reacts within ~3 batches when load shifts, smooths
                 # single-batch jitter)
-                slot = (time.monotonic() - t_claim) / (q_ahead + 1)
-                prev = self._ewma_slot_s.get(bucket, 0.0)
+                t_done = time.monotonic()
+                slot = (t_done - t_claim) / (q_ahead + 1)
+                prev = self._ewma_slot_s.get(bucket, (0.0, 0.0))[0]
                 self._ewma_slot_s[bucket] = (
-                    slot if prev == 0.0 else 0.7 * prev + 0.3 * slot
+                    slot if prev == 0.0 else 0.7 * prev + 0.3 * slot,
+                    t_done,
                 )
+                self._progress.set()  # wake a carry-full dispatcher
                 tokens = packed[:, : nb * max_len]
                 tags_out = packed[:, nb * max_len:-nb]
                 scores = packed[:, -nb:].view(np.float32)
@@ -777,8 +824,9 @@ class ServingEngine:
                 * self._predict_slot(self.buckets[-1]) * 1e3, 2),
             "slot_ms_by_bucket": {
                 b: round(v * 1e3, 2)
-                for b, v in sorted(dict(self._ewma_slot_s).items())
+                for b, (v, _t) in sorted(dict(self._ewma_slot_s).items())
             },
+            "deferred": self._n_deferred,
             "batches_in_flight": self._completion.qsize(),
         }
 

@@ -363,6 +363,42 @@ def test_deadline_downshifts_bucket(setup):
         assert eng.stats()["deadline_shed_predicted"] == 0
 
 
+def test_stale_slot_estimate_is_revived_by_fresh_buckets(setup):
+    """One inflated slot measurement (host pause, compile) must not
+    freeze a bucket out forever: the dispatcher stops riding it, so its
+    own EWMA can never refresh — the stale-pessimism analog of the
+    death spiral. Past the TTL, _predict_slot must demote the stale
+    value and rescale from the nearest FRESH bucket instead."""
+    import time
+
+    cfg, params, vocab, pos_vocab, feats = setup
+    with ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                       buckets=(1, 4)) as eng:
+        eng._SLOT_TTL_S = 0.05  # instance shadow of the class constant
+        t = time.monotonic()
+        eng._ewma_slot_s[4] = (10.0, t)   # pathological measurement
+        eng._ewma_slot_s[1] = (0.01, t)
+        assert eng._predict_slot(4) == 10.0  # fresh: trusted as-is
+        time.sleep(0.08)
+        eng._ewma_slot_s[1] = (0.01, time.monotonic())  # bucket 1 re-measured
+        # bucket 4's entry is stale -> rescaled from fresh bucket 1
+        assert eng._predict_slot(4) == pytest.approx(0.04)
+        time.sleep(0.08)
+        # nothing fresh at all: fall back to the stale table (10.0),
+        # never to 0/unknown
+        assert eng._predict_slot(4) == 10.0
+
+
+def test_diversity_misconfig_fails_at_construction(setup):
+    """eval.diversity_groups not dividing eval.beam_size must raise at
+    engine construction, not poison every dispatched batch's Future."""
+    cfg, params, vocab, pos_vocab, feats = setup
+    bad = cfg.replace_flat({"eval.diversity_groups": 2})  # beam_size 3
+    with pytest.raises(ValueError, match="must divide"):
+        ServingEngine(params, bad, vocab, pos_vocab, mode="beam",
+                      buckets=(2,))
+
+
 def test_caption_timeout_sheds_queued_row(setup):
     """caption(timeout=...) propagates the timeout as a queue deadline and
     cancels on timeout, so a timed-out synchronous caller's request never
