@@ -145,7 +145,8 @@ def load_corpus_references(
     )
 
 
-def bootstrap_metrics(gts, res, res2, n, seed, metrics, fast=True):
+def bootstrap_metrics(gts, res, res2, n, seed, metrics, fast=True,
+                      meteor_synonyms=None):
     """Nonparametric bootstrap over videos.
 
     Resample video ids with replacement and recompute the FULL corpus
@@ -178,7 +179,8 @@ def bootstrap_metrics(gts, res, res2, n, seed, metrics, fast=True):
             FastPairedBootstrap,
         )
 
-        fb = FastPairedBootstrap(gts, res, res2, metrics)
+        fb = FastPairedBootstrap(gts, res, res2, metrics,
+                                 meteor_synonyms=meteor_synonyms)
         for _ in range(n):
             pick = rng.integers(0, len(keys), len(keys))
             row, row2 = fb.resample(pick)
@@ -195,9 +197,11 @@ def bootstrap_metrics(gts, res, res2, n, seed, metrics, fast=True):
             r1[nk] = res[k]
             if res2 is not None:
                 r2[nk] = res2[k]
-        rows.append(language_eval(g, r1, metrics=metrics))
+        rows.append(language_eval(g, r1, metrics=metrics,
+                                  meteor_synonyms=meteor_synonyms))
         if res2 is not None:
-            rows2.append(language_eval(g, r2, metrics=metrics))
+            rows2.append(language_eval(g, r2, metrics=metrics,
+                                       meteor_synonyms=meteor_synonyms))
     return rows, (rows2 if res2 is not None else None)
 
 
@@ -248,6 +252,11 @@ def main(argv=None) -> None:
                         "compare), 95%% CI and two-sided p-value")
     p.add_argument("--seed", type=int, default=0,
                    help="bootstrap resampling seed")
+    p.add_argument("--meteor_synonyms", default=None, metavar="PATH",
+                   help="synonym table for METEOR's stage-3 module (one "
+                        "synset group of whitespace-separated words per "
+                        "line, e.g. a WordNet export); default: exact+stem "
+                        "only")
     p.add_argument("--oracle", type=int, default=0, metavar="N",
                    help="candidates must be a cxg-eval --nbest file: also "
                         "report the per-video oracle over the top-N list "
@@ -313,6 +322,7 @@ def main(argv=None) -> None:
 
     scored = language_eval(
         gts, res, metrics=args.metrics, per_key=bool(args.per_video),
+        meteor_synonyms=args.meteor_synonyms,
     )
     if args.per_video:
         scored, detail = scored
@@ -345,6 +355,7 @@ def main(argv=None) -> None:
             _, det = language_eval(
                 gts, {k: [v[n]] for k, v in lists.items()},
                 metrics=[args.oracle_metric], per_key=True,
+                meteor_synonyms=args.meteor_synonyms,
             )
             per_rank.append(det)
         pick = {
@@ -358,6 +369,7 @@ def main(argv=None) -> None:
             "metrics": language_eval(
                 gts, {k: [lists[k][pick[k]]] for k in lists},
                 metrics=args.metrics,
+                meteor_synonyms=args.meteor_synonyms,
             ),
         }
 
@@ -365,7 +377,8 @@ def main(argv=None) -> None:
         import numpy as np
 
         rows, rows2 = bootstrap_metrics(
-            gts, res, res2, args.bootstrap, args.seed, args.metrics)
+            gts, res, res2, args.bootstrap, args.seed, args.metrics,
+            meteor_synonyms=args.meteor_synonyms)
         names = list(rows[0])
         out["bootstrap"] = {
             "n": args.bootstrap, "seed": args.seed,
@@ -390,7 +403,9 @@ def main(argv=None) -> None:
                 }
             out["compare"] = {
                 "path": args.compare,
-                "metrics": language_eval(gts, res2, metrics=args.metrics),
+                "metrics": language_eval(
+                    gts, res2, metrics=args.metrics,
+                    meteor_synonyms=args.meteor_synonyms),
                 "delta": comp,
             }
 

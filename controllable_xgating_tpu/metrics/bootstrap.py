@@ -79,9 +79,11 @@ class FastPairedBootstrap:
         row_a, row_b = fb.resample(pick)
     """
 
-    def __init__(self, gts, res, res2=None, metrics=None):
+    def __init__(self, gts, res, res2=None, metrics=None,
+                 meteor_synonyms=None):
         self.keys = sorted(res)
         self.V = len(self.keys)
+        self.meteor_synonyms = meteor_synonyms
         on = _selector(metrics)
         self.need_bleu = on("bleu")
         self.need_meteor = on("meteor")
@@ -218,7 +220,8 @@ class FastPairedBootstrap:
         if self.need_meteor:
             from controllable_xgating_tpu.metrics.meteor import MeteorScorer
 
-            _, per = MeteorScorer().score(gts_sub, res_sub)
+            _, per = MeteorScorer(
+                synonyms=self.meteor_synonyms).score(gts_sub, res_sub)
             s.meteor_per = np.asarray(per, np.float64)
         return s
 
@@ -230,6 +233,21 @@ class FastPairedBootstrap:
         Returns (row, row2-or-None): metric dicts matching what
         language_eval returns on the resampled caption dicts.
         """
+        if len(pick) == 0:
+            # Mirror the slow path: language_eval over an empty caption
+            # dict reports 0.0 everywhere (never NaN).
+            row: dict = {}
+            if self.need_bleu:
+                row.update({f"Bleu_{i}": 0.0 for i in range(1, MAX_N + 1)})
+            if self.need_meteor:
+                row["METEOR"] = 0.0
+            if self.need_rouge:
+                row["ROUGE_L"] = 0.0
+            if self.need_cider:
+                row["CIDEr"] = 0.0
+                row["CIDErD"] = 0.0
+            rows = [dict(row) for _ in self.sets]
+            return rows[0], (rows[1] if len(rows) > 1 else None)
         counts = np.bincount(
             np.asarray(pick, np.int64), minlength=self.V
         ).astype(np.float64)

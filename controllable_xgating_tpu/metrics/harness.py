@@ -66,6 +66,7 @@ def language_eval(
     retokenize: bool = False,
     metrics: Sequence[str] = None,
     per_key: bool = False,
+    meteor_synonyms=None,
 ):
     """Run the scorer suite. Inputs are {key: [caption strings]}.
 
@@ -79,6 +80,10 @@ def language_eval(
 
     `per_key=True` additionally returns {key: {metric: score}} (the
     reference's coco-caption `imgToEval` surface) as a second value.
+
+    `meteor_synonyms` (path / mapping / synset groups — see
+    metrics/meteor.MeteorScorer) enables METEOR's stage-3 synonym module;
+    None keeps the exact+stem-only default.
     """
     if retokenize:
         tok = PTBTokenizer()
@@ -111,7 +116,8 @@ def language_eval(
             out[f"Bleu_{i}"] = b
             record(f"Bleu_{i}", per[i - 1])
     if on("meteor"):
-        out["METEOR"], per = MeteorScorer().score(gts, res)
+        out["METEOR"], per = MeteorScorer(
+            synonyms=meteor_synonyms).score(gts, res)
         record("METEOR", per)
     if on("rouge"):
         out["ROUGE_L"], per = RougeScorer().score(gts, res)

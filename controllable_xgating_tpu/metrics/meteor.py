@@ -18,9 +18,16 @@ delta weights content words; function words get (1 - delta).
 
 Divergences from meteor-1.5.jar, each unavoidable offline and documented
 per SURVEY.md §2's "report divergence" directive:
-  * the WordNet synonym (w=0.8) and paraphrase-table (w=0.6) matcher
-    stages are OMITTED — their data files are jar-internal downloads.
-    METEOR here is therefore a lower bound vs the jar.
+  * the WordNet synonym stage (w=0.8) is IMPLEMENTED (module order
+    exact > stem > synonym, METEOR 1.5 English module weights) behind a
+    pluggable synonym table — two words synonym-match when they share a
+    synset group. The WordNet DATA is unobtainable offline, so the
+    default table is empty, which is bit-identical to the previous
+    exact+stem behavior; drop a WordNet export in the group-per-line
+    format of `load_synonym_table` and the jar's stage-3 semantics light
+    up with no code change. The paraphrase-table stage (w=0.6) remains
+    omitted (jar-internal download). With an empty table METEOR here is
+    therefore a lower bound vs the jar.
   * Porter stemmer instead of Snowball. Measured bound (tools/
     meteor_sensitivity.py; docs/RESULTS.md round 3): disabling the stem
     stage entirely moves the fixture-corpus score by ~1e-4, so any
@@ -40,7 +47,7 @@ prefer higher stage weight, i.e. exact over stem matches).
 
 from __future__ import annotations
 
-from typing import Mapping, Sequence
+from typing import Iterable, Mapping, Optional, Sequence
 
 from controllable_xgating_tpu.metrics.stemmer import stem
 
@@ -50,8 +57,36 @@ BETA = 0.2    # fragmentation penalty exponent: Pen = GAMMA * frag**BETA
 GAMMA = 0.6
 DELTA = 0.75  # content-word weight; function words weigh (1 - DELTA)
 
-# matcher stage weights (exact, stem); syn/para stages omitted — see above
-STAGE_WEIGHTS = (1.0, 0.6)
+# matcher module weights in module-precedence order (exact, stem, synonym)
+# — METEOR 1.5 English defaults; the paraphrase module (0.6) is omitted
+STAGE_WEIGHTS = (1.0, 0.6, 0.8)
+
+# word -> frozenset of synset-group ids; two words synonym-match iff the
+# sets intersect (WordNet semantics: they share a synset)
+SynTable = Mapping[str, frozenset]
+
+
+def build_synonym_table(groups: Iterable[Iterable[str]]) -> dict[str, frozenset]:
+    """Synset groups (each an iterable of mutually synonymous words) ->
+    the word -> group-id-set mapping the matcher consumes."""
+    acc: dict[str, set] = {}
+    for gid, group in enumerate(groups):
+        for w in group:
+            acc.setdefault(str(w), set()).add(gid)
+    return {w: frozenset(s) for w, s in acc.items()}
+
+
+def load_synonym_table(path: str) -> dict[str, frozenset]:
+    """Load a synonym table: one synset group per line, words separated
+    by whitespace; '#' starts a comment. A WordNet export in this format
+    makes the jar's stage-3 semantics a pure data drop-in."""
+    groups = []
+    with open(path) as f:
+        for line in f:
+            words = line.split("#", 1)[0].split()
+            if len(words) >= 2:
+                groups.append(words)
+    return build_synonym_table(groups)
 
 _BEAM = 256
 
@@ -64,9 +99,14 @@ _FUNCTION_WORDS = {
 
 
 def _align(
-    hyp: list[str], ref: list[str], use_stem: bool = True
+    hyp: list[str],
+    ref: list[str],
+    use_stem: bool = True,
+    synonyms: Optional[SynTable] = None,
 ) -> list[tuple[int, int, int]]:
-    """Best alignment as [(hyp_i, ref_j, stage)], stage 0=exact, 1=stem.
+    """Best alignment as [(hyp_i, ref_j, stage)], stage 0=exact, 1=stem,
+    2=synonym (a pair is assigned its FIRST applicable module in METEOR's
+    module order, jar behavior).
 
     Beam search over hypothesis positions, each word either unmatched or
     matched to a compatible unused reference word. States are ranked by
@@ -77,6 +117,9 @@ def _align(
     """
     stems_h = [stem(w) for w in hyp] if use_stem else None
     stems_r = [stem(w) for w in ref] if use_stem else None
+    syn = synonyms or {}
+    syn_h = [syn.get(w) for w in hyp]
+    syn_r = [syn.get(w) for w in ref]
     cands: list[list[tuple[int, int]]] = []
     for i, hw in enumerate(hyp):
         row = []
@@ -85,6 +128,8 @@ def _align(
                 row.append((j, 0))
             elif use_stem and stems_h[i] == stems_r[j]:
                 row.append((j, 1))
+            elif syn_h[i] and syn_r[j] and not syn_h[i].isdisjoint(syn_r[j]):
+                row.append((j, 2))
         cands.append(row)
 
     # state: (used_ref frozenset, last_i, last_j) ->
@@ -150,10 +195,13 @@ def meteor_single(
     refs: Sequence[str],
     function_words=None,
     use_stem: bool = True,
+    synonyms: Optional[SynTable] = None,
 ) -> float:
     """METEOR of one hypothesis vs its references (best ref wins — jar
     behavior when scoring captioning-style multi-reference sets).
 
+    `synonyms` (see build_synonym_table) enables the stage-3 synonym
+    module; None/empty is bit-identical to exact+stem-only scoring.
     `function_words` / `use_stem` exist ONLY for the documented
     sensitivity analysis (tools/meteor_sensitivity.py) bounding the
     divergence from the jar's learned word list and Snowball stemmer;
@@ -164,7 +212,7 @@ def meteor_single(
         ref = ref_str.split()
         if not hyp or not ref:
             continue
-        pairs = _align(hyp, ref, use_stem=use_stem)
+        pairs = _align(hyp, ref, use_stem=use_stem, synonyms=synonyms)
         if not pairs:
             continue
         m_hyp = sum(
@@ -189,12 +237,38 @@ def meteor_single(
     return best
 
 
+def _normalize_synonyms(synonyms) -> Optional[dict[str, frozenset]]:
+    """Accept a table path, a prebuilt word->ids mapping, or an iterable
+    of synset groups; return the word->ids table (None stays None)."""
+    if synonyms is None:
+        return None
+    if isinstance(synonyms, str):
+        return load_synonym_table(synonyms)
+    if isinstance(synonyms, Mapping):
+        return {w: frozenset(v) for w, v in synonyms.items()}
+    return build_synonym_table(synonyms)
+
+
+def _table_groups(table: Mapping[str, frozenset]) -> list[list[str]]:
+    """Invert word->ids back to sorted synset groups (native serialization)."""
+    inv: dict = {}
+    for w in sorted(table):
+        for gid in table[w]:
+            inv.setdefault(gid, []).append(w)
+    return [inv[g] for g in sorted(inv)]
+
+
 class MeteorScorer:
     """Uses the native C++ aligner (native/cxg_text.cpp) when available;
-    `meteor_single` is the pure-Python golden reference and fallback."""
+    `meteor_single` is the pure-Python golden reference and fallback.
 
-    def __init__(self, use_native: bool = True):
+    `synonyms`: optional stage-3 synonym table — a file path (see
+    load_synonym_table), a word->group-ids mapping, or an iterable of
+    synset groups. Empty/None scores bit-identically to exact+stem."""
+
+    def __init__(self, use_native: bool = True, synonyms=None):
         self.use_native = use_native
+        self.synonyms = _normalize_synonyms(synonyms)
 
     def score(
         self,
@@ -204,13 +278,24 @@ class MeteorScorer:
         from controllable_xgating_tpu.utils import native
 
         use_native = self.use_native and native.available()
-        per_key = []
-        for key in res:
-            if len(res[key]) != 1:
-                raise ValueError("exactly one candidate per key expected")
-            if use_native:
-                per_key.append(native.meteor(res[key][0], list(gts[key])))
-            else:
-                per_key.append(meteor_single(res[key][0], gts[key]))
+        syn_handle = 0
+        if use_native and self.synonyms:
+            syn_handle = native.syn_table_new(_table_groups(self.synonyms))
+            if syn_handle < 0:  # stale .so without the syn entry points
+                use_native, syn_handle = False, 0
+        try:
+            per_key = []
+            for key in res:
+                if len(res[key]) != 1:
+                    raise ValueError("exactly one candidate per key expected")
+                if use_native:
+                    per_key.append(native.meteor(
+                        res[key][0], list(gts[key]), syn_handle))
+                else:
+                    per_key.append(meteor_single(
+                        res[key][0], gts[key], synonyms=self.synonyms))
+        finally:
+            if syn_handle:
+                native.syn_table_free(syn_handle)
         corpus = sum(per_key) / len(per_key) if per_key else 0.0
         return corpus, per_key

@@ -453,6 +453,7 @@ class ServingEngine:
                     f"request queue full ({self._queue.maxsize} waiting); "
                     "retry with backoff"
                 ) from None
+        self._progress.set()  # wake a dispatcher parked on carry
         return fut
 
     def caption(self, app, motion, nframes=None, pos_tags=None,
@@ -597,11 +598,18 @@ class ServingEngine:
                 self._progress.clear()
                 batch = carry
             else:
-                # a carried request can become servable the instant a
-                # batch completes — don't make it wait out the full
-                # 100 ms first-get block for NEW arrivals
-                batch = carry + self._collect(
-                    first_timeout=0.005 if carry else 0.1)
+                if carry:
+                    # a carried request becomes servable only when the
+                    # estimate changes (a completion) or the batch can
+                    # grow (an arrival) — both set _progress, so park on
+                    # the event instead of polling _collect at ~200 Hz;
+                    # the timeout bounds how stale a carried request's
+                    # hard-expiry check can get
+                    self._progress.wait(timeout=max(self.max_wait_s, 0.01))
+                    self._progress.clear()
+                    batch = carry + self._collect(first_timeout=0.001)
+                else:
+                    batch = carry + self._collect(first_timeout=0.1)
             carry = []
             self._n_deferred = 0
             if not batch:
@@ -733,7 +741,7 @@ class ServingEngine:
                     slot if prev == 0.0 else 0.7 * prev + 0.3 * slot,
                     t_done,
                 )
-                self._progress.set()  # wake a carry-full dispatcher
+                self._progress.set()  # wake a dispatcher parked on carry
                 tokens = packed[:, : nb * max_len]
                 tags_out = packed[:, nb * max_len:-nb]
                 scores = packed[:, -nb:].view(np.float32)

@@ -40,17 +40,21 @@ def _load() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception as e:  # no toolchain / build failure -> fallback
+    # always invoke make: it is a no-op when the .so is current, and it
+    # rebuilds a stale .so whose symbols lag the sources (loading a stale
+    # lib would fail the argtypes setup below)
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception as e:  # no toolchain / build failure
+        if not os.path.exists(_SO_PATH):
             log.info("native build unavailable (%s); using Python fallback", e)
             return None
+        log.info("native rebuild failed (%s); trying the existing .so", e)
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError as e:
@@ -73,6 +77,16 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.cxg_porter_stem.argtypes = [ctypes.c_char_p, ctypes.c_char_p, _i64]
     lib.cxg_meteor.restype = ctypes.c_double
     lib.cxg_meteor.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    try:  # synonym-stage entry points (absent only in a stale .so)
+        lib.cxg_meteor_syn.restype = ctypes.c_double
+        lib.cxg_meteor_syn.argtypes = [ctypes.c_char_p, ctypes.c_char_p, _i64]
+        lib.cxg_syn_table_new.restype = _i64
+        lib.cxg_syn_table_new.argtypes = [ctypes.c_char_p]
+        lib.cxg_syn_table_free.restype = None
+        lib.cxg_syn_table_free.argtypes = [_i64]
+    except AttributeError:
+        log.info("native .so lacks synonym entry points (stale build); "
+                 "METEOR synonym tables fall back to Python")
     lib.cxg_rouge_l.restype = ctypes.c_double
     lib.cxg_rouge_l.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double]
     _LIB = lib
@@ -161,13 +175,33 @@ def porter_stem(word: str) -> Optional[str]:
     return buf.value.decode()
 
 
-def meteor(hyp: str, refs: Sequence[str]) -> Optional[float]:
+def meteor(
+    hyp: str, refs: Sequence[str], syn_handle: int = 0
+) -> Optional[float]:
     lib = _load()
     if lib is None:
         return None
-    return float(
-        lib.cxg_meteor(hyp.encode(), _REF_SEP.join(r.encode() for r in refs))
-    )
+    joined = _REF_SEP.join(r.encode() for r in refs)
+    if syn_handle:
+        return float(lib.cxg_meteor_syn(hyp.encode(), joined, syn_handle))
+    return float(lib.cxg_meteor(hyp.encode(), joined))
+
+
+def syn_table_new(groups: Sequence[Sequence[str]]) -> int:
+    """Register a METEOR synonym table (synset groups) with the native
+    lib; returns a handle for meteor(syn_handle=...), or -1 when the
+    loaded .so predates the synonym stage (caller falls back to Python)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "cxg_syn_table_new"):
+        return -1
+    serialized = "\n".join(" ".join(g) for g in groups)
+    return int(lib.cxg_syn_table_new(serialized.encode()))
+
+
+def syn_table_free(handle: int) -> None:
+    lib = _load()
+    if lib is not None and handle > 0 and hasattr(lib, "cxg_syn_table_free"):
+        lib.cxg_syn_table_free(handle)
 
 
 def rouge_l(hyp: str, refs: Sequence[str], beta: float = 1.2) -> Optional[float]:

@@ -15,8 +15,11 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <memory>
+#include <mutex>
 #include <regex>
 #include <string>
+#include <unordered_map>
 #include <unordered_set>
 #include <vector>
 
@@ -281,14 +284,54 @@ std::string porter_stem(const std::string& word) {
 }
 
 // ----------------------------------------------------------------- METEOR
-// Mirror of metrics/meteor.py: exact + stem matcher stages with stage
-// weights (1.0, 0.6), content/function word weighting (delta), beam-search
-// alignment maximizing (matches, -chunks, stage-weight sum), and the
-// published METEOR 1.5 penalty Pen = gamma * frag^beta (Denkowski & Lavie
-// 2014 English parameters).
+// Mirror of metrics/meteor.py: exact + stem + (pluggable-table) synonym
+// matcher modules with METEOR 1.5 English module weights (1.0, 0.6, 0.8),
+// content/function word weighting (delta), beam-search alignment
+// maximizing (matches, -chunks, stage-weight sum), and the published
+// METEOR 1.5 penalty Pen = gamma * frag^beta (Denkowski & Lavie 2014
+// English parameters). A pair is assigned its FIRST applicable module in
+// module order (jar behavior); with no table the synonym module never
+// fires, which is bit-identical to the previous exact+stem scorer.
 constexpr double ALPHA = 0.85, BETA = 0.2, GAMMA = 0.6, DELTA = 0.75;
-constexpr double STAGE_W[2] = {1.0, 0.6};
+constexpr double STAGE_W[3] = {1.0, 0.6, 0.8};
 constexpr int METEOR_BEAM = 256;
+
+// word -> sorted synset-group ids; two words synonym-match iff their id
+// vectors intersect (WordNet semantics: they share a synset). Mirrors
+// metrics/meteor.py::build_synonym_table.
+using SynTable = std::unordered_map<std::string, std::vector<int>>;
+
+bool syn_match(const SynTable& t, const std::string& a, const std::string& b) {
+  auto ia = t.find(a);
+  if (ia == t.end()) return false;
+  auto ib = t.find(b);
+  if (ib == t.end()) return false;
+  const auto& va = ia->second;
+  const auto& vb = ib->second;
+  size_t x = 0, y = 0;
+  while (x < va.size() && y < vb.size()) {
+    if (va[x] == vb[y]) return true;
+    if (va[x] < vb[y]) ++x; else ++y;
+  }
+  return false;
+}
+
+// Handle registry for tables built once and reused across calls (a
+// WordNet-scale table must not be re-parsed per hypothesis). Handle 0 is
+// reserved for "no table".
+std::mutex& syn_mutex() { static std::mutex m; return m; }
+std::vector<std::unique_ptr<SynTable>>& syn_registry() {
+  static std::vector<std::unique_ptr<SynTable>> r;
+  return r;
+}
+
+const SynTable* syn_lookup(int64_t handle) {
+  if (handle <= 0) return nullptr;
+  std::lock_guard<std::mutex> g(syn_mutex());
+  auto& reg = syn_registry();
+  if (static_cast<size_t>(handle) > reg.size()) return nullptr;
+  return reg[handle - 1].get();
+}
 
 const std::unordered_set<std::string>& function_words() {
   static const std::unordered_set<std::string> f = {
@@ -327,7 +370,8 @@ bool mstate_rank_gt(const MState& a, const MState& b) {
 // prefer exact over stem matches — identical objective and tie-breaks to
 // metrics/meteor.py::_align (beam 256: exhaustive at caption lengths).
 std::vector<MTriple> meteor_align(const std::vector<std::string>& hyp,
-                                  const std::vector<std::string>& ref) {
+                                  const std::vector<std::string>& ref,
+                                  const SynTable* syn) {
   const size_t H = hyp.size(), R = ref.size();
   std::vector<std::string> hs(H), rs(R);
   for (size_t i = 0; i < H; ++i) hs[i] = porter_stem(hyp[i]);
@@ -345,6 +389,7 @@ std::vector<MTriple> meteor_align(const std::vector<std::string>& hyp,
         int stage;
         if (hyp[i] == ref[j]) stage = 0;
         else if (hs[i] == rs[j]) stage = 1;
+        else if (syn && syn_match(*syn, hyp[i], ref[j])) stage = 2;
         else continue;
         if (st.used[j / 64] >> (j % 64) & 1) continue;
         MState ns = st;
@@ -387,9 +432,10 @@ std::vector<MTriple> meteor_align(const std::vector<std::string>& hyp,
 }
 
 double meteor_pair(const std::vector<std::string>& hyp,
-                   const std::vector<std::string>& ref) {
+                   const std::vector<std::string>& ref,
+                   const SynTable* syn) {
   if (hyp.empty() || ref.empty()) return 0.0;
-  auto pairs = meteor_align(hyp, ref);
+  auto pairs = meteor_align(hyp, ref, syn);
   if (pairs.empty()) return 0.0;
 
   double m_hyp = 0, m_ref = 0, w_hyp = 0, w_ref = 0;
@@ -469,7 +515,61 @@ int64_t cxg_porter_stem(const char* word, char* out, int64_t cap) {
 double cxg_meteor(const char* hyp, const char* refs) {
   auto h = split_ws(hyp);
   double best = 0.0;
-  for (auto& r : split_refs(refs)) best = std::max(best, meteor_pair(h, r));
+  for (auto& r : split_refs(refs))
+    best = std::max(best, meteor_pair(h, r, nullptr));
+  return best;
+}
+
+// Register a synonym table: '\n'-separated synset groups of whitespace-
+// separated words (metrics/meteor.py::load_synonym_table's format,
+// comments pre-stripped by the caller). Returns a handle (> 0) for
+// cxg_meteor_syn; free with cxg_syn_table_free.
+int64_t cxg_syn_table_new(const char* groups) {
+  auto table = std::make_unique<SynTable>();
+  int gid = 0;
+  const char* p = groups;
+  while (*p) {
+    const char* q = p;
+    while (*q && *q != '\n') ++q;
+    auto words = split_ws(std::string(p, q));
+    if (words.size() >= 2) {
+      for (auto& w : words) (*table)[w].push_back(gid);
+      ++gid;
+    }
+    p = *q ? q + 1 : q;
+  }
+  for (auto& kv : *table) {
+    auto& v = kv.second;
+    std::sort(v.begin(), v.end());
+    v.erase(std::unique(v.begin(), v.end()), v.end());
+  }
+  std::lock_guard<std::mutex> g(syn_mutex());
+  auto& reg = syn_registry();
+  for (size_t i = 0; i < reg.size(); ++i) {
+    if (!reg[i]) {
+      reg[i] = std::move(table);
+      return static_cast<int64_t>(i + 1);
+    }
+  }
+  reg.push_back(std::move(table));
+  return static_cast<int64_t>(reg.size());
+}
+
+void cxg_syn_table_free(int64_t handle) {
+  std::lock_guard<std::mutex> g(syn_mutex());
+  auto& reg = syn_registry();
+  if (handle > 0 && static_cast<size_t>(handle) <= reg.size())
+    reg[handle - 1].reset();
+}
+
+// cxg_meteor with the stage-3 synonym module driven by a registered
+// table; handle 0 (or an unknown handle) is bit-identical to cxg_meteor.
+double cxg_meteor_syn(const char* hyp, const char* refs, int64_t handle) {
+  const SynTable* syn = syn_lookup(handle);
+  auto h = split_ws(hyp);
+  double best = 0.0;
+  for (auto& r : split_refs(refs))
+    best = std::max(best, meteor_pair(h, r, syn));
   return best;
 }
 

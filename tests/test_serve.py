@@ -712,3 +712,103 @@ def test_mesh_nbest_serving_matches_single_device(setup):
     sharded = run(make_mesh(8))
     for s, m in zip(single, sharded):
         assert [c for c, _ in s] == [c for c, _ in m]
+
+
+def test_dispatcher_conservation_stress(setup):
+    """Randomized multi-producer churn pins the dispatcher's conservation
+    law (VERDICT r4 #6): under concurrent submits with random deadlines,
+    cancels, and queue-full rejections against a deliberately slow decode
+    fn, every Future resolves EXACTLY once, the engine's counters sum to
+    the submissions, the drain is complete, and no worker thread leaks.
+
+    The three round-4 review commits each hand-found a bug in this
+    three-thread state machine; this test makes the invariant mechanical.
+    Interleavings vary run to run by design — the asserted law must hold
+    for all of them.
+    """
+    import random
+    import time as _time
+
+    from controllable_xgating_tpu.serve.engine import (
+        DeadlineExceeded,
+        EngineOverloaded,
+    )
+
+    cfg, params, vocab, pos_vocab, feats = setup
+    n_threads, per_thread = 4, 40
+
+    eng = ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                        buckets=(1, 4), max_wait_ms=2.0, max_queue=8)
+    try:
+        eng.warmup()  # compiles out of the way; EWMAs stay cold (no batch)
+        real_fn = eng._fn
+
+        def slow_fn(*a):
+            _time.sleep(0.004)  # back the queue up -> shed/defer/reject churn
+            return real_fn(*a)
+
+        eng._fn = slow_fn
+
+        futures, rejected = [], [0]
+        lock = threading.Lock()
+
+        def producer(seed: int) -> None:
+            rng = random.Random(seed)
+            for _ in range(per_thread):
+                app, mot = feats[rng.randrange(len(feats))]
+                tags = ["DT", "NN", "VBZ"] if rng.random() < 0.2 else None
+                dl = rng.choice([None, rng.uniform(1.0, 20.0), 30_000.0])
+                try:
+                    fut = eng.submit(app, mot, pos_tags=tags, deadline_ms=dl)
+                except EngineOverloaded:
+                    with lock:
+                        rejected[0] += 1
+                    continue
+                if rng.random() < 0.25:
+                    _time.sleep(rng.uniform(0.0, 0.003))
+                    fut.cancel()  # may lose the race with claim — both fine
+                with lock:
+                    futures.append(fut)
+                _time.sleep(rng.uniform(0.0, 0.002))
+
+        threads = [threading.Thread(target=producer, args=(1000 + i,))
+                   for i in range(n_threads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        eng.close(timeout=60.0)
+        assert not eng._dispatcher.is_alive(), "dispatcher thread leaked"
+        assert not eng._finisher.is_alive(), "completion thread leaked"
+
+        n_ok = n_cancelled = n_expired = 0
+        for fut in futures:
+            assert fut.done(), "a Future never resolved"
+            if fut.cancelled():
+                n_cancelled += 1
+                continue
+            exc = fut.exception(timeout=0)
+            if exc is None:
+                assert fut.result().caption is not None
+                n_ok += 1
+            elif isinstance(exc, DeadlineExceeded):
+                n_expired += 1
+            else:  # any other exception breaks the contract
+                raise AssertionError(
+                    f"unexpected Future resolution: {exc!r}") from exc
+
+        assert n_ok + n_cancelled + n_expired == len(futures)
+        assert len(futures) + rejected[0] == n_threads * per_thread
+
+        st = eng.stats()
+        assert st["requests"] == n_ok
+        assert st["cancelled"] == n_cancelled
+        assert st["deadline_expired"] == n_expired
+        assert st["rejected"] == rejected[0]
+        assert st["deadline_shed_predicted"] <= st["deadline_expired"]
+        assert st["queue_depth"] == 0
+        assert st["batches_in_flight"] == 0
+        # the drain must have served at least the no-deadline requests
+        assert n_ok > 0
+    finally:
+        eng.close(timeout=10.0)

@@ -125,6 +125,13 @@ def main(argv=None) -> None:
         "corrupted": [k for k in ids if flags[k]],
         "clean": [k for k in ids if not flags[k]],
     }
+    empty = [s for s, v in subsets.items() if not v]
+    for s in empty:
+        # An all-clean (or all-corrupted) corpus would otherwise produce
+        # degenerate 0.0/NaN point scores and p-values with no warning.
+        print(f"note: subset {s!r} is empty on this corpus — skipped",
+              file=sys.stderr)
+        del subsets[s]
 
     lines = [f"# Subset report — {args.data_dir} [{args.split or 'all'}], "
              f"{args.metric}, {args.bootstrap} resamples",
