@@ -58,6 +58,48 @@ def corrupted_flags(meta_path: str) -> dict[str, bool]:
     return {str(k): bool(v["corrupted"]) for k, v in meta["videos"].items()}
 
 
+def interaction_delta(gts, res_a, res_b, corr_ids, clean_ids,
+                      n_boot, seed, metric):
+    """Difference-in-differences: is the A−B delta LARGER on the
+    corrupted subset than on the clean one?
+
+    The per-subset tables answer "is A better than B within this
+    subset"; the mechanism claim ("the gating win CONCENTRATES on
+    corrupted videos") is about the INTERACTION, which needs its own
+    test. Stratified bootstrap: resample within each subset
+    independently (each scored with its own subset idf, same convention
+    as the subset tables), D = delta_corrupted − delta_clean per
+    resample, add-one-smoothed two-sided p.
+    """
+    from controllable_xgating_tpu.metrics.bootstrap import (
+        FastPairedBootstrap,
+    )
+
+    fbs, points = {}, {}
+    for name, ids in (("corr", corr_ids), ("clean", clean_ids)):
+        g = {k: gts[k] for k in ids}
+        ra = {k: res_a[k] for k in ids}
+        rb = {k: res_b[k] for k in ids}
+        fbs[name] = FastPairedBootstrap(g, ra, rb, [metric])
+        points[name] = (language_eval(g, ra, metrics=[metric])[metric]
+                        - language_eval(g, rb, metrics=[metric])[metric])
+    rng = np.random.default_rng(seed)
+    ds = np.empty(n_boot)
+    for i in range(n_boot):
+        d = {}
+        for name, fb in fbs.items():
+            row, row2 = fb.resample(rng.integers(0, fb.V, fb.V))
+            d[name] = row[metric] - row2[metric]
+        ds[i] = d["corr"] - d["clean"]
+    p_val = 2.0 * min((1 + int((ds <= 0).sum())) / (n_boot + 1),
+                      (1 + int((ds >= 0).sum())) / (n_boot + 1))
+    return {
+        "point": round(points["corr"] - points["clean"], 4),
+        "ci95": [round(float(x), 4) for x in np.percentile(ds, [2.5, 97.5])],
+        "p": round(min(p_val, 1.0), 4),
+    }
+
+
 def paired_delta(gts, res_a, res_b, n_boot, seed, metric):
     """Point scores for both sides + paired-bootstrap delta on `metric`.
 
@@ -93,6 +135,10 @@ def main(argv=None) -> None:
     p.add_argument("--bootstrap", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="also write markdown here")
+    p.add_argument("--interaction", action="store_true",
+                   help="additionally bootstrap the corrupted-minus-clean "
+                        "difference-in-differences per pair (the mechanism "
+                        "claim's own test)")
     args = p.parse_args(argv)
 
     cells = {}
@@ -161,6 +207,25 @@ def main(argv=None) -> None:
                               args.metric)
             row.append(f"{st['delta']:+.3f} (p={st['p']:.3f})")
         lines.append("| " + " | ".join(row) + " |")
+
+    if args.interaction:
+        if "corrupted" in subsets and "clean" in subsets:
+            lines += ["", "Interaction (delta on corrupted − delta on "
+                          "clean; stratified bootstrap):", "",
+                      "| A − B | corr−clean | 95% CI | p |",
+                      "|---|---|---|---|"]
+            for a, b in pairs:
+                st = interaction_delta(
+                    gts_all, cells[a], cells[b],
+                    subsets["corrupted"], subsets["clean"],
+                    args.bootstrap, args.seed, args.metric)
+                lines.append(
+                    f"| {a} − {b} | {st['point']:+.3f} "
+                    f"| [{st['ci95'][0]:+.3f}, {st['ci95'][1]:+.3f}] "
+                    f"| {st['p']:.3f} |")
+        else:
+            lines += ["", "Interaction test skipped: corrupted or clean "
+                          "subset is empty on this corpus."]
 
     text = "\n".join(lines) + "\n"
     print(text)
