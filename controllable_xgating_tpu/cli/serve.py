@@ -63,6 +63,7 @@ def build_engine(args, cfg, info, store):
         mode=args.mode, buckets=buckets, max_wait_ms=args.max_wait_ms,
         mesh=mesh, max_queue=args.max_queue, n_members=n_members,
         shed_margin=args.shed_margin,
+        adaptive_margin=args.adaptive_margin,
         nbest=args.nbest,
     )
 
@@ -90,6 +91,10 @@ def start(argv=None):
                         "deadline shedding / bucket choice: > 1 sheds "
                         "earlier, trading goodput for fewer late "
                         "completions (overload study, docs/RESULTS.md)")
+    p.add_argument("--adaptive_margin", action="store_true",
+                   help="self-tune shed_margin from the engine's measured "
+                        "late-completion fraction (--shed_margin becomes "
+                        "the floor/start)")
     p.add_argument("--max_queue", type=int, default=0,
                    help=">0 = shed load: reject requests (HTTP 503) once "
                         "this many are waiting; 0 = queue unboundedly")

@@ -116,7 +116,7 @@ def beam_search(
     fused: Optional[bool] = None,
     block_unk: bool = False,
     early_stop: bool = False,
-    topk_mode: str = "grouped",
+    topk_mode: str = "auto",
     vocab_q=None,
     n_members: int = 0,
     return_all: bool = False,
@@ -172,6 +172,14 @@ def beam_search(
       is row-overhead-bound, so shrinking the scanned bytes doesn't pay
       (docs/RESULTS.md round 3). Kept exact + parity-tested as the
       recorded experiment.
+    * `"lanes"` — fuses projection + mask + log_softmax + the per-row
+      stage into the per-lane streaming Pallas kernel
+      (ops/pallas/topk_tail.py): the [B*K, V] logits never reach HBM.
+      Single-model only (ensembles combine full distributions); scores
+      match the other modes to float rounding (the logsumexp reduce
+      order differs), tokens pinned equal by test. Falls back to
+      "grouped" (with one warning) if the kernel's VMEM estimate
+      exceeds budget at these dims.
 
     `diversity_groups > 1` = diverse beam search (Vijayakumar et al.,
     arXiv:1610.02424): the K beams split into G contiguous groups of
@@ -228,6 +236,37 @@ def beam_search(
         # in front
         v = params.w_out.shape[-1]
     k = beam_size
+
+    if topk_mode == "auto":
+        # measured order on v5e (tools/beam_topk_ab.py, docs/RESULTS.md):
+        # lanes 15,630 > grouped 13,179 > flat 11,521 captions/s; lanes is
+        # single-model only (ensembles combine full distributions)
+        topk_mode = (
+            "lanes" if not ens and vocab_q is None and groups <= 1
+            else "grouped"
+        )
+    lanes = topk_mode == "lanes" and groups <= 1  # diversity ignores topk_mode
+    lanes_interpret = False
+    if lanes:
+        if ens:
+            raise ValueError('topk_mode="lanes" does not support ensembles')
+        if vocab_q is not None:
+            raise ValueError('topk_mode="lanes" does not support vocab_q')
+        from controllable_xgating_tpu.ops.pallas.topk_tail import (
+            lanes_fits,
+            logits_topk_lanes,
+        )
+
+        if not lanes_fits(b * k, params.w_out.shape[0], k):
+            lanes, topk_mode = False, "grouped"
+        else:
+            lanes_interpret = jax.default_backend() == "cpu"
+            # a finished row's candidate list under the other modes is
+            # top_k(cont) shifted by cum: PAD continuation first, then
+            # NEG_INF fillers — static, folded at trace time
+            cont_v, cont_i = jax.lax.top_k(
+                jnp.where(jnp.arange(v) == PAD, 0.0, NEG_INF), k
+            )
 
     # tile each video's rows K times; for a stacked ensemble the batch
     # axis is axis 1 (axis 0 is the member axis)
@@ -303,6 +342,18 @@ def beam_search(
                 )
             )(params, ctx_k, h, c)                     # [M, B*K, V]
             logp = combine_logp(logits_m, block_unk)   # [B*K, V]
+        elif lanes:
+            # projection + mask + log_softmax + per-row top-k fused in the
+            # lane-streaming kernel: the [B*K, V] logits never exist
+            h_out, h_new, c_new, _ = decode_step(
+                params, ctx_k, tok.reshape(b * k), h, c, fused=fused,
+                return_hidden=True,
+            )
+            top_v, top_i, lse = logits_topk_lanes(
+                h_out, params.w_out, params.b_out, k,
+                block_unk=block_unk, interpret=lanes_interpret,
+            )
+            logp_k = top_v - lse[:, None]                  # [B*K, K]
         else:
             logits, h_new, c_new, _ = decode_step(
                 params, ctx_k, tok.reshape(b * k), h, c, fused=fused,
@@ -318,13 +369,29 @@ def beam_search(
             # custom call better than the hand-folded variants.
             logp = jax.nn.log_softmax(logits, -1)      # [B*K, V]
 
-        # finished beams: only PAD continuation, at zero cost
-        pad_onehot = (jnp.arange(v)[None, :] == PAD)
-        cont = jnp.where(pad_onehot, 0.0, NEG_INF)
-        logp = jnp.where(finished.reshape(b * k)[:, None], cont, logp)
-        cand = cum.reshape(b * k)[:, None] + logp      # [B*K, V]
+        if not lanes:
+            # finished beams: only PAD continuation, at zero cost
+            pad_onehot = (jnp.arange(v)[None, :] == PAD)
+            cont = jnp.where(pad_onehot, 0.0, NEG_INF)
+            logp = jnp.where(finished.reshape(b * k)[:, None], cont, logp)
+            cand = cum.reshape(b * k)[:, None] + logp      # [B*K, V]
 
-        if groups > 1:
+        if lanes:
+            # same finished-beam semantics applied to the top-K lists:
+            # a finished row's candidates become top_k(cont) + cum, then
+            # the stage-2 merge is identical to "grouped"
+            fin_col = finished.reshape(b * k)[:, None]
+            s1_scores = cum.reshape(b * k)[:, None] + jnp.where(
+                fin_col, cont_v[None, :], logp_k
+            )                                              # [B*K, K]
+            s1_idx = jnp.where(fin_col, cont_i[None, :], top_i)
+            top_scores, m_idx = jax.lax.top_k(
+                s1_scores.reshape(b, k * k), k)            # [B, K]
+            beam_idx = m_idx // k
+            new_tok = jnp.take_along_axis(
+                s1_idx.reshape(b, k * k), m_idx, axis=1
+            ).astype(jnp.int32)
+        elif groups > 1:
             # diverse beam search: groups select sequentially; group j's
             # candidates are penalized by how many live beams of groups
             # < j emitted each token this step. Unrolled at trace time
@@ -484,7 +551,7 @@ def make_beam_caption_fn(
     fused: Optional[bool] = None,
     block_unk: bool = False,
     early_stop: bool = True,
-    topk_mode: str = "grouped",
+    topk_mode: str = "auto",
     return_all: bool = False,
     diversity_groups: int = 0,
     diversity_penalty: float = 0.5,

@@ -161,6 +161,7 @@ def decode_step(
     out_drop: Optional[jax.Array] = None,   # [B, Hd]
     fused: Optional[bool] = None,           # None=jnp; True=Pallas kernel
     vocab_q=None,         # experiments/int8_vocab_matmul.QuantVocabProj
+    return_hidden: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One decode step. Returns (logits [B, V], h', c', alpha [B, T]).
 
@@ -171,10 +172,17 @@ def decode_step(
     measured SLOWER at every tested shape because XLA keeps scan-invariant
     weights VMEM-resident, so there is no per-step HBM weight read for
     int8 to halve (experiments/int8_vocab_matmul.py, docs/RESULTS.md).
+
+    `return_hidden=True` skips the vocab projection and returns the
+    (dropout-applied) pre-projection hidden state in the logits slot —
+    for callers that fuse the projection into their own tail (the
+    beam `topk_mode="lanes"` kernel, ops/pallas/topk_tail.py).
     """
     f32 = jnp.float32
 
     def project(h_out):
+        if return_hidden:
+            return h_out
         if vocab_q is not None:
             from experiments.int8_vocab_matmul import vocab_proj_int8
 

@@ -125,6 +125,7 @@ class ServingEngine:
         n_members: int = 0,
         nbest: int = 0,
         shed_margin: float = 1.0,
+        adaptive_margin: bool = False,
     ):
         """`mesh`: an optional 1-D `jax.sharding.Mesh` — data-parallel
         serving over multiple chips (config 5 for the online path): each
@@ -154,7 +155,15 @@ class ServingEngine:
         completions. The overload study measured a 9.4% late tail at the
         default 1.0 — the cost of predicting with a mean (EWMA) against
         a tail criterion (p99 < deadline); raise toward ~1.3 when the
-        SLO demands late ~= 0."""
+        SLO demands late ~= 0.
+
+        `adaptive_margin=True` makes that knob self-tuning: a slow
+        feedback loop on the engine's own measured late-completion
+        fraction (multiplicative increase when completed-with-deadline
+        requests arrive late, slow decay toward the configured
+        `shed_margin` floor when the tail clears — see _update_margin).
+        The configured `shed_margin` is the starting value AND the
+        floor."""
         if mode not in ("greedy", "beam"):
             raise ValueError(f"mode must be greedy|beam, got {mode!r}")
         if nbest:
@@ -191,6 +200,13 @@ class ServingEngine:
         self.buckets = tuple(int(b) for b in buckets)
         self.max_wait_s = max_wait_ms / 1e3
         self.shed_margin = float(shed_margin)
+        self.adaptive_margin = bool(adaptive_margin)
+        # the LIVE margin the dispatcher reads (== shed_margin when not
+        # adaptive); float reads/writes are atomic under the GIL
+        self._margin = float(shed_margin)
+        self._late_ewma = 0.0
+        self._n_late_completed = 0      # completed AFTER their own deadline
+        self._n_deadline_completed = 0  # completed requests that had one
         self._queue: Queue[_Request] = Queue(maxsize=max(max_queue, 0))
         # (requests, device_outputs, bucket) in flight; bounded = backpressure
         self._completion: Queue = Queue(maxsize=max_inflight)
@@ -579,6 +595,30 @@ class ServingEngine:
             return lookup(fresh)
         return lookup({b: v for b, (v, t) in table.items() if v})
 
+    # the adaptive margin never exceeds this: beyond ~2x the prediction
+    # the engine is shedding on noise, not on the tail
+    _MARGIN_MAX = 2.0
+
+    def _update_margin(self, late: int, with_deadline: int) -> None:
+        """Self-tuning shed margin (adaptive_margin=True): feedback on the
+        engine's own measured late-completion fraction.
+
+        Control law (AIMD-flavored): a fast EWMA of the per-batch late
+        fraction; multiplicative INCREASE while it exceeds 1% (every late
+        completion is wasted device work — the overload study's
+        criterion), slow multiplicative decay toward the configured
+        `shed_margin` floor once batches complete clean (recovers the
+        goodput a too-high margin sheds). Driven only by requests that
+        carried deadlines; deadline-free traffic never moves it."""
+        if not with_deadline:
+            return
+        frac = late / with_deadline
+        self._late_ewma = 0.8 * self._late_ewma + 0.2 * frac
+        if self._late_ewma > 0.01:
+            self._margin = min(self._margin * 1.10, self._MARGIN_MAX)
+        elif late == 0 and self._late_ewma < 0.002:
+            self._margin = max(self._margin * 0.995, self.shed_margin)
+
     def _dispatch_loop(self) -> None:
         # requests pulled from the queue but deferred to a later batch
         # (servable, just not within the bucket this batch rode). Bounded:
@@ -641,7 +681,7 @@ class ServingEngine:
             # a request that cannot make even that is hopeless and
             # deferring it would only waste queue space
             for bkt in self.buckets:
-                slot = self._predict_slot(bkt) * self.shed_margin
+                slot = self._predict_slot(bkt) * self._margin
                 floor = min(floor, slot)
                 est = depth * slot
                 m = sum(1 for r in batch if servable(r, est))
@@ -747,12 +787,21 @@ class ServingEngine:
                 scores = packed[:, -nb:].view(np.float32)
                 t_done = time.monotonic()
                 n = len(batch)
+                n_dl = n_late = 0
                 with self._lock:
                     self._n_requests += n
                     self._n_batches += 1
                     self._n_padded_rows += bucket - n
                     for r in batch:
                         self._lat.append(t_done - r.t_submit)
+                        if r.t_deadline is not None:
+                            n_dl += 1
+                            if t_done > r.t_deadline:
+                                n_late += 1
+                    self._n_deadline_completed += n_dl
+                    self._n_late_completed += n_late
+                if self.adaptive_margin:
+                    self._update_margin(n_late, n_dl)
                 for i, r in enumerate(batch):
                     nbest_list = None
                     if self._nbest:
@@ -825,6 +874,11 @@ class ServingEngine:
             "cancelled": n_cancel,
             "deadline_expired": n_expired,
             "deadline_shed_predicted": n_pred,
+            # completed-with-deadline accounting + the live (possibly
+            # adaptive) shed margin the dispatcher is using right now
+            "deadline_completed": self._n_deadline_completed,
+            "late_completions": self._n_late_completed,
+            "shed_margin_live": round(self._margin, 4),
             # the dispatcher's prediction for a LARGEST-bucket rider right
             # now: (in-flight depth + 1) x measured per-slot service time
             "est_claim_to_done_ms": round(

@@ -274,3 +274,108 @@ def test_fused_rollout_under_stop_gradient_traces():
     np.testing.assert_allclose(float(l_out), float(l_ref), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_out)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_lane_topk_kernel_matches_xla():
+    """Golden contract of the per-lane streaming top-k tail
+    (ops/pallas/topk_tail.py): projection + special-token mask +
+    logsumexp + top-k == the XLA reference chain, exactly on indices."""
+    from controllable_xgating_tpu.data.vocab import BOS, PAD, UNK
+    from controllable_xgating_tpu.ops.pallas.topk_tail import logits_topk_lanes
+
+    key = jax.random.PRNGKey(9)
+    for (r, hd, v, k, bu) in [
+        (6, 12, 40, 5, False),      # V < one lane tile
+        (16, 32, 300, 3, True),     # V % 128 != 0, block_unk
+        (8, 16, 128, 4, False),     # V == one tile exactly
+        (10, 8, 1000, 5, False),    # several tiles, rows % 8 != 0
+    ]:
+        h = jax.random.normal(key, (r, hd))
+        w = jax.random.normal(jax.random.fold_in(key, 1), (hd, v))
+        b = jax.random.normal(jax.random.fold_in(key, 2), (v,))
+        logits = (h @ w + b).at[:, PAD].set(-1e30).at[:, BOS].set(-1e30)
+        if bu:
+            logits = logits.at[:, UNK].set(-1e30)
+        rv, ri = jax.lax.top_k(logits, k)
+        rl = jax.nn.logsumexp(logits, axis=1)
+        vals, idx, lse = logits_topk_lanes(
+            h, w, b, k, block_unk=bu, interpret=True)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(rv), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(lse), np.asarray(rl), rtol=1e-5, atol=1e-5)
+
+
+def _beam_modes_setup():
+    from controllable_xgating_tpu.models.captioner import (
+        encode_for_inference, init_captioner,
+    )
+    from controllable_xgating_tpu.utils.config import Config
+
+    cfg = Config().replace_flat({
+        "model.app_dim": 10, "model.motion_dim": 8, "model.hidden_dim": 12,
+        "model.embed_dim": 8, "model.attn_dim": 10, "model.pos_embed_dim": 10,
+        "model.vocab_size": 40, "model.pos_vocab_size": 9,
+        "model.num_frames": 5, "model.max_pos_len": 8,
+    })
+    params = init_captioner(jax.random.PRNGKey(0), cfg.model)
+    rng = np.random.default_rng(0)
+    app = rng.normal(size=(4, 5, 10)).astype(np.float32)
+    mot = rng.normal(size=(4, 5, 8)).astype(np.float32)
+    mask = np.ones((4, 5), np.float32)
+    ctx, summary, _ = encode_for_inference(params, app, mot, mask)
+    return params, ctx, summary
+
+
+def test_beam_lanes_mode_matches_grouped():
+    """Full beam search through the fused lane-top-k tail == the grouped
+    XLA tail: tokens identical, scores to float rounding (the logsumexp
+    reduce order differs by construction)."""
+    from controllable_xgating_tpu.infer.beam import beam_search
+
+    params, ctx, summary = _beam_modes_setup()
+    tg, sg = beam_search(params.decoder, ctx, summary, 3, 9,
+                         topk_mode="grouped", early_stop=True)
+    tl, sl = beam_search(params.decoder, ctx, summary, 3, 9,
+                         topk_mode="lanes", early_stop=True)
+    np.testing.assert_array_equal(np.asarray(tg), np.asarray(tl))
+    np.testing.assert_allclose(np.asarray(sg), np.asarray(sl),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_beam_lanes_mode_matches_grouped_all_knobs():
+    """lanes x {early_stop, block_unk, return_all, length_penalty}."""
+    from controllable_xgating_tpu.infer.beam import beam_search
+
+    params, ctx, summary = _beam_modes_setup()
+    combos = [
+        dict(early_stop=False, block_unk=False, return_all=True),
+        dict(early_stop=False, block_unk=True, return_all=False),
+        dict(early_stop=True, block_unk=True, return_all=True),
+        dict(early_stop=True, block_unk=False, return_all=False,
+             length_penalty=1.0),
+    ]
+    for kw in combos:
+        tg, sg = beam_search(params.decoder, ctx, summary, 3, 9,
+                             topk_mode="grouped", **kw)
+        tl, sl = beam_search(params.decoder, ctx, summary, 3, 9,
+                             topk_mode="lanes", **kw)
+        np.testing.assert_array_equal(np.asarray(tg), np.asarray(tl))
+        np.testing.assert_allclose(np.asarray(sg), np.asarray(sl),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_beam_lanes_rejects_unsupported_combos():
+    from controllable_xgating_tpu.infer.beam import beam_search
+    from controllable_xgating_tpu.infer.ensemble import stack_params
+
+    params, ctx, summary = _beam_modes_setup()
+    stacked = stack_params([params, params])
+    import jax.tree_util as jtu
+    ctx2 = jtu.tree_map(lambda x: jnp.stack([x, x]), ctx)
+    s2 = jnp.stack([summary, summary])
+    with pytest.raises(ValueError, match="lanes.*ensembles"):
+        beam_search(stacked.decoder, ctx2, s2, 3, 9,
+                    topk_mode="lanes", n_members=2)

@@ -812,3 +812,70 @@ def test_dispatcher_conservation_stress(setup):
         assert n_ok > 0
     finally:
         eng.close(timeout=10.0)
+
+
+def test_adaptive_margin_control_law(setup):
+    """_update_margin: rises multiplicatively under late completions,
+    decays slowly toward the configured floor when clean, bounded above,
+    and inert for deadline-free traffic."""
+    cfg, params, vocab, pos_vocab, _ = setup
+    eng = ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                        buckets=(1,), shed_margin=1.0, adaptive_margin=True)
+    try:
+        assert eng.stats()["shed_margin_live"] == 1.0
+        eng._update_margin(0, 0)  # no deadline'd completions: inert
+        assert eng._margin == 1.0
+        for _ in range(50):  # sustained lateness: rise to the cap
+            eng._update_margin(1, 1)
+        assert eng._margin == pytest.approx(eng._MARGIN_MAX)
+        for _ in range(20_000):  # clean batches: decay to the floor
+            eng._update_margin(0, 4)
+        assert eng._margin == pytest.approx(1.0)
+        # floor is the CONFIGURED margin, not 1.0
+        eng2 = ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                             buckets=(1,), shed_margin=1.3,
+                             adaptive_margin=True)
+        try:
+            for _ in range(10_000):
+                eng2._update_margin(0, 4)
+            assert eng2._margin == pytest.approx(1.3)
+        finally:
+            eng2.close(timeout=10.0)
+    finally:
+        eng.close(timeout=10.0)
+
+
+def test_late_completion_counters_and_adaptive_rise(setup):
+    """A request claimed before its deadline but finished after it counts
+    as a late completion, and (adaptive) raises the live margin."""
+    import time as _time
+
+    cfg, params, vocab, pos_vocab, feats = setup
+    eng = ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                        buckets=(1,), max_wait_ms=1.0,
+                        adaptive_margin=True)
+    try:
+        eng.warmup()
+        real_fn = eng._fn
+
+        def slow_fn(*a):
+            _time.sleep(0.12)
+            return real_fn(*a)
+
+        eng._fn = slow_fn
+        # the short-deadline request goes FIRST: a COLD estimator never
+        # predictively sheds (warmup bypasses dispatch), so it is claimed
+        # while its 30 ms deadline is still ahead, then finishes ~120 ms
+        # later — a late completion, not an expiry. A second request
+        # afterwards would be predictively shed (the EWMA is hot now).
+        fut = eng.submit(*feats[1], deadline_ms=30.0)
+        res2 = fut.result(timeout=60)
+        res = eng.caption(*feats[0], timeout=60)  # generous: on time
+        assert res.caption is not None
+        st = eng.stats()
+        assert st["deadline_completed"] >= 2
+        assert st["late_completions"] >= 1
+        assert st["shed_margin_live"] > 1.0
+        assert res2.latency_ms > 30.0
+    finally:
+        eng.close(timeout=30.0)

@@ -30,7 +30,7 @@ def main() -> None:
     dev = jax.devices()[0]
     batch = bench.random_batch(cfg, bench.BATCH)
     out = {}
-    for mode in ("block", "grouped", "flat"):
+    for mode in ("lanes", "block", "grouped", "flat"):
         fn = make_beam_caption_fn(
             bench.BEAM, cfg.model.max_pos_len, bench.MAX_LEN,
             early_stop=False, topk_mode=mode)
@@ -38,7 +38,7 @@ def main() -> None:
         out[mode] = cps
         print(f"{mode:>8}: {cps:.0f} captions/s  "
               f"({bench.BATCH / cps * 1e3:.2f} ms/batch)", flush=True)
-    for mode in ("block", "grouped"):
+    for mode in ("lanes", "block", "grouped"):
         print(f"{mode} vs flat: {out[mode] / out['flat'] - 1.0:+.1%}")
 
 

@@ -31,7 +31,7 @@ MOT_DIM = 1024
 
 
 def build_engine(mode: str, buckets, max_wait_ms: float, max_queue: int = 0,
-                 shed_margin: float = 1.0,
+                 shed_margin: float = 1.0, adaptive_margin: bool = False,
                  n_members: int = 0, nbest: int = 0):
     from controllable_xgating_tpu.data.vocab import Vocab
     from controllable_xgating_tpu.models.captioner import init_captioner
@@ -61,7 +61,7 @@ def build_engine(mode: str, buckets, max_wait_ms: float, max_queue: int = 0,
     return ServingEngine(
         params, cfg, Vocab(words), Vocab(tags), mode=mode,
         buckets=buckets, max_wait_ms=max_wait_ms, max_queue=max_queue,
-        shed_margin=shed_margin,
+        shed_margin=shed_margin, adaptive_margin=adaptive_margin,
         n_members=n_members, nbest=nbest,
     )
 
@@ -159,6 +159,10 @@ def main():
     p.add_argument("--buckets", default="1,4,16,64,256")
     p.add_argument("--max_wait_ms", type=float, default=8.0)
     p.add_argument("--shed_margin", type=float, default=1.0)
+    p.add_argument("--adaptive_margin", action="store_true",
+                   help="self-tuning shed margin (feedback on the measured "
+                        "late-completion fraction; --shed_margin is the "
+                        "floor/start)")
     p.add_argument("--max_queue", type=int, default=0,
                    help=">0 = load shedding (see ServingEngine)")
     p.add_argument("--deadline_ms", type=float, default=None,
@@ -182,6 +186,7 @@ def main():
     engine = build_engine(args.mode, buckets, args.max_wait_ms,
                           max_queue=args.max_queue,
                           shed_margin=args.shed_margin,
+                          adaptive_margin=args.adaptive_margin,
                           n_members=args.ensemble, nbest=args.nbest)
     print(json.dumps({"event": "warmup", "buckets": buckets,
                       "backend": jax.default_backend()}), flush=True)
@@ -196,7 +201,9 @@ def main():
             point["engine_stats"] = {
                 k: engine.stats()[k]
                 for k in ("cancelled", "deadline_expired",
-                          "deadline_shed_predicted", "rejected")
+                          "deadline_shed_predicted", "rejected",
+                          "deadline_completed", "late_completions",
+                          "shed_margin_live")
             }
             print(json.dumps(point), flush=True)
     finally:
