@@ -46,7 +46,8 @@ def main(argv=None) -> None:
     p.add_argument("--fixture_frames", type=int, default=26)
     p.add_argument("--fixture_app_dim", type=int, default=1536)
     p.add_argument("--fixture_motion_dim", type=int, default=1024)
-    p.add_argument("--fixture_feature_map", choices=("linear", "entangled"),
+    p.add_argument("--fixture_feature_map",
+                   choices=("linear", "entangled", "syntax"),
                    default="linear",
                    help="feature<-scene generative map: 'linear' (v1, "
                         "additive) or 'entangled' (v2 — cross-modal group "

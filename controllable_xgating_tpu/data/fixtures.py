@@ -79,6 +79,7 @@ class Scene:
     subject: int
     action: int
     place: int
+    style: int = 0  # v3 ("syntax" map): 0=progressive, 1=simple-present
 
 
 def _render_captions(scene: Scene, rng: np.random.Generator, n: int) -> list[str]:
@@ -117,6 +118,56 @@ def _render_captions(scene: Scene, rng: np.random.Generator, n: int) -> list[str
                 f"{article} {adj} {noun}" if noun else f"{adj} {subj}"
             )
             parts = [subj_adj, verb_ing] + ([obj] if obj else [])
+        caps.append(" ".join(parts) + ".")
+    return caps
+
+
+STYLE_NAMES = ("progressive", "simple")
+
+
+def _render_captions_v3(
+    scene: Scene, rng: np.random.Generator, n: int
+) -> list[str]:
+    """Corpus v3 ("syntax" map): every reference realizes the scene in the
+    video's latent STYLE, so the correct caption is syntax-dependent —
+    the situation arXiv:1908.10072 §3.2-3.3 claims POS guidance helps
+    with. On v1/v2 fixtures the references MIX syntactic variants
+    (_render_captions), so any realization scores and psi can only cost;
+    here the style decides which 2-4-grams exist in the reference set:
+
+      style 0 (progressive):   "a man is playing guitar on stage"
+                               "there is a man playing guitar on stage"
+      style 1 (simple-present, place fronted):
+                               "on stage a man plays guitar"
+
+    A style-0 caption of a style-1 video shares unigrams but loses the
+    higher-order matches ("man plays", "plays guitar", fronted place
+    bigrams), which idf-weighted CIDEr punishes hard. Within-style
+    lexical variety (subject surface forms, optional adjectives) keeps
+    reference entropy for the n-best/diversity studies."""
+    subj_forms = SUBJECTS[scene.subject]
+    verb_ing, verb_3sg, obj = ACTIONS[scene.action]
+    place = PLACES[scene.place]
+    caps = []
+    for k in range(n):
+        subj = subj_forms[int(rng.integers(len(subj_forms)))]
+        if rng.random() < 0.3:
+            article, _, noun = subj.partition(" ")
+            adj = ADJECTIVES[int(rng.integers(len(ADJECTIVES)))]
+            subj = f"{article} {adj} {noun}" if noun else f"{adj} {subj}"
+        if scene.style == 0:
+            if k % 3 == 2:
+                parts = ["there is", subj, verb_ing.split()[-1]]
+            else:
+                parts = [subj, verb_ing]
+            if obj:
+                parts.append(obj)
+            if place:
+                parts.append(place)
+        else:
+            parts = ([place] if place else []) + [subj, verb_3sg]
+            if obj:
+                parts.append(obj)
         caps.append(" ".join(parts) + ".")
     return caps
 
@@ -174,6 +225,21 @@ def _concept_embeddings_v2(app_dim: int, motion_dim: int, seed: int) -> dict:
     }
 
 
+def _concept_embeddings_v3(app_dim: int, motion_dim: int, seed: int) -> dict:
+    """v3 ("syntax") banks: v2's entangled map + a style direction in the
+    MOTION stream (+style_mot for progressive, -style_mot for simple).
+
+    The style is deliberately a PLAIN additive, single-stream direction —
+    decodable by every architecture in the 2x2 grid — so the grid isolates
+    the PAPER'S psi mechanism (an explicit supervised syntax pathway vs
+    learning realization implicitly from word-level XE) from the
+    cross-modal decoding question corpus v2 already adjudicated."""
+    embs = _concept_embeddings_v2(app_dim, motion_dim, seed)
+    rng = np.random.default_rng(seed + 3)
+    embs["style_mot"] = rng.normal(size=(motion_dim,)).astype(np.float32)
+    return embs
+
+
 def _scene_content_v2(
     sc: Scene, embs: dict, rng: np.random.Generator
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -229,6 +295,10 @@ def _render_features_v2(
             )
             base_app, _ = _scene_content_v2(distractor, embs, rng)
             base_mot = base_mot + 1.5 * embs["beacon_mot"]
+        if "style_mot" in embs:  # v3: style rides the (never-corrupted)
+            # motion stream, so corrupted videos keep their true style
+            sign = 1.0 if sc.style == 0 else -1.0
+            base_mot = base_mot + 0.6 * sign * embs["style_mot"]
         n = int(nframes[i])
         app[i, :n] = base_app[None, :] + 0.1 * rng.normal(
             size=(n, app_dim)
@@ -326,10 +396,11 @@ def make_fixture_corpus(
     garbage (a mistake this split exists to prevent; the minted
     fixture_meta.json records a `bank_fingerprint` so two corpora can be
     checked for map compatibility before cross-evaluating)."""
-    if feature_map not in ("linear", "entangled"):
+    if feature_map not in ("linear", "entangled", "syntax"):
         raise ValueError(f"unknown feature_map {feature_map!r}")
-    if corrupt_prob and feature_map != "entangled":
-        raise ValueError("corrupt_prob requires feature_map='entangled'")
+    if corrupt_prob and feature_map == "linear":
+        raise ValueError(
+            "corrupt_prob requires feature_map='entangled'/'syntax'")
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
@@ -338,6 +409,7 @@ def make_fixture_corpus(
             subject=int(rng.integers(len(SUBJECTS))),
             action=int(rng.integers(len(ACTIONS))),
             place=int(rng.integers(len(PLACES))),
+            style=int(rng.integers(2)) if feature_map == "syntax" else 0,
         )
         for _ in range(num_videos)
     ]
@@ -351,8 +423,10 @@ def make_fixture_corpus(
     # temporal jitter so frames differ but stay on-manifold; frames past
     # the video's true length stay zero (pad)
     bank = seed if bank_seed is None else bank_seed
-    if feature_map == "entangled":
-        embs = _concept_embeddings_v2(app_dim, motion_dim, bank)
+    if feature_map in ("entangled", "syntax"):
+        make_banks = (_concept_embeddings_v3 if feature_map == "syntax"
+                      else _concept_embeddings_v2)
+        embs = make_banks(app_dim, motion_dim, bank)
         app, motion, corrupted = _render_features_v2(
             scenes, nframes, num_frames, embs, rng, corrupt_prob
         )
@@ -366,8 +440,10 @@ def make_fixture_corpus(
         fingerprint.update(np.ascontiguousarray(embs[key]).tobytes())
     captions: dict[str, list[str]] = {}
     video_ids = [f"video{i}" for i in range(num_videos)]
+    render = (_render_captions_v3 if feature_map == "syntax"
+              else _render_captions)
     for i, sc in enumerate(scenes):
-        captions[video_ids[i]] = _render_captions(sc, rng, caps_per_video)
+        captions[video_ids[i]] = render(sc, rng, caps_per_video)
 
     write_feature_file(
         os.path.join(out_dir, "features.h5"), app, motion, nframes=nframes
@@ -396,6 +472,8 @@ def make_fixture_corpus(
                         "action": scenes[i].action,
                         "place": scenes[i].place,
                         "corrupted": bool(corrupted[i]),
+                        **({"style": scenes[i].style}
+                           if feature_map == "syntax" else {}),
                     }
                     for i in range(num_videos)
                 },

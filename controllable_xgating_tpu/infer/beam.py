@@ -246,7 +246,6 @@ def beam_search(
             else "grouped"
         )
     lanes = topk_mode == "lanes" and groups <= 1  # diversity ignores topk_mode
-    lanes_interpret = False
     if lanes:
         if ens:
             raise ValueError('topk_mode="lanes" does not support ensembles')
@@ -260,7 +259,6 @@ def beam_search(
         if not lanes_fits(b * k, params.w_out.shape[0], k):
             lanes, topk_mode = False, "grouped"
         else:
-            lanes_interpret = jax.default_backend() == "cpu"
             # a finished row's candidate list under the other modes is
             # top_k(cont) shifted by cum: PAD continuation first, then
             # NEG_INF fillers — static, folded at trace time
@@ -350,8 +348,7 @@ def beam_search(
                 return_hidden=True,
             )
             top_v, top_i, lse = logits_topk_lanes(
-                h_out, params.w_out, params.b_out, k,
-                block_unk=block_unk, interpret=lanes_interpret,
+                h_out, params.w_out, params.b_out, k, block_unk=block_unk,
             )
             logp_k = top_v - lse[:, None]                  # [B*K, K]
         else:

@@ -142,22 +142,10 @@ def lanes_fits(r: int, hdim: int, k: int) -> bool:
     return False
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "block_unk", "interpret")
-)
-def _lane_topk(h, w, b, k: int, block_unk: bool, interpret: bool = False):
-    r, hdim = h.shape
-    v = w.shape[1]
-    pad_v = (-v) % _TILE_V
-    if pad_v:  # scan-invariant under jit: XLA hoists the pad out of scans
-        w = jnp.pad(w, ((0, 0), (0, pad_v)))
-        b = jnp.pad(b, ((0, 0), (0, pad_v)), constant_values=NEG)
-    pad_r = (-r) % 8
-    if pad_r:
-        h = jnp.pad(h, ((0, pad_r), (0, 0)))
-    rp = r + pad_r
-    num_tiles = (v + pad_v) // _TILE_V
-    vals, idx, m, s = pl.pallas_call(
+def _pallas_topk(h, w, b, k: int, block_unk: bool, interpret: bool):
+    rp, hdim = h.shape
+    num_tiles = w.shape[1] // _TILE_V
+    return pl.pallas_call(
         _make_kernel(k, block_unk),
         out_shape=(
             jax.ShapeDtypeStruct((k, rp, _TILE_V), jnp.float32),
@@ -187,6 +175,35 @@ def _lane_topk(h, w, b, k: int, block_unk: bool, interpret: bool = False):
         interpret=interpret,
     )(h, w, b)
 
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_unk", "interpret")
+)
+def _lane_topk(h, w, b, k: int, block_unk: bool, interpret=None):
+    r, hdim = h.shape
+    v = w.shape[1]
+    pad_v = (-v) % _TILE_V
+    if pad_v:  # scan-invariant under jit: XLA hoists the pad out of scans
+        w = jnp.pad(w, ((0, 0), (0, pad_v)))
+        b = jnp.pad(b, ((0, 0), (0, pad_v)), constant_values=NEG)
+    pad_r = (-r) % 8
+    if pad_r:
+        h = jnp.pad(h, ((0, pad_r), (0, 0)))
+    rp = r + pad_r
+    call = functools.partial(_pallas_topk, k=k, block_unk=block_unk)
+    if interpret is None:
+        # decide per LOWERING platform, not per process default backend:
+        # a TPU-backend process can still jit this computation for its
+        # CPU devices (the cross-platform parity suite does exactly
+        # that), and Mosaic kernels only compile for TPU
+        vals, idx, m, s = jax.lax.platform_dependent(
+            h, w, b,
+            cpu=functools.partial(call, interpret=True),
+            default=functools.partial(call, interpret=False),
+        )
+    else:
+        vals, idx, m, s = call(h, w, b, interpret=interpret)
+
     # cross-lane finish in XLA on the 16x-smaller candidate lists
     cand_v = vals.transpose(1, 0, 2).reshape(rp, k * _TILE_V)
     cand_i = idx.transpose(1, 0, 2).reshape(rp, k * _TILE_V)
@@ -205,7 +222,7 @@ def logits_topk_lanes(
     b_out: jax.Array,      # [V]
     k: int,
     block_unk: bool = False,
-    interpret: bool = False,
+    interpret=None,        # None = per lowering platform (cpu -> interpret)
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (top-k raw logits [R,k], vocab indices [R,k], lse [R]).
 
