@@ -69,8 +69,35 @@ def _rollout(
     step_rngs = (
         jax.random.split(rng, max_len) if rng is not None else jnp.zeros((max_len, 2), jnp.uint32)
     )
+    # pure-greedy steps route projection+mask+argmax through the lane-
+    # streaming kernel (ops/pallas/topk_tail.py, K=1): the [B, V] logits
+    # never reach HBM. The sampling branch keeps the jnp chain (the
+    # categorical needs the full distribution). Exact cross-lane argmax
+    # ties order by (col mod 128) instead of col — measure-zero with
+    # real weights; CPU runs the identical algorithm interpreted, so the
+    # cross-platform parity contract is unaffected.
+    use_lanes = rng is None and vocab_q is None
+    if use_lanes:
+        from controllable_xgating_tpu.ops.pallas.topk_tail import (
+            lanes_fits,
+            logits_topk_lanes,
+        )
+
+        use_lanes = lanes_fits(b, params.w_out.shape[0], 1)
 
     def one_step(h, c, tok, alive, step_rng):
+        if use_lanes:
+            h_out, h, c, _ = decode_step(
+                params, ctx, tok, h, c, fused=fused, return_hidden=True
+            )
+            _, top_i, _ = logits_topk_lanes(
+                h_out, params.w_out, params.b_out, 1, block_unk=block_unk
+            )
+            nxt = top_i[:, 0]
+            nxt = jnp.where(alive, nxt, PAD)
+            logp = jnp.zeros((b,), jnp.float32)
+            alive_next = alive & (nxt != EOS)
+            return h, c, nxt, alive_next, logp
         logits, h, c, _ = decode_step(
             params, ctx, tok, h, c, fused=fused, vocab_q=vocab_q
         )
