@@ -276,6 +276,16 @@ def main(argv=None) -> None:
     res = load_candidates(args.candidates)
     if not res:
         p.error(f"{args.candidates}: no candidates")
+    meteor_syn = None
+    if args.meteor_synonyms:
+        # parse ONCE: language_eval/bootstrap accept the prebuilt mapping,
+        # and a WordNet-scale table re-parsed per scoring call (the
+        # --oracle loop alone makes N+3 of them) costs real seconds
+        from controllable_xgating_tpu.metrics.meteor import (
+            load_synonym_table,
+        )
+
+        meteor_syn = load_synonym_table(args.meteor_synonyms)
     if args.references:
         gts = load_reference_file(args.references)
     else:
@@ -322,7 +332,7 @@ def main(argv=None) -> None:
 
     scored = language_eval(
         gts, res, metrics=args.metrics, per_key=bool(args.per_video),
-        meteor_synonyms=args.meteor_synonyms,
+        meteor_synonyms=meteor_syn,
     )
     if args.per_video:
         scored, detail = scored
@@ -355,7 +365,7 @@ def main(argv=None) -> None:
             _, det = language_eval(
                 gts, {k: [v[n]] for k, v in lists.items()},
                 metrics=[args.oracle_metric], per_key=True,
-                meteor_synonyms=args.meteor_synonyms,
+                meteor_synonyms=meteor_syn,
             )
             per_rank.append(det)
         pick = {
@@ -369,7 +379,7 @@ def main(argv=None) -> None:
             "metrics": language_eval(
                 gts, {k: [lists[k][pick[k]]] for k in lists},
                 metrics=args.metrics,
-                meteor_synonyms=args.meteor_synonyms,
+                meteor_synonyms=meteor_syn,
             ),
         }
 
@@ -378,7 +388,7 @@ def main(argv=None) -> None:
 
         rows, rows2 = bootstrap_metrics(
             gts, res, res2, args.bootstrap, args.seed, args.metrics,
-            meteor_synonyms=args.meteor_synonyms)
+            meteor_synonyms=meteor_syn)
         names = list(rows[0])
         out["bootstrap"] = {
             "n": args.bootstrap, "seed": args.seed,
@@ -405,7 +415,7 @@ def main(argv=None) -> None:
                 "path": args.compare,
                 "metrics": language_eval(
                     gts, res2, metrics=args.metrics,
-                    meteor_synonyms=args.meteor_synonyms),
+                    meteor_synonyms=meteor_syn),
                 "delta": comp,
             }
 

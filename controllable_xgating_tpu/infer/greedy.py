@@ -2,8 +2,11 @@
 
 Rebuilds the reference's `model.sample` host loop (SURVEY.md §3.2/§3.5) as a
 single `lax.scan` — no per-step host sync. One compiled program serves both
-modes: `greedy_decode` (argmax; deterministic tie-break = lowest index, the
-parity contract for jnp-vs-Pallas golden tests) and `sample_decode`
+modes: `greedy_decode` (argmax; deterministic — by default through the
+K=1 lane-streaming kernel, whose EXACT-tie order is (col mod 128, col)
+rather than plain lowest-index; real-weight ties are measure-zero, CPU
+runs the identical algorithm interpreted, and the jnp argmax chain
+remains reachable for A/B via the kernel's VMEM gate) and `sample_decode`
 (multinomial with temperature, used by SCST for the sampled rollout; also
 returns per-step logprobs for the REINFORCE loss).
 

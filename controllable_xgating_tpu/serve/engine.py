@@ -205,6 +205,8 @@ class ServingEngine:
         # adaptive); float reads/writes are atomic under the GIL
         self._margin = float(shed_margin)
         self._late_ewma = 0.0
+        self._t_last_late = 0.0   # monotonic time of the last late completion
+        self._t_last_decay = 0.0
         self._n_late_completed = 0      # completed AFTER their own deadline
         self._n_deadline_completed = 0  # completed requests that had one
         self._queue: Queue[_Request] = Queue(maxsize=max(max_queue, 0))
@@ -614,10 +616,28 @@ class ServingEngine:
             return
         frac = late / with_deadline
         self._late_ewma = 0.8 * self._late_ewma + 0.2 * frac
+        if late:
+            self._t_last_late = time.monotonic()
         if self._late_ewma > 0.01:
             self._margin = min(self._margin * 1.10, self._MARGIN_MAX)
         elif late == 0 and self._late_ewma < 0.002:
             self._margin = max(self._margin * 0.995, self.shed_margin)
+
+    # if the raised margin sheds ALL deadline traffic, no completion ever
+    # carries a deadline again and _update_margin starves — the margin
+    # would latch at its ceiling forever (review finding, round 5). The
+    # dispatcher therefore also decays on WALL CLOCK: quiet time without
+    # a late completion is itself evidence the tail cleared.
+    _LATE_CLEAR_S = 2.0
+
+    def _decay_margin_on_quiet(self) -> None:
+        if not self.adaptive_margin or self._margin <= self.shed_margin:
+            return
+        now = time.monotonic()
+        if (now - self._t_last_late > self._LATE_CLEAR_S
+                and now - self._t_last_decay > 0.1):
+            self._margin = max(self._margin * 0.995, self.shed_margin)
+            self._t_last_decay = now
 
     def _dispatch_loop(self) -> None:
         # requests pulled from the queue but deferred to a later batch
@@ -652,6 +672,7 @@ class ServingEngine:
                     batch = carry + self._collect(first_timeout=0.1)
             carry = []
             self._n_deferred = 0
+            self._decay_margin_on_quiet()
             if not batch:
                 continue
             now = time.monotonic()

@@ -28,6 +28,14 @@ from controllable_xgating_tpu.train.state import (
 from controllable_xgating_tpu.utils.config import Config
 
 
+# vocab width from which the single-pass Pallas row-stats kernel pays:
+# XLA's logsumexp lowering materializes an exp temp (~4 HBM passes where
+# 1 suffices — measured 6.1 ms vs a 1.7 ms floor at bench shapes,
+# tools/xe_breakdown.py). Below this the arrays are small enough that the
+# jnp chain is free AND the CPU test suite avoids interpret-mode kernels.
+_XENT_KERNEL_MIN_V = 2048
+
+
 def masked_xe_sum(
     logits: jax.Array, targets: jax.Array, label_smoothing: float = 0.0
 ) -> jax.Array:
@@ -36,13 +44,32 @@ def masked_xe_sum(
     `label_smoothing` eps > 0 mixes in the uniform-target cross entropy:
     (1-eps)*(lse - logit[target]) + eps*(lse - mean(logits)) — identical
     to smoothing the one-hot target over the full vocab, still without
-    materializing a [B, L, V] log-prob array."""
+    materializing a [B, L, V] log-prob array.
+
+    At production vocab widths the per-row sufficient statistics
+    (lse, logit[target], mean) come from the single-pass Pallas kernel
+    with its matching one-pass custom VJP (ops/pallas/xent.py); the loss
+    ARITHMETIC below is the only place the semantics live, either way."""
     logits = logits.astype(jnp.float32)
-    lse = jax.nn.logsumexp(logits, axis=-1)
-    tgt = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+    v = logits.shape[-1]
+    if v >= _XENT_KERNEL_MIN_V:
+        from controllable_xgating_tpu.ops.pallas.xent import xent_row_stats
+
+        shape = targets.shape
+        lse, tgt, xmean = xent_row_stats(
+            logits.reshape(-1, v), targets.reshape(-1)
+        )
+        lse, tgt = lse.reshape(shape), tgt.reshape(shape)
+        xmean = xmean.reshape(shape)
+    else:
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        tgt = jnp.take_along_axis(
+            logits, targets[..., None], axis=-1)[..., 0]
+        xmean = (logits.mean(axis=-1)
+                 if label_smoothing > 0.0 else None)
     nll = lse - tgt
     if label_smoothing > 0.0:
-        uniform = lse - logits.mean(axis=-1)
+        uniform = lse - xmean
         nll = (1.0 - label_smoothing) * nll + label_smoothing * uniform
     mask = (targets != PAD).astype(jnp.float32)
     return (nll * mask).sum()

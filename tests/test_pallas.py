@@ -397,3 +397,66 @@ def test_greedy_lanes_matches_argmax_chain():
     finally:
         tt.lanes_fits = orig
     np.testing.assert_array_equal(np.asarray(t_lanes), np.asarray(t_jnp))
+
+
+def test_xent_row_stats_kernel_values_and_grads():
+    """ops/pallas/xent.py contract: (lse, x[target], mean) + the custom
+    VJP match the jnp composition exactly, incl. row-tail handling."""
+    from controllable_xgating_tpu.ops.pallas.xent import xent_row_stats
+
+    key = jax.random.PRNGKey(0)
+    for (n, v) in [(128, 257), (130, 257), (7, 64)]:
+        x = jax.random.normal(key, (n, v), jnp.float32) * 3
+        t = jax.random.randint(jax.random.fold_in(key, 1), (n,), 0, v)
+        lse, tgt, mean = xent_row_stats(x, t)
+        np.testing.assert_allclose(
+            np.asarray(lse), np.asarray(jax.nn.logsumexp(x, -1)),
+            rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(tgt),
+            np.asarray(jnp.take_along_axis(x, t[:, None], -1)[:, 0]),
+            rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(mean), np.asarray(x.mean(-1)), rtol=1e-6, atol=1e-6)
+
+        def lk(x):
+            a, b, c = xent_row_stats(x, t)
+            return ((a - b) * 0.9 + (a - c) * 0.1).sum()
+
+        def lr(x):
+            a = jax.nn.logsumexp(x, -1)
+            b = jnp.take_along_axis(x, t[:, None], -1)[:, 0]
+            return ((a - b) * 0.9 + (a - x.mean(-1)) * 0.1).sum()
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(lk)(x)), np.asarray(jax.grad(lr)(x)),
+            rtol=1e-5, atol=1e-6)
+
+
+def test_masked_xe_sum_kernel_path_matches_jnp():
+    """Above the vocab gate masked_xe_sum routes through the kernel; the
+    loss and its gradient must equal the jnp path bit-for-tolerance,
+    with and without label smoothing."""
+    import controllable_xgating_tpu.train.xe as xe
+
+    key = jax.random.PRNGKey(3)
+    v = xe._XENT_KERNEL_MIN_V  # exactly at the gate -> kernel path
+    logits = jax.random.normal(key, (4, 6, v), jnp.float32)
+    targets = jax.random.randint(
+        jax.random.fold_in(key, 1), (4, 6), 0, v
+    ).at[1, 3:].set(0)  # some PAD positions
+
+    orig = xe._XENT_KERNEL_MIN_V
+    for ls in (0.0, 0.1):
+        lk = xe.masked_xe_sum(logits, targets, ls)
+        gk = jax.grad(lambda x: xe.masked_xe_sum(x, targets, ls))(logits)
+        try:
+            xe._XENT_KERNEL_MIN_V = v + 1  # force the jnp path
+            lr = xe.masked_xe_sum(logits, targets, ls)
+            gr = jax.grad(lambda x: xe.masked_xe_sum(x, targets, ls))(logits)
+        finally:
+            xe._XENT_KERNEL_MIN_V = orig
+        np.testing.assert_allclose(np.asarray(lk), np.asarray(lr),
+                                   rtol=1e-6, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                   rtol=1e-5, atol=1e-6)

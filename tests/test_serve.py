@@ -879,3 +879,29 @@ def test_late_completion_counters_and_adaptive_rise(setup):
         assert res2.latency_ms > 30.0
     finally:
         eng.close(timeout=30.0)
+
+
+def test_adaptive_margin_never_latches_at_max(setup):
+    """Round-5 review finding: if the raised margin sheds ALL deadline
+    traffic, completion-driven feedback starves — the wall-clock decay
+    must still bring the margin back to the floor."""
+    import time as _time
+
+    cfg, params, vocab, pos_vocab, _ = setup
+    eng = ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                        buckets=(1,), shed_margin=1.0, adaptive_margin=True)
+    try:
+        eng._margin = eng._MARGIN_MAX
+        eng._t_last_late = _time.monotonic() - 10.0  # tail cleared long ago
+        for _ in range(1000):
+            eng._t_last_decay = 0.0  # bypass the 100 ms rate limit
+            eng._decay_margin_on_quiet()
+        assert eng._margin == pytest.approx(1.0)
+        # but NOT while late completions are recent
+        eng._margin = eng._MARGIN_MAX
+        eng._t_last_late = _time.monotonic()
+        eng._t_last_decay = 0.0
+        eng._decay_margin_on_quiet()
+        assert eng._margin == pytest.approx(eng._MARGIN_MAX)
+    finally:
+        eng.close(timeout=10.0)

@@ -110,60 +110,68 @@ def main(argv=None) -> None:
     caps_flat = jnp.asarray(batch["caps"].reshape(rows, L))
     pos_flat = jnp.asarray(batch["pos"].reshape(rows, -1))
 
-    def enc_body(c, app, mot):
+    # params/ctx/weights ride as timed() ARGUMENTS, never closures: a
+    # closed-over array is embedded as a program constant, which ignores
+    # device commitment and ships tens of MB to the remote compiler
+    # (bench.py's documented HTTP-413 failure mode; also the likely cause
+    # of this tool's first-run hang through the relay)
+    def enc_body(c, params, app, mot):
         enc_out, summary = encode(
             params.encoder, app + c, mot, None, rng0, 0.5)
         return (enc_out.sum() % 7).astype(jnp.float32) * 1e-6
 
-    record("encoder", timed("encoder", enc_body, app, mot) * 1e3,
+    record("encoder", timed("encoder", enc_body, params, app, mot) * 1e3,
            roofline.encode_cost(m, B))
 
     enc_out, summary = encode(params.encoder, app, mot, None, rng0, 0.5)
     summary_k = jnp.repeat(summary, K, 0)
     enc_out_k = jnp.repeat(enc_out, K, 0)
 
-    def pos_body(c, summary_k, pos_flat):
+    def pos_body(c, params, summary_k, pos_flat):
         logits, psi = pos_forward(
             params.pos, summary_k + c, pos_flat)
         return (logits.sum() % 7).astype(jnp.float32) * 1e-6
 
     record("pos_teacher",
-           timed("pos_teacher", pos_body, summary_k, pos_flat) * 1e3,
+           timed("pos_teacher", pos_body, params, summary_k, pos_flat) * 1e3,
            roofline.pos_step_cost(m, rows).scaled(Lp - 1))
 
     _, psi = pos_forward(params.pos, summary_k, pos_flat)
 
-    def ctx_body(c, enc_out_k, psi):
+    def ctx_body(c, params, enc_out_k, psi):
         ctx = make_decode_context(params.decoder, enc_out_k + c, psi)
         return (ctx.keys.sum() % 7).astype(jnp.float32) * 1e-6
 
-    record("context", timed("context", ctx_body, enc_out_k, psi) * 1e3,
+    record("context",
+           timed("context", ctx_body, params, enc_out_k, psi) * 1e3,
            roofline.context_cost(m, rows))
 
     ctx = make_decode_context(params.decoder, enc_out_k, psi)
 
-    def dec_body(c, summary_k, caps_flat):
+    def dec_body(c, params, ctx, summary_k, caps_flat):
         logits = decoder_forward(
             params.decoder, ctx, summary_k + c, caps_flat,
             rng0, 0.5, remat=True)
         return (logits.sum() % 7).astype(jnp.float32) * 1e-6
 
     record("dec_fwd",
-           timed("dec_fwd", dec_body, summary_k, caps_flat) * 1e3,
+           timed("dec_fwd", dec_body, params, ctx, summary_k, caps_flat)
+           * 1e3,
            roofline.decode_step_cost(m, rows).scaled(L - 1))
 
     hs = jax.random.normal(
         jax.random.fold_in(rng0, 1), (rows * (L - 1), m.hidden_dim),
         jnp.float32)
 
-    def mm_body(c, hs):
+    def mm_body(c, w_out, hs):
         from controllable_xgating_tpu.ops.precision import mm
 
-        lg = mm(hs + c, params.decoder.w_out)
+        lg = mm(hs + c, w_out)
         return (lg.sum() % 7).astype(jnp.float32) * 1e-6
 
     v = m.vocab_size
-    record("logits_matmul", timed("logits_matmul", mm_body, hs) * 1e3,
+    record("logits_matmul",
+           timed("logits_matmul", mm_body, params.decoder.w_out, hs) * 1e3,
            roofline.Cost(
                2 * rows * (L - 1) * m.hidden_dim * v,
                m.hidden_dim * v * 2 + rows * (L - 1) * v * 4))
@@ -180,7 +188,17 @@ def main(argv=None) -> None:
     record("loss_lse", timed("loss_lse", loss_body, logits_fix, targets) * 1e3,
            roofline.Cost(0, rows * (L - 1) * v * 4))
 
-    def fwd_body(c, app, mot, caps, pos):
+    def loss_grad_body(c, logits_fix, targets):
+        g = jax.grad(
+            lambda x: masked_xe_loss(x, targets))(logits_fix + c)
+        return (g.sum() % 7).astype(jnp.float32) * 1e-6
+
+    # floor: read x (fwd) + read x (bwd softmax) + write dx = 3 passes
+    record("loss_fwdbwd",
+           timed("loss_fwdbwd", loss_grad_body, logits_fix, targets) * 1e3,
+           roofline.Cost(0, 3 * rows * (L - 1) * v * 4))
+
+    def fwd_body(c, params, app, mot, caps, pos):
         cap_l, pos_l = xe_losses(
             params, {"app": app + c, "motion": mot, "caps": caps,
                      "pos": pos}, rng0, 0.5, remat=True)
@@ -188,7 +206,7 @@ def main(argv=None) -> None:
 
     fwd_cost = roofline.xe_step_cost(m, B, K, L, Lp).scaled(1 / 3.0)
     record("fwd_total",
-           timed("fwd_total", fwd_body, app, mot,
+           timed("fwd_total", fwd_body, params, app, mot,
                  jnp.asarray(batch["caps"]), jnp.asarray(batch["pos"])) * 1e3,
            fwd_cost)
 
