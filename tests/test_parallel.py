@@ -161,3 +161,61 @@ def test_parallel_multi_step_stability(env):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.slow  # two mesh-program compiles with the interpret-mode kernel
+def test_dp_xe_step_with_xent_kernel_matches_jnp_path():
+    """The CE row-stats kernel (vocab >= gate) under the DP mesh: one
+    train step's loss and updated params must match the jnp loss path —
+    pallas-under-pjit is how flagship-vocab DP training actually runs."""
+    import numpy as np
+
+    import controllable_xgating_tpu.train.xe as xe
+    from controllable_xgating_tpu.models.captioner import init_captioner
+    from controllable_xgating_tpu.parallel.mesh import (
+        make_mesh, make_parallel_train_step, shard_batch,
+    )
+    from controllable_xgating_tpu.train.state import (
+        create_train_state, make_optimizer,
+    )
+    from controllable_xgating_tpu.utils.config import Config
+
+    cfg = Config().replace_flat({
+        "model.app_dim": 16, "model.motion_dim": 12, "model.hidden_dim": 16,
+        "model.embed_dim": 12, "model.attn_dim": 12,
+        "model.pos_embed_dim": 12,
+        "model.vocab_size": xe._XENT_KERNEL_MIN_V, "model.pos_vocab_size": 20,
+        "model.num_frames": 4, "model.max_caption_len": 8,
+        "model.max_pos_len": 8, "model.dropout": 0.0,
+    })
+    params = init_captioner(jax.random.PRNGKey(0), cfg.model)
+    mesh = make_mesh(8)
+    state = create_train_state(params, cfg, 10)
+    tx = make_optimizer(cfg, 10)
+    rng = np.random.default_rng(0)
+    v = cfg.model.vocab_size
+    host_batch = {
+        "app": rng.normal(size=(16, 4, 16)).astype(np.float32),
+        "motion": rng.normal(size=(16, 4, 12)).astype(np.float32),
+        "caps": rng.integers(1, v, (16, 2, 8)).astype(np.int32),
+        "pos": rng.integers(1, 20, (16, 2, 8)).astype(np.int32),
+    }
+    from controllable_xgating_tpu.train.xe import make_xe_train_step
+
+    def run():
+        raw = make_xe_train_step(tx, cfg, stage="joint", donate=False,
+                                 jit_compile=False)
+        step = make_parallel_train_step(raw, mesh, donate=False)
+        return step(state, shard_batch(dict(host_batch), mesh))
+
+    s_k, m_k = run()
+    orig = xe._XENT_KERNEL_MIN_V
+    xe._XENT_KERNEL_MIN_V = 10 ** 9  # force the jnp path
+    try:
+        s_j, m_j = run()
+    finally:
+        xe._XENT_KERNEL_MIN_V = orig
+    assert abs(float(m_k["loss"]) - float(m_j["loss"])) < 2e-4
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_k.params, s_j.params)
+    assert max(jax.tree.leaves(diffs)) < 2e-4
