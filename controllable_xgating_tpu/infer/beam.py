@@ -240,9 +240,14 @@ def beam_search(
     if topk_mode == "auto":
         # measured order on v5e (tools/beam_topk_ab.py, docs/RESULTS.md):
         # lanes 15,630 > grouped 13,179 > flat 11,521 captions/s; lanes is
-        # single-model only (ensembles combine full distributions)
+        # single-model only (ensembles combine full distributions). On a
+        # CPU-default process the kernel would run INTERPRETED — auto
+        # keeps the fast XLA tail there (explicit "lanes" still works
+        # anywhere; a TPU process jitting for its CPU devices still gets
+        # lanes, which the cross-platform parity suite relies on)
         topk_mode = (
-            "lanes" if not ens and vocab_q is None and groups <= 1
+            "lanes" if (not ens and vocab_q is None and groups <= 1
+                        and jax.default_backend() != "cpu")
             else "grouped"
         )
     lanes = topk_mode == "lanes" and groups <= 1  # diversity ignores topk_mode

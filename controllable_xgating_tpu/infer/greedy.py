@@ -2,11 +2,11 @@
 
 Rebuilds the reference's `model.sample` host loop (SURVEY.md §3.2/§3.5) as a
 single `lax.scan` — no per-step host sync. One compiled program serves both
-modes: `greedy_decode` (argmax; deterministic — by default through the
-K=1 lane-streaming kernel, whose EXACT-tie order is (col mod 128, col)
-rather than plain lowest-index; real-weight ties are measure-zero, CPU
-runs the identical algorithm interpreted, and the jnp argmax chain
-remains reachable for A/B via the kernel's VMEM gate) and `sample_decode`
+modes: `greedy_decode` (argmax; deterministic — on TPU-default backends
+through the K=1 lane-streaming kernel, whose EXACT-tie order is
+(col mod 128, col) rather than plain lowest-index; real-weight ties are
+measure-zero; CPU-default processes keep the jnp argmax chain, and the
+kernel path is forceable via `lanes=True` for parity tests) and `sample_decode`
 (multinomial with temperature, used by SCST for the sampled rollout; also
 returns per-step logprobs for the REINFORCE loss).
 
@@ -56,8 +56,14 @@ def _rollout(
     block_unk: bool = False,
     early_stop: bool = False,
     vocab_q=None,
+    lanes: Optional[bool] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Shared rollout. Returns (tokens [B, L], logprobs [B, L]).
+
+    `lanes` routes pure-greedy steps through the K=1 lane kernel
+    (None = auto: on for TPU-ish default backends when the VMEM
+    estimate fits; a CPU-default process keeps the jnp argmax chain —
+    the kernel would run interpreted there).
 
     `early_stop=True` swaps the scan for a `lax.while_loop` that exits as
     soon as every sequence has emitted EOS — trained captions finish well
@@ -79,7 +85,9 @@ def _rollout(
     # ties order by (col mod 128) instead of col — measure-zero with
     # real weights; CPU runs the identical algorithm interpreted, so the
     # cross-platform parity contract is unaffected.
-    use_lanes = rng is None and vocab_q is None
+    if lanes is None:
+        lanes = jax.default_backend() != "cpu"
+    use_lanes = lanes and rng is None and vocab_q is None
     if use_lanes:
         from controllable_xgating_tpu.ops.pallas.topk_tail import (
             lanes_fits,
@@ -161,6 +169,7 @@ def greedy_decode(
     block_unk: bool = False,
     early_stop: bool = False,
     vocab_q=None,
+    lanes: Optional[bool] = None,
 ) -> jax.Array:
     """Deterministic argmax rollout -> tokens [B, max_len].
 
@@ -171,7 +180,7 @@ def greedy_decode(
     """
     tokens, _ = _rollout(
         params, ctx, summary, max_len, None, 1.0, fused, block_unk,
-        early_stop, vocab_q
+        early_stop, vocab_q, lanes=lanes
     )
     return tokens
 

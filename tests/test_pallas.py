@@ -382,20 +382,14 @@ def test_beam_lanes_rejects_unsupported_combos():
 
 
 def test_greedy_lanes_matches_argmax_chain():
-    """Pure-greedy rollouts route through the K=1 lane kernel; tokens
-    must equal the jnp argmax chain (the gate is patched off to reach
-    the chain — _rollout re-imports it per call)."""
+    """Pure-greedy rollouts through the K=1 lane kernel (forced on —
+    CPU-default processes auto-pick the jnp chain) must produce the
+    same tokens as the jnp argmax chain."""
     from controllable_xgating_tpu.infer.greedy import greedy_decode
 
     params, ctx, summary = _beam_modes_setup()
-    t_lanes = greedy_decode(params.decoder, ctx, summary, 9)
-    import controllable_xgating_tpu.ops.pallas.topk_tail as tt
-    orig = tt.lanes_fits
-    tt.lanes_fits = lambda *a, **k: False
-    try:
-        t_jnp = greedy_decode(params.decoder, ctx, summary, 9)
-    finally:
-        tt.lanes_fits = orig
+    t_lanes = greedy_decode(params.decoder, ctx, summary, 9, lanes=True)
+    t_jnp = greedy_decode(params.decoder, ctx, summary, 9, lanes=False)
     np.testing.assert_array_equal(np.asarray(t_lanes), np.asarray(t_jnp))
 
 
