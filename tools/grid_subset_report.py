@@ -52,10 +52,15 @@ DEFAULT_PAIRS = [
 ]
 
 
-def corrupted_flags(meta_path: str) -> dict[str, bool]:
+def corrupted_flags(meta_path: str, key: str = "corrupted") -> dict[str, bool]:
     with open(meta_path) as f:
         meta = json.load(f)
-    return {str(k): bool(v["corrupted"]) for k, v in meta["videos"].items()}
+    missing = [k for k, v in meta["videos"].items() if key not in v]
+    if missing:
+        raise SystemExit(
+            f"{meta_path}: {len(missing)} videos lack {key!r} "
+            "(wrong corpus generation for this subset key?)")
+    return {str(k): bool(v[key]) for k, v in meta["videos"].items()}
 
 
 def interaction_delta(gts, res_a, res_b, corr_ids, clean_ids,
@@ -135,6 +140,9 @@ def main(argv=None) -> None:
     p.add_argument("--bootstrap", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="also write markdown here")
+    p.add_argument("--subset_key", default="corrupted",
+                   help="boolean per-video fixture_meta field to stratify "
+                        "by (e.g. 'corrupted', or 'style' on a v3 corpus)")
     p.add_argument("--interaction", action="store_true",
                    help="additionally bootstrap the corrupted-minus-clean "
                         "difference-in-differences per pair (the mechanism "
@@ -157,7 +165,8 @@ def main(argv=None) -> None:
 
     gts_all = load_corpus_references(args.data_dir, args.split)
     flags = corrupted_flags(
-        args.meta or os.path.join(args.data_dir, "fixture_meta.json"))
+        args.meta or os.path.join(args.data_dir, "fixture_meta.json"),
+        args.subset_key)
     ids = sorted(next(iter(cells.values())))
     for name, res in cells.items():
         if sorted(res) != ids:
@@ -166,10 +175,13 @@ def main(argv=None) -> None:
         if missing:
             p.error(f"{len(missing)} candidate ids lack references "
                     f"(first: {missing[:3]}); check --split")
+    on_name, off_name = (("corrupted", "clean")
+                         if args.subset_key == "corrupted"
+                         else (args.subset_key, f"not_{args.subset_key}"))
     subsets = {
         "pooled": ids,
-        "corrupted": [k for k in ids if flags[k]],
-        "clean": [k for k in ids if not flags[k]],
+        on_name: [k for k in ids if flags[k]],
+        off_name: [k for k in ids if not flags[k]],
     }
     empty = [s for s, v in subsets.items() if not v]
     for s in empty:
@@ -209,23 +221,23 @@ def main(argv=None) -> None:
         lines.append("| " + " | ".join(row) + " |")
 
     if args.interaction:
-        if "corrupted" in subsets and "clean" in subsets:
-            lines += ["", "Interaction (delta on corrupted − delta on "
-                          "clean; stratified bootstrap):", "",
-                      "| A − B | corr−clean | 95% CI | p |",
+        if on_name in subsets and off_name in subsets:
+            lines += ["", f"Interaction (delta on {on_name} − delta on "
+                          f"{off_name}; stratified bootstrap):", "",
+                      f"| A − B | {on_name}−{off_name} | 95% CI | p |",
                       "|---|---|---|---|"]
             for a, b in pairs:
                 st = interaction_delta(
                     gts_all, cells[a], cells[b],
-                    subsets["corrupted"], subsets["clean"],
+                    subsets[on_name], subsets[off_name],
                     args.bootstrap, args.seed, args.metric)
                 lines.append(
                     f"| {a} − {b} | {st['point']:+.3f} "
                     f"| [{st['ci95'][0]:+.3f}, {st['ci95'][1]:+.3f}] "
                     f"| {st['p']:.3f} |")
         else:
-            lines += ["", "Interaction test skipped: corrupted or clean "
-                          "subset is empty on this corpus."]
+            lines += ["", f"Interaction test skipped: {on_name} or "
+                          f"{off_name} subset is empty on this corpus."]
 
     text = "\n".join(lines) + "\n"
     print(text)
