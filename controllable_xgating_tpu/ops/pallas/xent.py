@@ -62,15 +62,15 @@ def _row_specs(n):
                         memory_space=pltpu.VMEM)
 
 
-def _col1(dtype=jnp.float32):
-    return jax.ShapeDtypeStruct((_ROWS, 1), dtype)
+def _col_spec():
+    return pl.BlockSpec((_ROWS, 1), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
 
 
 def _fwd_call(x, t, interpret: bool):
     n, v = x.shape
     grid = (n // _ROWS,)
-    spec1 = pl.BlockSpec((_ROWS, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
+    spec1 = _col_spec()
     lse, tgt, mean = pl.pallas_call(
         _fwd_kernel,
         out_shape=(
@@ -88,8 +88,7 @@ def _fwd_call(x, t, interpret: bool):
 
 def _bwd_call(x, t, lse, gl, gt, gm, interpret: bool):
     n, v = x.shape
-    spec1 = pl.BlockSpec((_ROWS, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
+    spec1 = _col_spec()
     dx = pl.pallas_call(
         _bwd_kernel,
         out_shape=jax.ShapeDtypeStruct((n, v), jnp.float32),

@@ -435,9 +435,12 @@ def test_masked_xe_sum_kernel_path_matches_jnp():
 
     key = jax.random.PRNGKey(3)
     v = xe._XENT_KERNEL_MIN_V  # exactly at the gate -> kernel path
-    logits = jax.random.normal(key, (4, 6, v), jnp.float32)
+    # 8*17 = 136 rows: the 128-row pallas main path AND the jnp row tail
+    # are both exercised through masked_xe_sum (24 rows would silently
+    # take the all-jnp fallback and pin nothing — review finding)
+    logits = jax.random.normal(key, (8, 17, v), jnp.float32)
     targets = jax.random.randint(
-        jax.random.fold_in(key, 1), (4, 6), 0, v
+        jax.random.fold_in(key, 1), (8, 17), 0, v
     ).at[1, 3:].set(0)  # some PAD positions
 
     orig = xe._XENT_KERNEL_MIN_V

@@ -897,9 +897,12 @@ def test_adaptive_margin_never_latches_at_max(setup):
             eng._t_last_decay = 0.0  # bypass the 100 ms rate limit
             eng._decay_margin_on_quiet()
         assert eng._margin == pytest.approx(1.0)
-        # but NOT while late completions are recent
-        eng._margin = eng._MARGIN_MAX
+        # but NOT while late completions are recent (set the timestamp
+        # FIRST: the live dispatcher thread runs _decay_margin_on_quiet
+        # concurrently and a stale timestamp would let it decay the
+        # just-raised margin — review finding)
         eng._t_last_late = _time.monotonic()
+        eng._margin = eng._MARGIN_MAX
         eng._t_last_decay = 0.0
         eng._decay_margin_on_quiet()
         assert eng._margin == pytest.approx(eng._MARGIN_MAX)
