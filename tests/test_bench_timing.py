@@ -66,18 +66,23 @@ def test_caption_sustained_scan_matches_fori(tiny):
     app = rng.normal(size=(4, 3, 8)).astype(np.float32)
     mot = rng.normal(size=(4, 3, 6)).astype(np.float32)
     dev = jax.devices("cpu")[0]
-    # best-of-3 per form: a single measurement on this 1-vCPU box can be
-    # inflated several-fold by scheduler noise (observed flake)
-    a = max(bench.time_caption_sustained(fn, params, (app, mot), dev,
+    # Paired rounds, median ratio: the differenced timer can be INFLATED
+    # by contention (the short baseline rep absorbs a stall the long rep
+    # doesn't), so an independent best-of-N per form flaked twice on this
+    # 1-vCPU box (ratios 5.2 and 20.7, both with a concurrent JAX process).
+    # Measuring the forms back-to-back makes box-wide noise hit both sides
+    # of one ratio, and the median discards a single inflated outlier; a
+    # genuine harness bug (a form timing the wrong thing, ~100x) shifts
+    # every ratio and still trips the band.
+    ratios = []
+    for _ in range(3):
+        a = bench.time_caption_sustained(fn, params, (app, mot), dev,
                                          reps=(2, 30), form="fori")
-            for _ in range(3))
-    b = max(bench.time_caption_sustained(fn, params, (app, mot), dev,
+        b = bench.time_caption_sustained(fn, params, (app, mot), dev,
                                          reps=(2, 30), form="scan")
-            for _ in range(3))
-    # 0.1..10, not tighter: this guards against harness bugs (a form
-    # timing the wrong thing is off by 100x), and best-of-3 still flaked
-    # at ratio 5.2 when a concurrent JAX import stole the box mid-suite
-    assert 0.1 < a / b < 10.0, f"fori {a} vs scan {b} diverge wildly"
+        ratios.append(a / b)
+    r = sorted(ratios)[1]
+    assert 0.1 < r < 10.0, f"fori/scan ratios {ratios} diverge wildly"
 
 
 def test_train_sustained_runs_real_steps(tiny):
