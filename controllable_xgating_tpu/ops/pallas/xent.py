@@ -34,7 +34,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ROWS = 128  # rows per block: x + dx blocks must fit VMEM at V=10k f32
+# Rows per block. The binding constraint is the BACKWARD's scoped VMEM:
+# pallas double-buffers each pipelined block, so the bwd kernel holds
+# 2 x (x_block + dx_block) = 4 * _ROWS * V * 4 bytes. At the original
+# _ROWS=128 and V=10000 that is 19.75 MiB and the first real-chip run
+# OOMed the 16 MiB scoped-vmem limit at compile time; 64 rows puts the
+# worst case at 9.8 MiB with the same one-pass HBM traffic.
+_ROWS = 64
+# Largest vocab whose bwd working set fits scoped VMEM with headroom
+# (4 * 64 * V * 4B <= ~12.6 MiB). Wider vocabs take the jnp fallback.
+_MAX_V = 12288
 
 
 def _fwd_kernel(x_ref, t_ref, lse_ref, tgt_ref, mean_ref):
@@ -128,7 +137,7 @@ def _stats_fwd_impl(x, t):
     n = x.shape[0]
     n_main = (n // _ROWS) * _ROWS
     t2 = t.astype(jnp.int32)
-    if n_main == 0:
+    if n_main == 0 or x.shape[1] > _MAX_V:
         return _jnp_stats(x, t2)
     outs = _per_platform(
         lambda xx, tt, interpret: _fwd_call(xx, tt, interpret),
@@ -158,7 +167,7 @@ def _stats_bwd(res, g):
         dx = gls[:, None] * sm + gms[:, None] / v
         return jnp.where(cols == ts[:, None], dx + gts[:, None], dx)
 
-    if n_main == 0:
+    if n_main == 0 or v > _MAX_V:
         return jnp_dx(x, t2, lse, gl, gt, gm).astype(x.dtype), None
     dx_main = _per_platform(
         lambda *a, interpret: _bwd_call(*a, interpret=interpret),
