@@ -86,7 +86,7 @@ def start(argv=None):
     p.add_argument("--devices", type=int, default=0,
                    help=">1 = data-parallel serving over a device mesh "
                         "(buckets must divide by the device count)")
-    p.add_argument("--shed_margin", type=float, default=1.0,
+    p.add_argument("--shed_margin", type=float, default=1.3,
                    help="scale the predicted pipeline latency used for "
                         "deadline shedding / bucket choice: > 1 sheds "
                         "earlier, trading goodput for fewer late "

@@ -2,11 +2,11 @@
 
 Rebuilds the reference's `model.sample` host loop (SURVEY.md §3.2/§3.5) as a
 single `lax.scan` — no per-step host sync. One compiled program serves both
-modes: `greedy_decode` (argmax; deterministic — on TPU-default backends
-through the K=1 lane-streaming kernel, whose EXACT-tie order is
-(col mod 128, col) rather than plain lowest-index; real-weight ties are
-measure-zero; CPU-default processes keep the jnp argmax chain, and the
-kernel path is forceable via `lanes=True` for parity tests) and `sample_decode`
+modes: `greedy_decode` (argmax; deterministic — the jnp chain by default
+on every backend: the K=1 lane-kernel alternative measured slower on chip
+(XLA fuses argmax into the projection epilogue) and stays forceable via
+`lanes=True` for parity tests; its exact-tie order is (col mod 128, col)
+rather than plain lowest-index, measure-zero with real weights) and `sample_decode`
 (multinomial with temperature, used by SCST for the sampled rollout; also
 returns per-step logprobs for the REINFORCE loss).
 
@@ -60,10 +60,14 @@ def _rollout(
 ) -> tuple[jax.Array, jax.Array]:
     """Shared rollout. Returns (tokens [B, L], logprobs [B, L]).
 
-    `lanes` routes pure-greedy steps through the K=1 lane kernel
-    (None = auto: on for TPU-ish default backends when the VMEM
-    estimate fits; a CPU-default process keeps the jnp argmax chain —
-    the kernel would run interpreted there).
+    `lanes` routes pure-greedy steps through the K=1 lane kernel.
+    None = OFF: the first full-bench silicon measurement (2026-08-19)
+    read greedy 80,100 vs 95,804 captions/s with the jnp chain — XLA
+    fuses the argmax reduction into the projection's epilogue, which a
+    separate pallas call structurally cannot, and at K=1 that fusion is
+    worth more than the saved logits round-trip (unlike K=5 beam, where
+    XLA's two-stage top-k was unfused anyway and lanes win +18.8%).
+    `lanes=True` keeps the kernel path exercisable (parity tests).
 
     `early_stop=True` swaps the scan for a `lax.while_loop` that exits as
     soon as every sequence has emitted EOS — trained captions finish well
@@ -78,15 +82,14 @@ def _rollout(
     step_rngs = (
         jax.random.split(rng, max_len) if rng is not None else jnp.zeros((max_len, 2), jnp.uint32)
     )
-    # pure-greedy steps route projection+mask+argmax through the lane-
-    # streaming kernel (ops/pallas/topk_tail.py, K=1): the [B, V] logits
-    # never reach HBM. The sampling branch keeps the jnp chain (the
-    # categorical needs the full distribution). Exact cross-lane argmax
-    # ties order by (col mod 128) instead of col — measure-zero with
-    # real weights; CPU runs the identical algorithm interpreted, so the
-    # cross-platform parity contract is unaffected.
+    # opt-in: projection+mask+argmax through the lane-streaming kernel
+    # (ops/pallas/topk_tail.py, K=1) — measured SLOWER than the fused
+    # XLA chain at bench shapes (see docstring), so None = off. Exact
+    # cross-lane argmax ties order by (col mod 128) instead of col —
+    # measure-zero with real weights; CPU runs the identical algorithm
+    # interpreted, so the cross-platform parity contract is unaffected.
     if lanes is None:
-        lanes = jax.default_backend() != "cpu"
+        lanes = False
     use_lanes = lanes and rng is None and vocab_q is None
     if use_lanes:
         from controllable_xgating_tpu.ops.pallas.topk_tail import (

@@ -9,6 +9,7 @@ the encoder cost is amortized exactly as the reference's seq-per-img.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import jax
@@ -28,12 +29,22 @@ from controllable_xgating_tpu.train.state import (
 from controllable_xgating_tpu.utils.config import Config
 
 
-# vocab width from which the single-pass Pallas row-stats kernel pays:
-# XLA's logsumexp lowering materializes an exp temp (~4 HBM passes where
-# 1 suffices — measured 6.1 ms vs a 1.7 ms floor at bench shapes,
-# tools/xe_breakdown.py). Below this the arrays are small enough that the
-# jnp chain is free AND the CPU test suite avoids interpret-mode kernels.
+# vocab width from which the single-pass Pallas row-stats kernel COULD
+# pay by traffic arithmetic: XLA's logsumexp lowering materializes an exp
+# temp (~4 HBM passes where 1 suffices — measured 6.1 ms vs a 1.7 ms
+# floor at bench shapes, tools/xe_breakdown.py). Below this the arrays
+# are small enough that the jnp chain is free AND the CPU test suite
+# avoids interpret-mode kernels.
 _XENT_KERNEL_MIN_V = 2048
+# ... but the first full-step silicon measurement went the OTHER way:
+# with the kernel routed in, bench XE dropped 20,117 -> 15,358 seqs/s
+# (sigma=46, 2026-08-19) — the custom VJP walls off XLA's fusion of the
+# loss/softmax into the surrounding projection backward, costing more
+# than the saved passes. Default OFF pending a piece-level chip A/B;
+# opt in via CXG_XENT_KERNEL=1 (tests force the flag directly). Same
+# lesson as the K=1 lane tail: a kernel that wins a PIECE microbench can
+# still lose end-to-end to compiler fusion.
+_XENT_KERNEL = os.environ.get("CXG_XENT_KERNEL", "0") == "1"
 
 
 def masked_xe_sum(
@@ -52,7 +63,7 @@ def masked_xe_sum(
     ARITHMETIC below is the only place the semantics live, either way."""
     logits = logits.astype(jnp.float32)
     v = logits.shape[-1]
-    if v >= _XENT_KERNEL_MIN_V:
+    if _XENT_KERNEL and v >= _XENT_KERNEL_MIN_V:
         from controllable_xgating_tpu.ops.pallas.xent import xent_row_stats
 
         shape = targets.shape

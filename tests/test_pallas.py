@@ -443,16 +443,17 @@ def test_masked_xe_sum_kernel_path_matches_jnp():
         jax.random.fold_in(key, 1), (8, 17), 0, v
     ).at[1, 3:].set(0)  # some PAD positions
 
-    orig = xe._XENT_KERNEL_MIN_V
+    orig_on = xe._XENT_KERNEL
     for ls in (0.0, 0.1):
-        lk = xe.masked_xe_sum(logits, targets, ls)
-        gk = jax.grad(lambda x: xe.masked_xe_sum(x, targets, ls))(logits)
         try:
-            xe._XENT_KERNEL_MIN_V = v + 1  # force the jnp path
+            xe._XENT_KERNEL = True  # opt-in (default off since the chip A/B)
+            lk = xe.masked_xe_sum(logits, targets, ls)
+            gk = jax.grad(lambda x: xe.masked_xe_sum(x, targets, ls))(logits)
+            xe._XENT_KERNEL = False  # the default jnp path
             lr = xe.masked_xe_sum(logits, targets, ls)
             gr = jax.grad(lambda x: xe.masked_xe_sum(x, targets, ls))(logits)
         finally:
-            xe._XENT_KERNEL_MIN_V = orig
+            xe._XENT_KERNEL = orig_on
         np.testing.assert_allclose(np.asarray(lk), np.asarray(lr),
                                    rtol=1e-6, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),

@@ -208,13 +208,13 @@ def test_dp_xe_step_with_xent_kernel_matches_jnp_path():
         step = make_parallel_train_step(raw, mesh, donate=False)
         return step(state, shard_batch(dict(host_batch), mesh))
 
-    s_k, m_k = run()
-    orig = xe._XENT_KERNEL_MIN_V
-    xe._XENT_KERNEL_MIN_V = 10 ** 9  # force the jnp path
+    orig_on = xe._XENT_KERNEL
+    xe._XENT_KERNEL = True  # opt-in (default off since the chip A/B)
     try:
-        s_j, m_j = run()
+        s_k, m_k = run()
     finally:
-        xe._XENT_KERNEL_MIN_V = orig
+        xe._XENT_KERNEL = orig_on
+    s_j, m_j = run()  # the default jnp path
     assert abs(float(m_k["loss"]) - float(m_j["loss"])) < 2e-4
     diffs = jax.tree.map(
         lambda a, b: float(jnp.abs(a - b).max()), s_k.params, s_j.params)

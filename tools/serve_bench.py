@@ -158,7 +158,7 @@ def main():
     p.add_argument("--duration", type=float, default=10.0)
     p.add_argument("--buckets", default="1,4,16,64,256")
     p.add_argument("--max_wait_ms", type=float, default=8.0)
-    p.add_argument("--shed_margin", type=float, default=1.0)
+    p.add_argument("--shed_margin", type=float, default=1.3)
     p.add_argument("--adaptive_margin", action="store_true",
                    help="self-tuning shed margin (feedback on the measured "
                         "late-completion fraction; --shed_margin is the "

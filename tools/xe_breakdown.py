@@ -218,6 +218,29 @@ def main(argv=None) -> None:
     record("step_total", step_s * 1e3,
            roofline.xe_step_cost(m, B, K, L, Lp, remat=True))
 
+    # ---- xent-kernel A/B: the same three slices with CXG_XENT_KERNEL
+    # routing forced on (default OFF since the 2026-08-19 full-bench
+    # regression: 20,117 -> 15,358 seqs/s with the kernel in) ----
+    import controllable_xgating_tpu.train.xe as xe_mod
+
+    orig_on = xe_mod._XENT_KERNEL
+    try:
+        xe_mod._XENT_KERNEL = True
+        record("loss_lse_KERNEL",
+               timed("loss_lse_KERNEL", loss_body, logits_fix,
+                     targets) * 1e3,
+               roofline.Cost(0, rows * (L - 1) * v * 4))
+        record("loss_fwdbwd_KERNEL",
+               timed("loss_fwdbwd_KERNEL", loss_grad_body, logits_fix,
+                     targets) * 1e3,
+               roofline.Cost(0, 3 * rows * (L - 1) * v * 4))
+        step_fn_k = make_xe_train_step(tx, cfg, stage="joint", donate=False)
+        step_k_s = bench.time_train_sustained(step_fn_k, state, batch, dev)
+        record("step_total_KERNEL", step_k_s * 1e3,
+               roofline.xe_step_cost(m, B, K, L, Lp, remat=True))
+    finally:
+        xe_mod._XENT_KERNEL = orig_on
+
     # ---- derived rows ----
     pieces = report["pieces"]
     pieces["dec_scan (derived)"] = {
