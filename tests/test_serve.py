@@ -908,3 +908,19 @@ def test_adaptive_margin_never_latches_at_max(setup):
         assert eng._margin == pytest.approx(eng._MARGIN_MAX)
     finally:
         eng.close(timeout=10.0)
+
+
+def test_default_shed_margin_is_the_measured_dominant_point(setup):
+    """The 1.3 default is a MEASURED decision (docs/RESULTS.md margin
+    A/B: 1.0 is dominated on chip r4 and in the r5 CPU A/B). Pin it so a
+    refactor can't silently regress the default back to the dominated
+    point without re-measuring."""
+    cfg, params, vocab, pos_vocab, _feats = setup
+    eng = ServingEngine(params, cfg, vocab, pos_vocab, mode="greedy",
+                        buckets=(1,))
+    try:
+        assert eng.shed_margin == pytest.approx(1.3)
+        assert eng._margin == pytest.approx(1.3)
+        assert not eng.adaptive_margin  # opt-in (learning transient)
+    finally:
+        eng.close(timeout=10.0)
