@@ -458,3 +458,22 @@ def test_masked_xe_sum_kernel_path_matches_jnp():
                                    rtol=1e-6, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_xent_kernel_blocks_fit_scoped_vmem():
+    """The first real-chip compile of the xent backward OOMed scoped VMEM:
+    pallas double-buffers pipelined blocks, so the bwd holds
+    2 x (x_block + dx_block) = 4 * _ROWS * V * 4 bytes against the
+    ~16 MiB scoped-vmem limit (observed: 19.75 MiB at the original
+    _ROWS=128, V=10000). Pin the sizing arithmetic so a block-size or
+    vocab-guard change can't silently reintroduce the compile failure."""
+    from controllable_xgating_tpu.ops.pallas import xent
+
+    worst_bwd_bytes = 4 * xent._ROWS * xent._MAX_V * 4
+    # leave headroom below the 16 MiB limit for the col-vector blocks
+    assert worst_bwd_bytes <= 14 * 1024 * 1024, (
+        f"bwd working set {worst_bwd_bytes/2**20:.2f} MiB exceeds the "
+        "scoped-VMEM budget that OOMed on chip"
+    )
+    # the guard must still admit the bench/flagship vocab
+    assert xent._MAX_V >= 10000
