@@ -220,3 +220,22 @@ def test_average_checkpoints_soup(tmp_path, capsys):
     with pytest.raises(SystemExit):
         average_checkpoints.main(
             ["--data_dir", d, "--inputs", a, "--out", soup])
+
+
+def test_tag_agreement_modes():
+    """position is the paper's brittle per-position form; lcs credits
+    structure that survives an insertion shift (corpus-v3 finding: one
+    early JJ dropped position-agreement to ~0.16 on syntactically fine
+    captions)."""
+    from controllable_xgating_tpu.data.postag import PennTagger
+    from tools.controllability_eval import tag_agreement
+
+    t = PennTagger()
+    tmpl = "DT NN VBZ VBG IN DT NN".split()
+    exact = "a man is playing in the park"
+    shifted = "a young man is playing in the park"  # one JJ insertion
+    assert tag_agreement(exact, tmpl, t) == 1.0
+    assert tag_agreement(exact, tmpl, t, "lcs") == 1.0
+    assert tag_agreement(shifted, tmpl, t) < 0.2  # the brittleness
+    assert tag_agreement(shifted, tmpl, t, "lcs") > 0.8  # the fix
+    assert tag_agreement("", tmpl, t, "lcs") == 0.0

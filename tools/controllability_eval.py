@@ -32,18 +32,36 @@ from controllable_xgating_tpu.models.captioner import encode_for_inference
 from controllable_xgating_tpu.utils.config import Config, parse_cli_overrides
 
 
-def tag_agreement(caption: str, template: list[str], tagger: PennTagger) -> float:
-    """Per-position agreement between the caption's tags and the template."""
+def tag_agreement(caption: str, template: list[str], tagger: PennTagger,
+                  mode: str = "position") -> float:
+    """Agreement between the caption's tags and the template.
+
+    `position` (the paper's §4 form): per-position match over the longer
+    length — brittle to insertions (one early JJ shifts every later
+    position; measured on corpus v3, docs/RESULTS.md). `lcs`: longest
+    common subsequence over the longer length — credits structure that
+    survives a shift, still 1.0 iff the sequences are identical."""
     words = caption.split()
     if not words:
         return 0.0
     tags = tagger.tag(words)
-    n = min(len(tags), len(template))
-    if n == 0:
+    if not tags or not template:
         return 0.0
-    hits = sum(tags[i] == template[i] for i in range(n))
-    # penalize length mismatch: divide by the longer of the two
-    return hits / max(len(tags), len(template))
+    if mode == "position":
+        n = min(len(tags), len(template))
+        hits = sum(tags[i] == template[i] for i in range(n))
+        # penalize length mismatch: divide by the longer of the two
+        return hits / max(len(tags), len(template))
+    # lcs
+    m, n = len(tags), len(template)
+    prev = [0] * (n + 1)
+    for i in range(1, m + 1):
+        cur = [0] * (n + 1)
+        for j in range(1, n + 1):
+            cur[j] = (prev[j - 1] + 1 if tags[i - 1] == template[j - 1]
+                      else max(prev[j], cur[j - 1]))
+        prev = cur
+    return prev[n] / max(m, n)
 
 
 def main(argv=None) -> None:
@@ -56,6 +74,10 @@ def main(argv=None) -> None:
                         "the study runs per template and reports each plus "
                         "the mean (paper §4 uses several syntax patterns)")
     p.add_argument("--split", default="test")
+    p.add_argument("--agreement", default="position",
+                   choices=("position", "lcs"),
+                   help="position = the paper's per-position form "
+                        "(brittle to insertions); lcs = shift-tolerant")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"))
     p.add_argument("--compute_dtype", default=None,
@@ -97,13 +119,18 @@ def main(argv=None) -> None:
             for row in range(batch["num_valid"]):
                 free_cap = info.vocab.decode_str(free_toks[row])
                 ctrl_cap = info.vocab.decode_str(ctrl_toks[row])
-                free_scores.append(tag_agreement(free_cap, template, tagger))
-                ctrl_scores.append(tag_agreement(ctrl_cap, template, tagger))
+                free_scores.append(
+                    tag_agreement(free_cap, template, tagger,
+                                  args.agreement))
+                ctrl_scores.append(
+                    tag_agreement(ctrl_cap, template, tagger,
+                                  args.agreement))
                 if len(examples) < 5:
                     examples.append(
                         {"free": free_cap, "controlled": ctrl_cap})
         return {
             "template": " ".join(template),
+            "agreement_mode": args.agreement,
             "videos": len(free_scores),
             "free_run_tag_agreement": round(float(np.mean(free_scores)), 4),
             "controlled_tag_agreement": round(float(np.mean(ctrl_scores)), 4),
