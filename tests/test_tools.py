@@ -239,3 +239,52 @@ def test_tag_agreement_modes():
     assert tag_agreement(shifted, tmpl, t) < 0.2  # the brittleness
     assert tag_agreement(shifted, tmpl, t, "lcs") > 0.8  # the fix
     assert tag_agreement("", tmpl, t, "lcs") == 0.0
+
+
+def test_controllability_summary_and_offline_rescore(tmp_path, capsys):
+    """The summary always carries BOTH agreement modes plus the full
+    caption dump, and --rescore_captions re-scores a capture offline
+    (no model, no device) — so agreement-metric changes never need a
+    re-decode."""
+    import json
+
+    from controllable_xgating_tpu.data.postag import PennTagger
+    from tools import controllability_eval as ce
+
+    tmpl = "DT NN VBZ VBG IN DT NN".split()
+    caps = [
+        {"free": "a man is playing in the park",
+         "controlled": "a man is playing in the park"},
+        {"free": "a cat rides a horse",
+         "controlled": "a young man is playing in the park"},
+    ]
+    s = ce._summarize(caps, tmpl, PennTagger(), "position")
+    assert s["videos"] == 2
+    assert s["captions"] == caps and s["examples"] == caps[:2]
+    # top level mirrors the primary mode
+    assert (s["free_run_tag_agreement"]
+            == s["agreement_by_mode"]["position"]["free_run_tag_agreement"])
+    # lcs >= position always (subsequence credit can only add)
+    for side in ("free_run_tag_agreement", "controlled_tag_agreement"):
+        assert (s["agreement_by_mode"]["lcs"][side]
+                >= s["agreement_by_mode"]["position"][side])
+    # row 2's controlled caption is the shifted form: position ~0.125,
+    # lcs ~0.875 — the mean must separate the modes
+    assert (s["agreement_by_mode"]["lcs"]["controlled_tag_agreement"]
+            > s["agreement_by_mode"]["position"]["controlled_tag_agreement"])
+
+    capture = tmp_path / "controllability.json"
+    capture.write_text(json.dumps(
+        {"template": " ".join(tmpl), "captions": caps}))
+    ce.main(["--rescore_captions", str(capture), "--agreement", "lcs"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["agreement_mode"] == "lcs"
+    assert out["agreement_by_mode"] == s["agreement_by_mode"]
+
+    # a pre-round-5 capture (examples only) must fail loudly, not quietly
+    old = tmp_path / "old.json"
+    old.write_text(json.dumps({"template": " ".join(tmpl),
+                               "examples": caps[:1]}))
+    import pytest
+    with pytest.raises(SystemExit):
+        ce.main(["--rescore_captions", str(old)])

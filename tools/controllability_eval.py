@@ -64,10 +64,36 @@ def tag_agreement(caption: str, template: list[str], tagger: PennTagger,
     return prev[n] / max(m, n)
 
 
+def _summarize(captions: list[dict], template: list[str],
+               tagger: PennTagger, primary_mode: str) -> dict:
+    """Score a [{'free':.., 'controlled':..}] caption list under BOTH
+    agreement modes; the top-level fields mirror `primary_mode` so the
+    grid/report consumers keep their keys."""
+    by_mode = {}
+    for mode in ("position", "lcs"):
+        free = [tag_agreement(c["free"], template, tagger, mode)
+                for c in captions]
+        ctrl = [tag_agreement(c["controlled"], template, tagger, mode)
+                for c in captions]
+        by_mode[mode] = {
+            "free_run_tag_agreement": round(float(np.mean(free)), 4),
+            "controlled_tag_agreement": round(float(np.mean(ctrl)), 4),
+        }
+    return {
+        "template": " ".join(template),
+        "agreement_mode": primary_mode,
+        "videos": len(captions),
+        **by_mode[primary_mode],
+        "agreement_by_mode": by_mode,
+        "examples": captions[:5],
+        "captions": captions,
+    }
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--data_dir", required=True)
-    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--data_dir")
+    p.add_argument("--checkpoint_dir")
     p.add_argument("--template", default="DT NN VBZ VBG IN DT NN")
     p.add_argument("--templates", default=None,
                    help="semicolon-separated Penn tag templates; when set, "
@@ -76,13 +102,37 @@ def main(argv=None) -> None:
     p.add_argument("--split", default="test")
     p.add_argument("--agreement", default="position",
                    choices=("position", "lcs"),
-                   help="position = the paper's per-position form "
-                        "(brittle to insertions); lcs = shift-tolerant")
+                   help="which mode fills the top-level agreement fields "
+                        "(position = the paper's per-position form, brittle "
+                        "to insertions; lcs = shift-tolerant). BOTH modes "
+                        "are always computed into agreement_by_mode.")
+    p.add_argument("--rescore_captions", default=None, metavar="JSON",
+                   help="offline mode: re-score the full caption dump of a "
+                        "previous run (its 'captions' list) without a model "
+                        "or device; --template must match the capture")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"))
     p.add_argument("--compute_dtype", default=None,
                    choices=("float32", "bfloat16"))
     args, rest = p.parse_known_args(argv)
+
+    if args.rescore_captions:
+        tagger = PennTagger()
+        with open(args.rescore_captions) as f:
+            prev = json.load(f)
+        caps = prev.get("captions")
+        if not caps:
+            raise SystemExit(
+                f"{args.rescore_captions} has no 'captions' dump (captures "
+                "from before round 5 stored only 5 examples — re-decode)")
+        template = prev.get("template", args.template).split()
+        print(json.dumps(_summarize(caps, template, tagger,
+                                    args.agreement), indent=2))
+        return
+
+    if not args.data_dir or not args.checkpoint_dir:
+        raise SystemExit("--data_dir and --checkpoint_dir are required "
+                         "unless --rescore_captions is given")
     cfg = Config().replace_flat(parse_cli_overrides(rest))
     from controllable_xgating_tpu.cli.common import apply_runtime_flags
 
@@ -106,8 +156,7 @@ def main(argv=None) -> None:
 
     def study(template: list[str]) -> dict:
         tmpl_row = pad_encode(info.pos_vocab, template, cfg.model.max_pos_len)
-        free_scores, ctrl_scores = [], []
-        examples = []
+        captions = []
         for batch in eval_batches(store, idx, args.batch_size):
             b = batch["app"].shape[0]
             tmpl_batch = np.array([tmpl_row] * b, np.int32)
@@ -117,25 +166,11 @@ def main(argv=None) -> None:
             free_toks = np.asarray(free_toks)
             ctrl_toks = np.asarray(ctrl_toks)
             for row in range(batch["num_valid"]):
-                free_cap = info.vocab.decode_str(free_toks[row])
-                ctrl_cap = info.vocab.decode_str(ctrl_toks[row])
-                free_scores.append(
-                    tag_agreement(free_cap, template, tagger,
-                                  args.agreement))
-                ctrl_scores.append(
-                    tag_agreement(ctrl_cap, template, tagger,
-                                  args.agreement))
-                if len(examples) < 5:
-                    examples.append(
-                        {"free": free_cap, "controlled": ctrl_cap})
-        return {
-            "template": " ".join(template),
-            "agreement_mode": args.agreement,
-            "videos": len(free_scores),
-            "free_run_tag_agreement": round(float(np.mean(free_scores)), 4),
-            "controlled_tag_agreement": round(float(np.mean(ctrl_scores)), 4),
-            "examples": examples,
-        }
+                captions.append({
+                    "free": info.vocab.decode_str(free_toks[row]),
+                    "controlled": info.vocab.decode_str(ctrl_toks[row]),
+                })
+        return _summarize(captions, template, tagger, args.agreement)
 
     if args.templates:
         results = [
