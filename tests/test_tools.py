@@ -288,3 +288,34 @@ def test_controllability_summary_and_offline_rescore(tmp_path, capsys):
     import pytest
     with pytest.raises(SystemExit):
         ce.main(["--rescore_captions", str(old)])
+
+
+def test_ablation_report_render_lcs_columns():
+    """The grid report adds lcs agreement columns only when some cell
+    carries the round-5 both-mode capture; cells without it get dashes."""
+    from tools.ablation_report import render
+
+    base = {"fusion": "xgate", "pos_guidance": True,
+            "caption_metrics": {"Bleu_4": .1, "CIDEr": .5},
+            "scst_metrics": {"Bleu_4": .2, "CIDEr": .7, "CIDErD": .6},
+            "controllability": {"free_run_tag_agreement": .5,
+                                "controlled_tag_agreement": .2,
+                                "videos": 300}}
+    out = render([base])
+    assert "(lcs)" not in out
+
+    import copy
+    v2 = copy.deepcopy(base)
+    v2["controllability"]["agreement_by_mode"] = {
+        "position": {"free_run_tag_agreement": .5,
+                     "controlled_tag_agreement": .2},
+        "lcs": {"free_run_tag_agreement": .7,
+                "controlled_tag_agreement": .6}}
+    out = render([v2, base])
+    assert "tag-agree ctrl (lcs)" in out
+    lines = out.splitlines()
+    assert "| 0.7000 | 0.6000 |" in lines[2]   # the v2 cell's lcs pair
+    assert lines[3].endswith("— | — |")         # v1 cell: dashes
+    # every row has the same column count as the header
+    ncols = lines[0].count("|")
+    assert all(l.count("|") == ncols for l in lines[2:])

@@ -170,12 +170,18 @@ def run_cell(data_dir: str, out: str, fusion: str, psi: bool) -> dict:
     for ckpt_stage in ("caption", "scst"):
         with open(os.path.join(ck, ckpt_stage, "eval_test.json")) as f:
             cell[f"{ckpt_stage}_metrics"] = json.load(f)["metrics"]
-    with open(ctrl_path) as f:
+    # prefer a round-5 re-capture (both agreement modes + caption dump)
+    # when one exists next to the original single-mode capture
+    ctrl_v2 = os.path.join(ck, "controllability_v2.json")
+    with open(ctrl_v2 if os.path.exists(ctrl_v2) else ctrl_path) as f:
         ctrl = json.load(f)
     cell["controllability"] = {
         k: ctrl[k] for k in
         ("free_run_tag_agreement", "controlled_tag_agreement", "videos")
     }
+    if "agreement_by_mode" in ctrl:
+        cell["controllability"]["agreement_by_mode"] = (
+            ctrl["agreement_by_mode"])
     return cell
 
 

@@ -38,15 +38,22 @@ COMPARISONS = [
 
 def render(results: list[dict]) -> str:
     rows = []
+    # lcs agreement columns appear when any cell carries the round-5
+    # both-mode capture (controllability_v2 / agreement_by_mode)
+    has_lcs = any("agreement_by_mode" in c.get("controllability", {})
+                  for c in results)
+    lcs_hdr = " tag-agree free (lcs) | tag-agree ctrl (lcs) |" if has_lcs \
+        else ""
     header = (
         "| fusion | psi | XE B-4 | XE CIDEr | SCST B-4 | SCST CIDEr | "
-        "SCST CIDEr-D | tag-agree free | tag-agree ctrl |\n"
+        "SCST CIDEr-D | tag-agree free | tag-agree ctrl |" + lcs_hdr + "\n"
         "|---|---|---|---|---|---|---|---|---|"
+        + ("---|---|" if has_lcs else "")
     )
     for c in results:
         cm, sm = c["caption_metrics"], c["scst_metrics"]
         ctrl = c["controllability"]
-        rows.append(
+        row = (
             f"| {c['fusion']} | {'on' if c['pos_guidance'] else 'off'} "
             f"| {cm['Bleu_4']:.4f} | {cm['CIDEr']:.4f} "
             f"| {sm['Bleu_4']:.4f} | {sm['CIDEr']:.4f} "
@@ -54,6 +61,14 @@ def render(results: list[dict]) -> str:
             f"| {ctrl['free_run_tag_agreement']:.4f} "
             f"| {ctrl['controlled_tag_agreement']:.4f} |"
         )
+        if has_lcs:
+            lcs = ctrl.get("agreement_by_mode", {}).get("lcs")
+            row += (
+                f" {lcs['free_run_tag_agreement']:.4f} "
+                f"| {lcs['controlled_tag_agreement']:.4f} |"
+                if lcs else " — | — |"
+            )
+        rows.append(row)
     return header + "\n" + "\n".join(rows)
 
 
