@@ -319,3 +319,57 @@ def test_ablation_report_render_lcs_columns():
     # every row has the same column count as the header
     ncols = lines[0].count("|")
     assert all(l.count("|") == ncols for l in lines[2:])
+
+
+def test_style_template_analysis(tmp_path, capsys):
+    """Per-(template-style x video-style) buckets with subject/action
+    retention measured against the fixture banks; free-run retention is
+    the no-control baseline on the same rows."""
+    import json
+
+    from tools import style_template_analysis as sta
+
+    # subject 0 = a man/the man/a guy; action 0 = is playing/plays/guitar
+    meta = {"videos": {
+        "v0": {"subject": 0, "action": 0, "place": 0, "style": 0},
+        "v1": {"subject": 5, "action": 7, "place": 1, "style": 1},
+    }}
+    capture = {"per_template": [{
+        "template": "DT NN VBZ VBG NN IN NN",
+        "captions": [
+            # style-0 video, content kept under control
+            {"video_id": "v0", "free": "a man is playing guitar on stage",
+             "controlled": "a man is playing guitar on stage"},
+            # style-1 video, control flips subject cat -> boy
+            {"video_id": "v1", "free": "a cat is dancing in the park",
+             "controlled": "a young boy is playing in the park"},
+        ],
+    }]}
+    cap_path = tmp_path / "cap.json"
+    cap_path.write_text(json.dumps(capture))
+    meta_path = tmp_path / "meta.json"
+    meta_path.write_text(json.dumps(meta))
+
+    sta.main(["--capture", str(cap_path), "--meta", str(meta_path)])
+    out = capsys.readouterr().out
+    rows = json.loads(out.splitlines()[-1])["rows"]
+    assert len(rows) == 2
+    by_vs = {r["video_style"]: r for r in rows}
+    assert by_vs[0]["style_match"] and not by_vs[1]["style_match"]
+    # v0: exact match -> full agreement + retention
+    assert by_vs[0]["controlled_agreement_position"] == 1.0
+    assert by_vs[0]["subject_retention_controlled"] == 1.0
+    assert by_vs[0]["action_retention_controlled"] == 1.0
+    # v1: subject flipped under control but present free-run
+    assert by_vs[1]["subject_retention_controlled"] == 0.0
+    assert by_vs[1]["subject_retention_free"] == 1.0
+    # action 7 = dancing/dances (no object): lost under control too
+    assert by_vs[1]["action_retention_controlled"] == 0.0
+
+    # a pre-round-5 capture (no video ids) fails loudly
+    old = tmp_path / "old.json"
+    old.write_text(json.dumps(
+        {"template": "DT NN", "captions": [{"free": "a", "controlled": "b"}]}))
+    import pytest
+    with pytest.raises(SystemExit):
+        sta.main(["--capture", str(old), "--meta", str(meta_path)])

@@ -167,6 +167,8 @@ def main(argv=None) -> None:
             ctrl_toks = np.asarray(ctrl_toks)
             for row in range(batch["num_valid"]):
                 captions.append({
+                    "video_id": info.video_ids[
+                        int(batch["video_indices"][row])],
                     "free": info.vocab.decode_str(free_toks[row]),
                     "controlled": info.vocab.decode_str(ctrl_toks[row]),
                 })
