@@ -197,12 +197,23 @@ def main(argv=None) -> None:
     p.add_argument("--recipe", choices=sorted(RECIPES), default=None,
                    help="recipe scale (default flagship; --smoke is an "
                         "alias for --recipe smoke)")
+    p.add_argument("--platform", default=None,
+                   choices=("cpu", "tpu", "axon"),
+                   help="forward --platform to every stage CLI (e.g. run "
+                        "a cell on CPU when the TPU relay is down; decode "
+                        "parity across platforms is test-pinned, but note "
+                        "the platform in any cross-cell comparison)")
     args = p.parse_args(argv)
     global RECIPE
     if args.smoke:
         RECIPE = SMOKE
     elif args.recipe:
         RECIPE = RECIPES[args.recipe]
+    if args.platform:
+        RECIPE = dict(RECIPE)
+        RECIPE["extra"] = [f for f in RECIPE["extra"]
+                           if f not in ("--platform", "cpu", "tpu", "axon")]
+        RECIPE["extra"] += ["--platform", args.platform]
 
     os.makedirs(args.out, exist_ok=True)
     want = set(args.cells.split(",")) if args.cells else None
